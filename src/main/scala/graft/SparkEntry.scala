@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.WordCount
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator has a `queries` entry; every SQL-expressible
+  * one has a DuckDB `oracleSql` twin with IDENTICAL column names and a
+  * deterministic ORDER BY. Aggregates over non-integer doubles are
+  * `round(_, 2)` on both sides: float summation order differs between
+  * engines, and rounding the (≤1e-7 absolute) error away keeps the
+  * value-hash comparison stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Pricing-summary aggregate (TPC-H Q1 shape) — scan → filter →
+    * partial+final hash agg, the canonical "did the engine wire up" probe.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (Queries.q1PricingSummary _),
+    "wordcount_documents" -> ((s, d) =>
+      WordCount.wordCount(Tables.documents(s, d), "text")),
+    "wordcount_reference" -> ((s, _) =>
+      WordCount.referenceJob(s, ReferenceCorpusDir))
+  )
+
+  /** Reference corpus (read-only): 13 lorem-ipsum text files — the
+    * reference's only dataset (reference: `worker-fs/map-task-input/`,
+    * task table `master/data/MapTask.scala:19-87`).
+    */
+  val ReferenceCorpusDir = "/root/reference/worker-fs/map-task-input"
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops → driver
+    * records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "wordcount_documents" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT lower(regexp_replace(unnest(string_split(text, ' ')), '[^\w]', '', 'g')) AS word
+        |  FROM documents
+        |) WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
+  )
+}
+
+/** Relational query library over the star schema (FIXTURES.md §2). */
+object Queries {
+
+  /** TPC-H Q1-shaped pricing summary: filter → 2-key hash aggregate.
+    * Plan at scale: parquet scan with `l_shipdate` predicate pushed down +
+    * only 7 of 11 columns read; partial HashAggregate before the single
+    * shuffle (32→N partitions), final HashAggregate after. No join, no
+    * sort until the tiny post-agg result.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
 }
