@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.WordCount
+import graft.operators.{Relational, WordCount}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -22,65 +22,78 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (Queries.q1PricingSummary _),
-    "wordcount_documents" -> ((s, d) =>
-      WordCount.wordCount(Tables.documents(s, d), "text")),
-    "wordcount_reference" -> ((s, _) =>
-      WordCount.referenceJob(s, ReferenceCorpusDir))
-  )
-
   /** Reference corpus (read-only): 13 lorem-ipsum text files — the
     * reference's only dataset (reference: `worker-fs/map-task-input/`,
     * task table `master/data/MapTask.scala:19-87`).
     */
   val ReferenceCorpusDir = "/root/reference/worker-fs/map-task-input"
 
-  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops → driver
-    * records a weaker rows-only check.
-    */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
+  private val core: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", Queries.q1PricingSummary _,
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - cast(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(12,2))
+        |    * (1 - cast(l_discount AS DECIMAL(4,2)))
+        |    * (1 + cast(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 2) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "wordcount_documents" ->
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    QueryDef("wordcount_documents",
+      (s, d) => WordCount.wordCount(Tables.documents(s, d), "text"),
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT lower(regexp_replace(unnest(string_split(text, ' ')), '[^\w]', '', 'g')) AS word
         |  FROM documents
-        |) WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin
+        |) WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin),
+    QueryDef.noOracle("wordcount_reference",
+      (s, _) => WordCount.referenceJob(s, ReferenceCorpusDir))
   )
+
+  /** Full registry: reference parity + relational/scalar surface (+ the
+    * streaming and LLM-pipeline modules as they land).
+    */
+  val registry: Seq[QueryDef] = core ++ Relational.registry
+
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops → driver
+    * records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
 
-/** Relational query library over the star schema (FIXTURES.md §2). */
+/** Flagship query, kept separate so `entry` stays a one-liner. */
 object Queries {
 
   /** TPC-H Q1-shaped pricing summary: filter → 2-key hash aggregate.
     * Plan at scale: parquet scan with `l_shipdate` predicate pushed down +
     * only 7 of 11 columns read; partial HashAggregate before the single
-    * shuffle (32→N partitions), final HashAggregate after. No join, no
-    * sort until the tiny post-agg result.
+    * shuffle, final HashAggregate after. No join; no sort until the tiny
+    * post-agg result.
     */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import Tables.{money, rate}
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        Tables.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          * (lit(1) + rate(col("l_tax")))).cast("double").as("sum_charge"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 }

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Loaders for the driver-generated parquet test tables (see TESTDATA.md).
   *
@@ -21,6 +23,19 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Oracle-stable money arithmetic. Sums of 2-decimal doubles are
+    * summation-order-dependent in the last bits, and `round(sum, 2)` sits
+    * on an exact `.xx5` knife-edge whenever the true decimal sum ends in
+    * a half-cent — Spark (BigDecimal HALF_UP) and DuckDB (multiply-shift)
+    * then disagree. Casting to decimal makes the sum EXACT in both
+    * engines; casting the exact result back to double is
+    * nearest-double-of-the-same-rational, hence bit-identical.
+    */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** discount/tax factors (0.00–0.10), 2 decimals. */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+  def sumMoney(c: Column): Column = sum(money(c)).cast("double")
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
@@ -28,7 +43,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
+    * (legacy long mode) and truncate to microseconds — the same
+    * truncation DuckDB applies when it coerces ns → its µs timestamp.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

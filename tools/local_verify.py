@@ -48,7 +48,7 @@ def canon(tbl: pa.Table):
     pydict = {c: tbl.column(c).to_pylist() for c in cols}
     n = tbl.num_rows
     rows = [tuple(norm_val(pydict[c][i]) for c in cols) for i in range(n)]
-    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+    return cols, rows, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
 def main():
@@ -76,8 +76,8 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-SQL-ERROR: {e}"
             continue
-        sc, sr = canon(spark_tbl)
-        dc, dr = canon(duck_tbl)
+        sc, sraw, sr = canon(spark_tbl)
+        dc, draw, dr = canon(duck_tbl)
         if sc != dc:
             results[name] = f"SCHEMA-MISMATCH spark={sc} duck={dc}"
         elif len(sr) != len(dr):
@@ -85,6 +85,10 @@ def main():
         elif sr != dr:
             diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
             results[name] = f"VALUE-MISMATCH first-diffs={diffs}"
+        elif sraw != draw:
+            # sorted-equal but order differs: hash-safe only if the driver
+            # sorts rows; flag it so the ORDER BY gets fixed.
+            results[name] = f"ORDER-DIFF ({len(sr)} rows; sorted rows equal)"
         else:
             results[name] = f"OK ({len(sr)} rows)"
     for name in sorted(oracle):
