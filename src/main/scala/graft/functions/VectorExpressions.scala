@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.exprToColumn
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+
+/** Custom Catalyst expressions for the vector/text pipeline — native
+  * codegen (no Scala UDF serialization, stays inside whole-stage
+  * codegen), the extension point the reference entirely lacks
+  * (its only extensibility is the compiled-in map/reduce triple,
+  * reference: `user/UserDefinedFunctions.scala:5-30`).
+  */
+object VectorExpressions {
+
+  /** cosine_similarity(array<float>, array<float>) → double.
+    *
+    * Accumulates in DOUBLE (each float widened before multiply) so the
+    * result is bit-compatible with a double-precision oracle; `sqrt(na) *
+    * sqrt(nb)` denominator; 0.0 when either norm is zero.
+    */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val ok = Seq(left, right).forall(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "cosine_similarity"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+        val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  double $y = (double) $b.getFloat($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+           |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** simhash64(array<string>) → long.
+    *
+    * Classic Charikar SimHash: each token is hashed to 64 bits (FNV-1a
+    * over its UTF-8 bytes — self-contained and engine-independent);
+    * bit j of the result is 1 iff Σ_tokens (bit j ? +1 : −1) > 0.
+    * Near-duplicate docs land within a small Hamming distance.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var t = 0
+      val n = arr.numElements()
+      while (t < n) {
+        val s = arr.getUTF8String(t)
+        if (s != null) {
+          val h = SimHashUtil.fnv1a64(s)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        t += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // standalone Scala object ⇒ static forwarder class, Janino-friendly
+      val cls = "graft.functions.SimHashUtil"
+      nullSafeCodeGen(ctx, ev, arr => {
+        val counts = ctx.freshName("counts"); val t = ctx.freshName("t")
+        val j = ctx.freshName("j"); val h = ctx.freshName("h")
+        val s = ctx.freshName("s"); val out = ctx.freshName("out")
+        s"""
+           |int[] $counts = new int[64];
+           |for (int $t = 0; $t < $arr.numElements(); $t++) {
+           |  if (!$arr.isNullAt($t)) {
+           |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($t);
+           |    long $h = $cls.fnv1a64($s);
+           |    for (int $j = 0; $j < 64; $j++) {
+           |      if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+           |    }
+           |  }
+           |}
+           |long $out = 0L;
+           |for (int $j = 0; $j < 64; $j++) {
+           |  if ($counts[$j] > 0) $out |= (1L << $j);
+           |}
+           |${ev.value} = $out;
+           |""".stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------------ Column API
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    exprToColumn(CosineSimilarity(
+      org.apache.spark.sql.graftglue.columnToExpr(a),
+      org.apache.spark.sql.graftglue.columnToExpr(b)))
+
+  def simhash64(tokens: Column): Column =
+    exprToColumn(SimHash64(org.apache.spark.sql.graftglue.columnToExpr(tokens)))
+
+  /** Register both for the SQL surface (`SELECT cosine_similarity(…)`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+  }
+}

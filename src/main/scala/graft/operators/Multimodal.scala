@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Multimodal-column pattern: media as opaque `binary` payloads beside a
+  * typed metadata struct, with decode / feature-extraction as
+  * partition-mapped batch operators.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub (`fakeDecode`) — but every piece of
+  * Spark-side plumbing is real and tested: the binary column + metadata
+  * schema, the `mapPartitions` batch shape (one decoder instance per
+  * partition, streaming iterator, no per-row setup cost), partitioning
+  * that scales (payloads never shuffle except where keyed), and
+  * chunk/frame addressing arithmetic.
+  *
+  * At 100 TB: payloads live in parquet binary columns (or pointers to
+  * object storage); decode cost dominates, so the operator must be a
+  * narrow per-partition map — which this is — and column pruning must
+  * keep payload bytes out of queries that only touch metadata.
+  */
+object Multimodal {
+
+  /** The documents table dressed as a multimodal table: payload =
+    * UTF-8 bytes of `text` standing in for an encoded image.
+    */
+  def asMedia(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(col("source").as("container"), col("lang").as("tag"),
+        col("n_chars")).as("meta"))
+
+  /** STUB decoder — stands in for an image codec. Deterministic pure
+    * function of payload length so results are verifiable; a real build
+    * would link a codec here and nothing else would change.
+    */
+  private[graft] def fakeDecode(nBytes: Int): (String, Int, Int) = {
+    val format = (nBytes % 3) match {
+      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+    }
+    (format, 64 + nBytes % 577, 64 + (nBytes * 31) % 353)
+  }
+
+  /** Decode stub over the binary payload via mapPartitions — the real
+    * batch shape: per-partition iterator in, iterator out.
+    */
+  def mmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asMedia(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder instance would be constructed HERE, once
+        it.map { case (id, payload) =>
+          val n = payload.length
+          val (format, w, h) = fakeDecode(n)
+          (id, format, w, h, n)
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "n_bytes")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: address fixed-size 256-byte chunks of the payload
+    * ("video frames"), one output row per frame with its digest —
+    * explode + substring arithmetic, all codegen.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(0), expr("(n - 1) div 256"))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        least(lit(256), col("n") - col("frame_idx") * 256).as("frame_len"),
+        md5(substring(col("text"), lit(1) + col("frame_idx") * 256, lit(256))
+          .cast("binary")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("mm_decode", mmDecode _,
+      """SELECT doc_id,
+        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg'
+        |    WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+        |  64 + octet_length(encode(text)) % 577 AS width,
+        |  64 + (octet_length(encode(text)) * 31) % 353 AS height,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    QueryDef("mm_frame_sample", mmFrameSample _,
+      """SELECT doc_id, fi AS frame_idx,
+        |  least(256, length(text) - fi * 256) AS frame_len,
+        |  md5(substring(text, 1 + fi * 256, 256)) AS frame_md5
+        |FROM documents, generate_series(0, 63) AS t(fi)
+        |WHERE fi <= (length(text) - 1) // 256
+        |ORDER BY doc_id, frame_idx""".stripMargin)
+  )
+}

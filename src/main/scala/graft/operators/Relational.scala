@@ -48,7 +48,7 @@ object Relational {
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"), year(col("o_orderdate")).as("order_year"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("order_year"))
       .agg(sum(Tables.money(col("l_extendedprice")) * (lit(1) - Tables.rate(col("l_discount"))))
         .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
@@ -79,7 +79,7 @@ object Relational {
     Tables.orders(spark, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+      .select(col("o_custkey"), col("rn").cast("long").as("rn"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
   }
@@ -143,7 +143,7 @@ object Relational {
       .select(col("p_partkey"),
         upper(col("p_name")).as("uname"),
         substring(col("p_type"), 1, 6).as("type6"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
         col("p_type").like("%BRASS%").as("is_brass"),
         regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
@@ -157,8 +157,8 @@ object Relational {
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
       .agg(count(lit(1)).as("n_orders"),
         Tables.sumMoney(col("o_totalprice")).as("month_price"),
-        min(dayofmonth(col("o_orderdate"))).as("min_dom"),
-        max(quarter(col("o_orderdate"))).as("max_q"))
+        min(dayofmonth(col("o_orderdate"))).cast("long").as("min_dom"),
+        max(quarter(col("o_orderdate"))).cast("long").as("max_q"))
       .orderBy(col("order_month"))
 
   /** Math function battery (round(…,4) guards last-ulp libm drift). */
@@ -180,7 +180,7 @@ object Relational {
   def q15ArrayFns(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        size(col("embedding")).as("dim"),
+        size(col("embedding")).cast("long").as("dim"),
         round(aggregate(transform(col("embedding"), x => x.cast("double")),
           lit(0.0), (acc, x) => acc + x * x).as("ss"), 4).as("sum_sq"),
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"))
@@ -418,7 +418,7 @@ object Relational {
         |LIMIT 10""".stripMargin),
     QueryDef("q20_conditional", q20Conditional _,
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+        |  cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         |  round(cast(sum(CASE WHEN o_totalprice > 200000
         |      THEN cast(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
         |    / nullif(count(CASE WHEN o_totalprice > 200000 THEN 1 END), 0), 4) AS avg_big,

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{TopKByScore, VectorExpressions}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Three tiers, mirroring how an ANN stack scales to 100 TB:
+  *   1. brute-force top-k against a broadcast query vector — the exact
+  *     baseline; one scan, no shuffle, TakeOrderedAndProject keeps only
+  *     k rows per partition;
+  *   2. grouped top-k via a typed bounded-heap Aggregator — partial
+  *     aggregation ships ≤k rows per (group × partition);
+  *   3. LSH-bucketed ANN (random hyperplanes) — signature computation is
+  *     embarrassingly parallel; candidate selection is a bucket filter
+  *     (here, against one query) or a bucket-keyed shuffle (pairwise),
+  *     never an all-pairs product.
+  */
+object Similarity {
+
+  /** Deterministic query vector: embeddings row with vec_id = 0,
+    * fetched once driver-side and inlined as a literal — the broadcast-
+    * the-needle pattern (the haystack never moves).
+    */
+  private def queryVector(spark: SparkSession, dir: String): Array[Float] =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  private def simTo(vec: Array[Float]): Column =
+    VectorExpressions.cosineSimilarity(col("embedding"), typedLit(vec))
+
+  /** Exact top-10 by cosine similarity (self included, sim = 1.0). */
+  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVector(spark, dir)
+    Tables.embeddings(spark, dir)
+      .withColumn("sim_exact", simTo(q))
+      .orderBy(col("sim_exact").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("sim_exact"), 4).as("sim"))
+  }
+
+  /** Per-label top-3 via the typed bounded-heap aggregator. */
+  def simTopkByLabel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = queryVector(spark, dir)
+    val scored = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), simTo(q).as("sim"))
+      .as[(Int, Long, Double)]
+    scored.groupByKey(_._1)
+      .agg(TopKByScore(3).toColumn)
+      .flatMap { case (label, tops) =>
+        tops.zipWithIndex.map { case ((id, s), i) => (label, i + 1, id, s) }
+      }
+      .toDF("label", "rn", "vec_id", "sim")
+      .withColumn("sim", round(col("sim"), 4))
+      .orderBy(col("label"), col("rn"))
+  }
+
+  /** 16 fixed random hyperplanes (seed 42), 4 bands × 4 bits. */
+  private[graft] lazy val planes: Array[Array[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(16)(Array.fill(64)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Signature bit b = (v · plane_b > 0); cosine sign == dot sign. */
+  private def bandCols: Seq[Column] = (0 until 4).map { b =>
+    (0 until 4).map { j =>
+      val bit = when(VectorExpressions.cosineSimilarity(
+        col("embedding"), typedLit(planes(4 * b + j))) > 0, 1).otherwise(0)
+      bit * (1 << (3 - j))
+    }.reduce(_ + _).as(s"band$b")
+  }
+
+  private[graft] def signatureOf(vec: Array[Float]): Array[Int] =
+    (0 until 4).map { b =>
+      (0 until 4).map { j =>
+        val p = planes(4 * b + j)
+        val dot = vec.indices.map(i => vec(i).toDouble * p(i)).sum
+        (if (dot > 0) 1 else 0) << (3 - j)
+      }.sum
+    }.toArray
+
+  /** ANN top-10: candidates share ≥1 LSH band with the query, then exact
+    * cosine re-rank. At scale the bucket filter is a partition-pruned
+    * lookup (bucket-partitioned layout), not a scan.
+    */
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVector(spark, dir)
+    val sig = signatureOf(q)
+    val withBands = Tables.embeddings(spark, dir).select(
+      col("vec_id") +: col("embedding") +: bandCols: _*)
+    withBands
+      .filter((0 until 4).map(b => col(s"band$b") === sig(b)).reduce(_ || _))
+      .withColumn("sim_exact", simTo(q))
+      .orderBy(col("sim_exact").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("sim_exact"), 4).as("sim"))
+  }
+
+  /** Embedding near-duplicate pairs (cosine ≥ threshold) on a bounded
+    * slice — the exact verifier that, at scale, runs per LSH bucket
+    * rather than all-pairs (see [[Dedup]] for the text-side analogue).
+    */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 100)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim_exact", VectorExpressions.cosineSimilarity(col("ea"), col("eb")))
+      .filter(col("sim_exact") > 0.3)
+      .select(col("id_a"), col("id_b"), round(col("sim_exact"), 4).as("sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val simOracle =
+    """WITH q AS (SELECT list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, round(sim_exact, 4) AS sim FROM (
+      |  SELECT e.vec_id,
+      |    list_cosine_similarity(list_transform(e.embedding, x -> cast(x AS DOUBLE)),
+      |      (SELECT qv FROM q)) AS sim_exact
+      |  FROM embeddings e)
+      |ORDER BY sim_exact DESC, vec_id LIMIT 10""".stripMargin
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("sim_topk_bruteforce", simTopkBruteforce _, simOracle),
+    QueryDef("sim_topk_by_label", simTopkByLabel _,
+      """WITH q AS (SELECT list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.label, e.vec_id,
+        |    list_cosine_similarity(list_transform(e.embedding, x -> cast(x AS DOUBLE)),
+        |      (SELECT qv FROM q)) AS sim_exact
+        |  FROM embeddings e)
+        |SELECT label, rn, vec_id, round(sim_exact, 4) AS sim FROM (
+        |  SELECT label, vec_id, sim_exact,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY sim_exact DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin),
+    QueryDef.noOracle("sim_ann_lsh", simAnnLsh _),
+    QueryDef("dedup_embedding_cosine", dedupEmbeddingCosine _,
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(
+        |    list_transform(a.embedding, x -> cast(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> cast(x AS DOUBLE))), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 100 AND b.vec_id < 100
+        |  AND list_cosine_similarity(
+        |    list_transform(a.embedding, x -> cast(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> cast(x AS DOUBLE))) > 0.3
+        |ORDER BY id_a, id_b""".stripMargin)
+  )
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators over `documents` — quality scoring, token
+  * counting, fingerprinting, language ID. Everything except language ID
+  * is pure `functions._` composition (codegen'd, no UDF); language ID
+  * deliberately exercises the `udf()` registration surface (the one
+  * place a closure is the clearest tool — a per-language lookup-table
+  * argmax), with determinism pinned by test.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(lower(c), " ", -1)
+
+  /** Engine-stable 4-decimal rounding: `floor(x·10⁴ + 0.5)/10⁴` is the
+    * same IEEE op sequence in Spark and DuckDB, so identical input
+    * doubles give identical output — unlike round(), whose half-up
+    * implementations diverge when the true value sits exactly on a
+    * 0.00005 boundary (as rationals like 567/4000 routinely do).
+    */
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Quality stats: token count, mean token length, punctuation ratio,
+    * stopword ratio, and a composite quality score.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nToks = size(t)
+    val meanLen = aggregate(transform(t, s => length(s)), lit(0),
+      (acc, x) => acc + x).cast("double") / nToks.cast("double")
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val punctRatio = punct.cast("double") / length(col("text")).cast("double")
+    val stopRatio = size(filter(t, s => s.isInCollection(Stopwords)))
+      .cast("double") / nToks.cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nToks.cast("long").as("n_tokens"),
+      r4(meanLen).as("mean_token_len"),
+      r4(punctRatio).as("punct_ratio"),
+      r4(stopRatio).as("stopword_ratio"),
+      r4(least(nToks.cast("double") / 100.0, lit(1.0)) * 0.3
+        + (lit(1.0) - punctRatio) * 0.4
+        + least(stopRatio * 5.0, lit(1.0)) * 0.3).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting two ways: whitespace split + a BPE-ish regex
+    * (letter runs | digit runs | single non-space symbol).
+    */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+", -1)).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"),
+      length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling polynomial fingerprint over characters:
+    * h ← (h·131 + ascii(c)) mod 1e9+7 — pure int64 arithmetic, exact in
+    * any engine; Java split("", -1) yields a trailing "" that must be
+    * filtered to mirror DuckDB's string_split.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      aggregate(
+        filter(split(col("text"), "", -1), c => c =!= ""),
+        lit(0L),
+        (h, c) => (h * 131L + ascii(c)) % 1000000007L).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic: argmax of per-language stopword hit ratios
+    * (n-gram-table style), via the udf() surface. Ties → "und".
+    */
+  private val langStopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "it", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "pour"),
+    "es" -> Set("el", "la", "los", "las", "es", "y", "por"),
+    "zh" -> Set("的", "是", "了", "在", "我", "有"))
+
+  private val langidUdf = udf { text: String =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      val ts = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      if (ts.isEmpty) "und"
+      else {
+        val scores = langStopwords.view.mapValues(sw => ts.count(sw)).toMap
+        val best = scores.maxBy { case (l, s) => (s, l) }
+        if (best._2 == 0) "und" else best._1
+      }
+    }
+  }
+
+  /** Predicted language + agreement with the labeled `lang` column. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        langidUdf(col("text")).as("predicted"))
+      .withColumn("agree", (col("lang") === col("predicted")).cast("int"))
+      .orderBy(col("doc_id"))
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("text_stats", textStats _,
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    cast(len(t) AS BIGINT) AS n_tokens,
+        |    cast(list_sum(list_transform(t, s -> len(s))) AS DOUBLE)
+        |      / len(t) AS mean_raw,
+        |    cast(length(text)
+        |        - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_raw,
+        |    cast(len(list_filter(t, s -> s IN
+        |        ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+        |      / len(t) AS stop_raw
+        |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+        |    FROM documents))
+        |SELECT doc_id, n_tokens,
+        |  floor(mean_raw * 10000 + 0.5) / 10000 AS mean_token_len,
+        |  floor(punct_raw * 10000 + 0.5) / 10000 AS punct_ratio,
+        |  floor(stop_raw * 10000 + 0.5) / 10000 AS stopword_ratio,
+        |  floor((least(cast(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+        |    + (1.0 - punct_raw) * 0.4
+        |    + least(stop_raw * 5.0, 1.0) * 0.3) * 10000 + 0.5) / 10000 AS quality_score
+        |FROM base ORDER BY doc_id""".stripMargin),
+    QueryDef("text_token_count", textTokenCount _,
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    QueryDef("text_fingerprint", textFingerprint _,
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(cast(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> cast(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 131 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    QueryDef.noOracle("text_langid", textLangid _)
+  )
+}

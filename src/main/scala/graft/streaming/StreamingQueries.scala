@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.QueryDef
+
+/** Structured Streaming surface over the `events` table, replayed as a
+  * file-source stream (the reference is strictly batch with a hard
+  * map→reduce barrier — SURVEY.md §2b — so this whole module is net-new
+  * capability).
+  *
+  * Each query runs a real `readStream → transform → writeStream` pipeline
+  * into a memory sink, drains it with `processAllAvailable()`, and
+  * returns the sink table — so the driver's batch-shaped contract
+  * (`(SparkSession, dir) ⇒ DataFrame`) still holds. Aggregations use
+  * COMPLETE output mode: with a single replay batch, append mode would
+  * emit nothing until the watermark advances past a next batch that
+  * never comes. The watermark is still declared — at scale it bounds
+  * state; DuckDB oracles express the same computation as batch SQL.
+  *
+  * Scale notes: windowed aggregation state is keyed by (window × group);
+  * session windows merge per user — state size is O(active keys), and
+  * the watermark is what lets Spark evict; these queries are the shape
+  * you'd run against Kafka with minute-level watermarks.
+  */
+object StreamingQueries {
+
+  /** events as a streaming source: schema from the batch reader (ts
+    * arrives as raw nanos — see Tables.events), converted after read.
+    */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream
+      .schema(schema)
+      // FileStreamSource wants a directory; a glob keeps the parent as
+      // basePath while matching the single parquet file
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DF to a memory sink, drain, return the table. */
+  private def runToMemory(spark: SparkSession, streamed: DataFrame,
+      name: String, mode: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+  }
+
+  /** Tumbling 1-hour windows per event_type (count + exact-decimal sum). */
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.Tables.money(col("value"))).cast("double").as("sum_value"))
+    val out = runToMemory(spark, agg, "stream_tumbling", "complete")
+    out.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Sliding 30-minute windows every 10 minutes, per event_type. */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val out = runToMemory(spark, agg, "stream_sliding", "complete")
+    out.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Session windows: 30-minute inactivity gap per user. */
+  def streamSession(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val out = runToMemory(spark, agg, "stream_session", "complete")
+    out.select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Streaming dedup on (user_id, event_type) within the watermark;
+    * output reduced to the distinct key set so the result is independent
+    * of which physical row survived.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val out = runToMemory(spark, deduped, "stream_dedup", "append")
+    out.distinct().orderBy(col("user_id"), col("event_type"))
+  }
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("stream_tumbling", streamTumbling _,
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+    QueryDef("stream_sliding", streamSliding _,
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts)
+        |    - (k * INTERVAL '10 minutes'), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events, unnest([0, 1, 2]) AS t(k)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+    QueryDef("stream_session", streamSession _,
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         >= INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+    QueryDef("stream_dedup", streamDedup _,
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)
+  )
+}

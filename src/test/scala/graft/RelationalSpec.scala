@@ -25,8 +25,8 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     val rows = Relational.q6TopkPerGroup(spark, sf0001)
       .collect().groupBy(_.getLong(0))
     rows.foreach { case (_, rs) =>
-      val sorted = rs.sortBy(_.getInt(1))
-      assert(sorted.map(_.getInt(1)).toSeq === (1 to sorted.length))
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length.toLong))
       val prices = sorted.map(_.getDouble(3))
       assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
     }
