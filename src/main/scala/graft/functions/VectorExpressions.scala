@@ -150,6 +150,74 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** minhash_signature(array<string>) → array<long> (32 minhashes).
+    *
+    * One tight pass over the token/shingle array computing all 32
+    * universal-hash minima: h_i = min over tokens of (a_i·x + b_i) mod p
+    * with x = low-32-bits(fnv1a64(token)). The built-in-functions
+    * formulation (32 × `array_min(transform(…))`) is semantically
+    * identical but catastrophically slower: higher-order lambdas are
+    * interpreted per element and allocate 32 intermediate arrays per row
+    * (measured 13 s for 5 000 docs vs <1 s here).
+    */
+  case class MinHashSignature(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_signature"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = MinHashUtil.signature(arr)
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val mins = ctx.freshName("mins")
+        s"""
+           |long[] $mins = graft.functions.MinHashUtil.signature($arr);
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** word_shingles3(array<string>) → array<string>: distinct word
+    * 3-grams in first-occurrence order. Same output as
+    * `array_distinct(transform(sequence(…), i ⇒ concat_ws(" ", …)))` but
+    * one codegen pass — the built-in higher-order chain is interpreted
+    * per element and measured ~6 s / 5 000 docs.
+    */
+  case class WordShingles3(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_shingles3"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.wordShingles3(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr =>
+        s"${ev.value} = graft.functions.ShingleUtil.wordShingles3($arr);\n")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------------ Column API
 
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -159,6 +227,12 @@ object VectorExpressions {
 
   def simhash64(tokens: Column): Column =
     exprToColumn(SimHash64(org.apache.spark.sql.graftglue.columnToExpr(tokens)))
+
+  def minhashSignature(tokens: Column): Column =
+    exprToColumn(MinHashSignature(org.apache.spark.sql.graftglue.columnToExpr(tokens)))
+
+  def wordShingles3(tokens: Column): Column =
+    exprToColumn(WordShingles3(org.apache.spark.sql.graftglue.columnToExpr(tokens)))
 
   /** Register both for the SQL surface (`SELECT cosine_similarity(…)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -29,15 +29,10 @@ object Dedup {
     * tokens: ANSI mode (Spark 4 default) makes out-of-bounds element_at
     * an error, and sequence(1, 0) would DESCEND, not return empty.
     */
-  private def shingles(text: Column): Column = {
-    val toks = split(lower(text), " ", -1)
-    val n = size(toks)
-    array_distinct(when(n >= 3,
-      transform(sequence(lit(1), n - 2),
-        i => concat_ws(" ", element_at(toks, i),
-          element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>")))
-  }
+  private[graft] def shinglesPublic(text: Column): Column = shingles(text)
+
+  private def shingles(text: Column): Column =
+    VectorExpressions.wordShingles3(split(lower(text), " ", -1))
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -50,35 +45,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** 32 seeded universal-hash parameters (a·x + b mod p, p > 2^32). */
-  private val MinhashP = 4294967311L
-  private lazy val minhashAB: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(32)((rnd.nextInt(1 << 30).toLong + 1, math.abs(rnd.nextLong()) % MinhashP))
-  }
-
   /** doc_id, band_idx (0..7), band_hash — the LSH blocking key stream.
-    * minhash_i = min over shingles of (a_i · low32(xxhash64(s)) + b_i) mod p;
-    * a band hashes 4 consecutive minhashes together.
+    * The 32-wide minhash signature comes from the custom codegen
+    * expression (one pass over the shingle array; the equivalent
+    * 32 × array_min(transform(…)) built-in formulation measures 13 s on
+    * 5 000 docs because higher-order lambdas are interpreted); a band
+    * hashes 4 consecutive minhashes together via codegen'd xxhash64.
     */
+  private[graft] def bandedMinhashPublic(docs: DataFrame): DataFrame =
+    bandedMinhash(docs)
+
   private def bandedMinhash(docs: DataFrame): DataFrame = {
-    val hashed = docs
+    val sig = docs
       .withColumn("sh", shingles(col("text")))
       .filter(size(col("sh")) > 0)
-      .withColumn("h32", transform(col("sh"),
-        s => xxhash64(s).bitwiseAND(lit(0xffffffffL))))
-    val mh = (0 until 32).map { i =>
-      val (a, b) = minhashAB(i)
-      array_min(transform(col("h32"),
-        x => (lit(a) * x + lit(b)) % lit(MinhashP))).as(s"mh$i")
-    }
-    val withMh = hashed.select(col("doc_id") +: mh: _*)
+      .select(col("doc_id"),
+        VectorExpressions.minhashSignature(col("sh")).as("sig"))
     val bands = (0 until 8).map { b =>
       struct(lit(b).as("band_idx"),
-        xxhash64(col(s"mh${4 * b}"), col(s"mh${4 * b + 1}"),
-          col(s"mh${4 * b + 2}"), col(s"mh${4 * b + 3}")).as("band_hash"))
+        xxhash64(element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
+          element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4))
+          .as("band_hash"))
     }
-    withMh.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
   }
 
@@ -93,7 +82,13 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // exact verification only touches candidate docs: semi-join first so
+    // shingles are NOT recomputed for the whole corpus (at scale the
+    // candidate id set is tiny and broadcasts)
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val sh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -46,4 +46,20 @@ class WordCountSpec extends AnyFunSuite with SparkTestBase {
     val bad = result.filter(!col("word").rlike("^[a-z0-9_]+$")).count()
     assert(bad === 0L)
   }
+
+  test("partitioned CSV sink writes one directory per partition key (op #8)") {
+    val out = java.nio.file.Files.createTempDirectory("wc_sink").toString
+    try {
+      graft.operators.WordCount.writePartitioned(result, out)
+      val dirs = new java.io.File(out).listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("pkey=")).sorted
+      assert(dirs.length === 21)
+      assert(dirs.map(_.stripPrefix("pkey=")).mkString === "ABCDEFGHIJLMNOPQRSTUV")
+      // round-trip: reading the sink back reproduces the counts
+      val back = spark.read.csv(out).count()
+      assert(back === 286L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
