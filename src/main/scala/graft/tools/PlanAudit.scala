@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the executed-plan audit for representative queries: scan
+  * pushdown, join strategies, aggregation phases, codegen coverage.
+  * Run: sbt "runMain graft.tools.PlanAudit [sfDir]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq(
+      "q1_agg", "q2_filter_project", "q3_star_join", "q6_topk_per_group",
+      "q17_range_join", "q21_global_topk", "wordcount_documents",
+      "sim_topk_bruteforce", "dedup_minhash_lsh")
+
+    interesting.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      def count(s: String) = s.r.findAllIn(plan).length
+      println(s"== $name")
+      println(s"   scans=${count("Scan parquet")} " +
+        s"pushedFilters=${plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []")} " +
+        s"bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} " +
+        s"shuffles=${count("Exchange")} wholeStage=${count("WholeStageCodegen")} " +
+        s"takeOrdered=${count("TakeOrderedAndProject")}")
+      if (args.contains("--full")) println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    spark.stop()
+  }
+}
