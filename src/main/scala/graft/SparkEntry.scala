@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Dedup, Multimodal, Relational, Relational2, Similarity, TextAnalysis, WordCount}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -59,8 +59,9 @@ object SparkEntry {
     * streaming and LLM-pipeline modules as they land).
     */
   val registry: Seq[QueryDef] =
-    core ++ Relational.registry ++ Similarity.registry ++ Dedup.registry ++
-      TextAnalysis.registry ++ Multimodal.registry ++ StreamingQueries.registry
+    core ++ Relational.registry ++ Relational2.registry ++
+      Similarity.registry ++ Dedup.registry ++ TextAnalysis.registry ++
+      Multimodal.registry ++ StreamingQueries.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Second relational wave: outer/cross joins, grouping sets, analytic
+  * window functions, exact percentiles, statistical aggregates,
+  * collect_set, approx-distinct sketches, and a salted-aggregation skew
+  * demonstration.
+  */
+object Relational2 {
+
+  /** Two-phase salted aggregation — the skew idiom: shuffle 1 spreads a
+    * hot key over (key, salt) buckets, shuffle 2 merges the ≤8
+    * partials per key. Results are identical to a plain groupBy
+    * (decimal partials keep the sums exact), which is what the oracle
+    * checks. At 100 TB this is the standing answer to a hot event_type;
+    * AQE skew handling covers joins, salting covers aggregations.
+    */
+  def q23SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(Tables.money(col("value"))).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** GROUPING SETS + grouping() marker through the SQL surface. */
+  def q24GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  cast(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n
+        |FROM v_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** Full outer join (aggregated to per-custkey order counts). */
+  def q25OuterJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        max(col("c_name")).as("name"))
+      .orderBy(col("custkey"))
+
+  /** Cross join (bounded dims — the only legitimate cartesian). */
+  def q26CrossJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir).select(col("n_name"))
+      .crossJoin(Tables.region(spark, dir).select(col("r_name")))
+      .orderBy(col("n_name"), col("r_name"))
+
+  /** Analytic window battery: lag/lead/first/last over each customer's
+    * order history (unique total order ⇒ deterministic).
+    */
+  def q28WindowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        round(first(col("o_totalprice")).over(wAll), 2).as("first_price"),
+        round(last(col("o_totalprice")).over(wAll), 2).as("last_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Exact percentiles: median + quartiles per order priority.
+    * Interpolated values of 2-decimal inputs have ≤4 decimals, so
+    * round(…,4) is identity on the true value and snaps both engines'
+    * ±1-ulp results together.
+    */
+  def q29Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(median(col("o_totalprice")), 4).as("med_price"),
+        round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Statistical aggregates (rounded past the single-pass fp noise). */
+  def q30StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(stddev_samp(col("o_totalprice")), 2).as("sd_price"),
+        round(corr(col("o_totalprice"), col("o_custkey")), 4).as("corr_pc"),
+        round(covar_samp(col("o_totalprice"), col("o_custkey")), 2).as("covar_pc"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** collect_set made deterministic via sort_array. */
+  def q31Collect(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch vs exact — rows-only (sketch values are impl-specific);
+    * the spec asserts ≤5% relative error against the exact count.
+    */
+  def q32ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("q23_salted_agg", q23SaltedAgg _,
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    QueryDef("q24_grouping_sets", q24GroupingSets _,
+      """SELECT o_orderstatus, o_orderpriority,
+        |  cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  cast(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+    QueryDef("q25_outer_join", q25OuterJoin _,
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  count(o_orderkey) AS n_orders, max(c_name) AS name
+        |FROM customer FULL JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custkey""".stripMargin),
+    QueryDef("q26_cross_join", q26CrossJoin _,
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin),
+    QueryDef("q28_window_analytic", q28WindowAnalytic _,
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |  round(first_value(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS first_price,
+        |  round(last_value(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    QueryDef("q29_percentiles", q29Percentiles _,
+      """SELECT o_orderpriority,
+        |  round(median(o_totalprice), 4) AS med_price,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    QueryDef("q30_stats_agg", q30StatsAgg _,
+      """SELECT o_orderstatus,
+        |  round(stddev_samp(o_totalprice), 2) AS sd_price,
+        |  round(corr(o_totalprice, o_custkey), 4) AS corr_pc,
+        |  round(covar_samp(o_totalprice, o_custkey), 2) AS covar_pc,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+    QueryDef("q31_collect", q31Collect _,
+      """SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    QueryDef.noOracle("q32_approx_distinct", q32ApproxDistinct _)
+  )
+}

@@ -103,7 +103,44 @@ object StreamingQueries {
     out.distinct().orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Custom stateful operator via flatMapGroupsWithState: per-user
+    * accumulator (count, first ts, last ts). Order-free aggregation ⇒
+    * deterministic under any arrival order; emitted per batch in append
+    * mode (one replay batch here). At scale: state is 3 longs per user,
+    * evictable via a timeout — the shape of sessionization/feature-
+    * extraction state machines the built-in windows can't express.
+    */
+  def streamStateful(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val ds = eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+    val updated = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          var (n, f, l) = state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+          it.foreach { case (_, ts) =>
+            n += 1; if (ts < f) f = ts; if (ts > l) l = ts
+          }
+          state.update((n, f, l))
+          Iterator((uid, n, f, l))
+      }
+    val out = runToMemory(spark, updated.toDF("user_id", "n_events", "f_us", "l_us"),
+      "stream_stateful", "append")
+    out.select(col("user_id"), col("n_events"),
+        date_format(timestamp_micros(col("f_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
+        date_format(timestamp_micros(col("l_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("stream_stateful", streamStateful _,
+      """SELECT user_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     QueryDef("stream_tumbling", streamTumbling _,
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,
