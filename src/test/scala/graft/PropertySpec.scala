@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.{MinHashUtil, SimHashUtil}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property tests (SURVEY §5): tokenizer/normalizer invariants under the
+  * exact reference semantics, and hash-kernel laws — pure-JVM (no Spark
+  * session), exercising the same kernels the codegen expressions call.
+  */
+object PropertySpec extends Properties("graft") {
+
+  private def normalize(s: String): String =
+    s.toLowerCase.replaceAll("""[^\w]""", "")
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '!', '\n', '\t'))).map(_.mkString)
+
+  property("normalize idempotent") = forAll(asciiText) { s =>
+    normalize(normalize(s)) == normalize(s)
+  }
+
+  property("normalized tokens match [a-z0-9_]*") = forAll(asciiText) { s =>
+    s.split(" ", -1).map(normalize).forall(_.matches("[a-z0-9_]*"))
+  }
+
+  property("token count preserved by partitioning") = forAll(asciiText) { s =>
+    val toks = s.split(" ", -1).map(normalize).filter(_.nonEmpty)
+    toks.groupBy(_.charAt(0).toUpper).values.map(_.length).sum == toks.length
+  }
+
+  property("fnv1a64 matches reference impl") = forAll(Gen.alphaNumStr) { s =>
+    var h = 0xcbf29ce484222325L
+    s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+    SimHashUtil.fnv1a64(UTF8String.fromString(s)) == h
+  }
+
+  private def sig(xs: List[String]): Array[Long] = MinHashUtil.signature(
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any]))
+
+  property("minhash: union minima dominate part minima") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier), Gen.nonEmptyListOf(Gen.identifier)) {
+      (a, b) => sig(a ++ b).zip(sig(a)).forall { case (u, x) => u <= x }
+    }
+
+  property("minhash signature is order-invariant") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier)) { xs =>
+      sig(xs).toSeq == sig(xs.reverse).toSeq
+    }
+
+  property("hamming: identity, symmetry, triangle") =
+    forAll { (a: Long, b: Long, c: Long) =>
+      SimHashUtil.hamming(a, a) == 0 &&
+        SimHashUtil.hamming(a, b) == SimHashUtil.hamming(b, a) &&
+        SimHashUtil.hamming(a, c) <=
+          SimHashUtil.hamming(a, b) + SimHashUtil.hamming(b, c)
+    }
+
+  property("shingles: n tokens → ≤ max(n-2,0) distinct 3-grams") =
+    forAll(Gen.listOf(Gen.identifier)) { xs =>
+      val arr = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+      val out = graft.functions.ShingleUtil.wordShingles3(arr)
+      out.numElements() <= math.max(xs.length - 2, 0)
+    }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink breadth beyond the reference's local text + CSV
+  * (SURVEY §2b row 1): JSON/CSV/ORC round-trips, partitioned layout,
+  * and bucketed tables giving shuffle-free co-located joins — the
+  * 100 TB co-location story made concrete.
+  */
+class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def cleanup(dir: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+
+  test("JSON round-trip preserves documents") {
+    val out = tmp("json_rt")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      docs.write.mode("overwrite").json(out)
+      val back = spark.read.json(out)
+      assert(back.count() === docs.count())
+      val a = docs.select("doc_id", "text").orderBy("doc_id").collect()
+      val b = back.select("doc_id", "text").orderBy("doc_id").collect()
+      assert(a.toSeq === b.toSeq)
+    } finally cleanup(out)
+  }
+
+  test("CSV round-trip with header preserves the star dims") {
+    val out = tmp("csv_rt")
+    try {
+      val nation = Tables.nation(spark, sf0001)
+      nation.write.mode("overwrite").option("header", "true").csv(out)
+      val back = spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(out)
+      assert(back.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq ===
+        nation.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq)
+    } finally cleanup(out)
+  }
+
+  test("ORC round-trip preserves embeddings (nested array column)") {
+    val out = tmp("orc_rt")
+    try {
+      val emb = Tables.embeddings(spark, sf0001)
+      emb.write.mode("overwrite").orc(out)
+      val back = spark.read.orc(out)
+      assert(back.count() === emb.count())
+      val a = emb.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+      val b = back.filter(col("vec_id") === 7).select("embedding").head().getSeq[Float](0)
+      assert(a === b)
+    } finally cleanup(out)
+  }
+
+  test("partitioned parquet layout enables partition pruning") {
+    val out = tmp("part_prune")
+    try {
+      Tables.orders(spark, sf0001)
+        .withColumn("status", col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("status").parquet(out)
+      val pruned = spark.read.parquet(out).filter(col("status") === "F")
+      val plan = pruned.queryExecution.executedPlan.toString
+      // partition filter must appear as a PartitionFilters entry, not a data filter
+      assert(plan.contains("PartitionFilters: ["), plan.take(500))
+      assert(pruned.count() ===
+        Tables.orders(spark, sf0001).filter(col("o_orderstatus") === "F").count())
+    } finally cleanup(out)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // broadcast disabled for this test so the join strategy is decided
+    // by bucketing alone
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf0001).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+      Tables.lineitem(spark, sf0001).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchangesBeforeJoin = "Exchange hashpartitioning".r
+        .findAllIn(plan.substring(plan.indexOf("Join"))).length
+      assert(exchangesBeforeJoin === 0,
+        s"bucketed join should not shuffle either side:\n${plan.take(1200)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("GraftExtensions injects SQL functions at session build time") {
+    val prev = spark // force shared-session creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val sim = s2.sql(
+        """SELECT cosine_similarity(
+          |  array(cast(1.0 AS FLOAT), cast(2.0 AS FLOAT)),
+          |  array(cast(1.0 AS FLOAT), cast(2.0 AS FLOAT))) AS s""".stripMargin)
+        .head().getDouble(0)
+      assert(math.abs(sim - 1.0) < 1e-12)
+      val sh = s2.sql("SELECT simhash64(array('a','b')) AS h").head().getLong(0)
+      val mh = s2.sql("SELECT minhash_signature(array('a','b')) AS m")
+        .head().getSeq[Long](0)
+      assert(mh.length === 32)
+      assert(sh !== 0L)
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
