@@ -79,7 +79,34 @@ object Multimodal {
           .cast("binary")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** "Audio" feature extraction stub: payload bytes as samples — frame
+    * count, mean amplitude, peak. Same deterministic-fake contract as
+    * [[fakeDecode]]: the arithmetic and batch shape are real, the codec
+    * is a stand-in (ascii values for samples).
+    */
+  def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), "", -1), c => c =!= "")
+    val sumAmp = aggregate(chars, lit(0L), (h, c) => h + ascii(c))
+    val meanRaw = sumAmp.cast("double") / length(col("text")).cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      (expr("(length(text) - 1) div 128") + 1).cast("long").as("n_frames"),
+      // floor-trick rounding: identical IEEE op sequence in both engines
+      (floor(meanRaw * 10000 + 0.5) / 10000).as("mean_amp"),
+      array_max(transform(chars, c => ascii(c))).cast("long").as("peak"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("mm_audio_features", mmAudioFeatures _,
+      """SELECT doc_id,
+        |  cast((length(text) - 1) // 128 + 1 AS BIGINT) AS n_frames,
+        |  floor(cast(list_sum(list_transform(string_split(text, ''),
+        |      c -> cast(ascii(c) AS BIGINT))) AS DOUBLE)
+        |    / length(text) * 10000 + 0.5) / 10000 AS mean_amp,
+        |  cast(list_max(list_transform(string_split(text, ''),
+        |      c -> ascii(c))) AS BIGINT) AS peak
+        |FROM documents ORDER BY doc_id""".stripMargin),
     QueryDef("mm_decode", mmDecode _,
       """SELECT doc_id,
         |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg'

@@ -32,6 +32,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("watermark drops late data in append mode (two-batch replay)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("late_data").toString
+    try {
+      // batch 1 = newest 80% (advances the watermark), batch 2 = oldest 20%
+      // (arrives "late"); write sequentially so mtime orders discovery
+      val ev = Tables.events(spark, sf0001)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val cutoff = ev.selectExpr("percentile(cast(ts AS DOUBLE), 0.2)").head().getDouble(0)
+      val late = ev.filter(col("ts").cast("double") <= cutoff)
+      val onTime = ev.filter(col("ts").cast("double") > cutoff)
+      onTime.coalesce(1).write.parquet(s"$dir/in/b1")
+      Thread.sleep(1100)
+      late.coalesce(1).write.parquet(s"$dir/in/b2")
+      val total = ev.count()
+      val lateN = late.count()
+
+      val stream = spark.readStream
+        .schema(onTime.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in/*/")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      val q = stream.writeStream.format("memory").queryName("late_demo")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+
+      val emitted = spark.table("late_demo")
+        .select(col("window.start").as("ws"), col("n")).collect()
+      val emittedTotal = emitted.map(_.getLong(1)).sum
+      // late rows are dropped; in-flight windows never finalize either —
+      // so append emits strictly less than the batch total, and every
+      // window at most once
+      assert(emittedTotal > 0 && emittedTotal < total,
+        s"emitted=$emittedTotal total=$total late=$lateN")
+      val windows = emitted.map(_.get(0).toString)
+      assert(windows.distinct.length === windows.length, "window emitted twice")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("stream_session: session count and event conservation") {
     val sessions = StreamingQueries.streamSession(spark, sf0001).collect()
     val totalEvents = sessions.map(_.getLong(2)).sum
