@@ -114,7 +114,61 @@ object Relational2 {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** MapType functions: build a linestatus→qty map per returnflag
+    * (map_from_entries over a sorted entry list for determinism), then
+    * extract scalars — the map stays internal so the output schema is
+    * oracle-comparable.
+    */
+  def q33MapFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("l_linestatus"), col("q"))))).as("m"))
+      .select(col("l_returnflag"),
+        element_at(col("m"), "F").as("f_qty"),
+        element_at(col("m"), "O").as("o_qty"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"))
+      .orderBy(col("l_returnflag"))
+
+  /** posexplode (UDTF-style lateral view) with 1-based positions. */
+  def q34Posexplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("col").cast("double"), 6).as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+
+  /** Array slice/reverse battery over embeddings. */
+  def q35ArraySlice(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        round(aggregate(transform(slice(col("embedding"), 1, 8),
+          x => x.cast("double")), lit(0.0), (a, x) => a + x), 6).as("head8_sum"),
+        round(element_at(reverse(col("embedding")), 1).cast("double"), 6).as("last_elem"))
+      .orderBy(col("vec_id"))
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("q33_map_fns", q33MapFns _,
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty,
+        |  count(DISTINCT l_linestatus) AS n_keys
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    QueryDef("q34_posexplode", q34Posexplode _,
+      """SELECT vec_id, cast(pos AS BIGINT) AS pos,
+        |  round(cast(embedding[pos] AS DOUBLE), 6) AS val
+        |FROM embeddings, generate_series(1, 64) AS t(pos)
+        |WHERE vec_id < 5 AND pos <= len(embedding)
+        |ORDER BY vec_id, pos""".stripMargin),
+    QueryDef("q35_array_slice", q35ArraySlice _,
+      """SELECT vec_id,
+        |  round(list_sum(list_transform(list_slice(embedding, 1, 8),
+        |    x -> cast(x AS DOUBLE))), 6) AS head8_sum,
+        |  round(cast(list_reverse(embedding)[1] AS DOUBLE), 6) AS last_elem
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
     QueryDef("q23_salted_agg", q23SaltedAgg _,
       """SELECT event_type, count(*) AS n,
         |  cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
