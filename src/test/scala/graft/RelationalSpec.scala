@@ -11,6 +11,12 @@ import graft.operators.Relational
   */
 class RelationalSpec extends AnyFunSuite with SparkTestBase {
 
+  test("entry() returns rows (driver smoke-check contract)") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("sum_qty"))
+  }
+
   test("every registered query executes and is non-degenerate at sf0.001") {
     SparkEntry.registry.foreach { q =>
       val df = q.fn(spark, sf0001)
