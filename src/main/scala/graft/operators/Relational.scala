@@ -186,11 +186,16 @@ object Relational {
         round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"))
       .orderBy(col("vec_id"))
 
-  /** JSON extraction from events.props. */
+  /** JSON extraction from events.props — from_json with an explicit
+    * schema (single parse, codegen-friendly) rather than per-field
+    * get_json_object re-parsing.
+    */
   def q16JsonFns(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_val"))
       .filter(col("k_val") > 50)
       .orderBy(col("event_id"))
 

@@ -150,7 +150,36 @@ object Relational2 {
         round(element_at(reverse(col("embedding")), 1).cast("double"), 6).as("last_elem"))
       .orderBy(col("vec_id"))
 
+  /** regexp_extract_all battery: all letter-runs and all digit-runs of
+    * each part name/type, as arrays.
+    */
+  def q36RegexpAll(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)).as("words"),
+        regexp_extract_all(col("p_type"), lit("[A-Z]+"), lit(0)).as("caps"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
+          .cast("long").as("n_vowels"))
+      .orderBy(col("p_partkey"))
+
+  /** Approximate percentile sketch beside its exact twin — rows-only
+    * (sketch interpolation is impl-specific); spec bounds the error.
+    */
+  def q37ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)), 2).as("approx_med"),
+        round(median(col("o_totalprice")), 2).as("exact_med"))
+      .orderBy(col("o_orderpriority"))
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("q36_regexp_all", q36RegexpAll _,
+      """SELECT p_partkey,
+        |  regexp_extract_all(p_name, '[a-z]+') AS words,
+        |  regexp_extract_all(p_type, '[A-Z]+') AS caps,
+        |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin),
+    QueryDef.noOracle("q37_approx_percentile", q37ApproxPercentile _),
     QueryDef("q33_map_fns", q33MapFns _,
       """SELECT l_returnflag,
         |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty,

@@ -99,6 +99,67 @@ object Similarity {
       .select(col("vec_id"), round(col("sim_exact"), 4).as("sim"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path beside
+    * LSH. Centroids: 16 seed vectors (vec_id 0..15) refined by ONE
+    * distributed Lloyd iteration (assign → per-cluster mean), collected
+    * (16×64 floats — tiny) and re-broadcast; components rounded to 6
+    * decimals so the centroid set is identical under any partitioning.
+    * Query time: probe the 4 nearest centroids, re-rank only their
+    * members exactly. At 100 TB the assignment column becomes a
+    * partition key, so probing = partition pruning.
+    */
+  private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Float]] = {
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nearestCentroidIdx(seeds, col("embedding")).as("c"))
+    val means = assigned
+      .select(col("c"), posexplode(col("embedding")))
+      .groupBy(col("c"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    Array.tabulate(seeds.length) { c =>
+      Array.tabulate(64) { p =>
+        val v = means.getOrElse((c, p), seeds(c)(p).toDouble)
+        (math.floor(v * 1e6 + 0.5) / 1e6).toFloat
+      }
+    }
+  }
+
+  /** argmax over centroids via array_max of (sim, idx) structs —
+    * lexicographic struct ordering gives max-sim, tie→max idx;
+    * deterministic because sims are identical doubles everywhere.
+    */
+  private def nearestCentroidIdx(cents: Array[Array[Float]], v: Column): Column =
+    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorExpressions.cosineSimilarity(v, typedLit(c)).as("s"),
+        lit(i).as("idx"))
+    }: _*)).getField("idx")
+
+  /** IVF ANN top-10: assign corpus to centroids, probe the query's 4
+    * nearest lists, exact re-rank within them.
+    */
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val q = queryVector(spark, dir)
+    val cents = ivfCentroids(spark, dir)
+    val qSims = cents.map { c =>
+      val dot = q.indices.map(i => q(i).toDouble * c(i)).sum
+      val nq = math.sqrt(q.map(x => x.toDouble * x).sum)
+      val nc = math.sqrt(c.map(x => x.toDouble * x).sum)
+      if (nq * nc == 0) 0.0 else dot / (nq * nc)
+    }
+    val probes = qSims.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+      .take(4).map(_._2)
+    Tables.embeddings(spark, dir)
+      .withColumn("c", nearestCentroidIdx(cents, col("embedding")))
+      .filter(col("c").isin(probes.map(Integer.valueOf).toSeq: _*))
+      .withColumn("sim_exact", simTo(q))
+      .orderBy(col("sim_exact").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("sim_exact"), 4).as("sim"))
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold) on a bounded
     * slice — the exact verifier that, at scale, runs per LSH bucket
     * rather than all-pairs (see [[Dedup]] for the text-side analogue).
@@ -141,6 +202,7 @@ object Similarity {
         |  FROM scored)
         |WHERE rn <= 3 ORDER BY label, rn""".stripMargin),
     QueryDef.noOracle("sim_ann_lsh", simAnnLsh _),
+    QueryDef.noOracle("sim_ann_ivf", simAnnIvf _),
     QueryDef("dedup_embedding_cosine", dedupEmbeddingCosine _,
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(

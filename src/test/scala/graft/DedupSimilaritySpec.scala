@@ -32,6 +32,35 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ann.subsetOf(expectedCandidates))
   }
 
+  test("sim_ann_ivf: exact re-rank subset with reasonable recall") {
+    val brute = Similarity.simTopkBruteforce(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.simAnnIvf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val sims = ivf.map(_._2)
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    val recall = ivf.map(_._1).count(brute.contains) / 10.0
+    assert(recall >= 0.3, s"recall=$recall")
+    // the query vector itself (vec_id 0) must be found: its own list is probed
+    assert(ivf.head._1 === 0L && math.abs(ivf.head._2 - 1.0) < 1e-9)
+  }
+
+  test("IVF centroids are deterministic across invocations") {
+    val a = Similarity.ivfCentroids(spark, sf0001)
+    val b = Similarity.ivfCentroids(spark, sf0001)
+    assert(a.length === 16)
+    a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
+  }
+
+  test("approx percentile within 5% of exact") {
+    graft.operators.Relational2.q37ApproxPercentile(spark, sf001).collect()
+      .foreach { r =>
+        val approx = r.getDouble(1); val exact = r.getDouble(2)
+        assert(math.abs(approx - exact) / exact <= 0.05,
+          s"${r.getString(0)}: approx=$approx exact=$exact")
+      }
+  }
+
   test("minhash LSH candidates achieve full recall on high-jaccard pairs (sf0.001)") {
     // ground truth: exact shingle-jaccard ≥ 0.2 pairs among ALL docs
     val pairs = Dedup.dedupMinhashLsh(spark, sf0001).collect()
