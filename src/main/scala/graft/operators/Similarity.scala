@@ -132,7 +132,7 @@ object Similarity {
     * deterministic because sims are identical doubles everywhere.
     */
   private def nearestCentroidIdx(cents: Array[Array[Float]], v: Column): Column =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
+    array_max(array(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(VectorExpressions.cosineSimilarity(v, typedLit(c)).as("s"),
         lit(i).as("idx"))
     }: _*)).getField("idx")

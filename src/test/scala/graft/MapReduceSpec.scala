@@ -47,6 +47,25 @@ class MapReduceSpec extends AnyFunSuite with SparkTestBase {
     assert(agg("sed") === 203L && agg("in") === 197L)
   }
 
+  test("facade generality: inverted index (non-associative reduce)") {
+    import spark.implicits._
+    // a different user job through the same pluggable triple: word →
+    // sorted distinct doc ids ("concatenate" reduce — no combiner form)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)]
+    val inverted = MapReduce.mapReduce(docs)(
+      { case (id, text) => ReferenceUdfs.mapF(text).map { case (w, _) => (w, id) } },
+      (_: String, ids: Iterator[Long]) => ids.toSeq.distinct.sorted.mkString(","))
+      .collect().toMap
+    // cross-check one word against a direct computation
+    val probe = inverted.keys.head
+    val expected = docs.collect()
+      .filter { case (_, t) => ReferenceUdfs.mapF(t).exists(_._1 == probe) }
+      .map(_._1).distinct.sorted.mkString(",")
+    assert(inverted(probe) === expected)
+    assert(inverted.nonEmpty)
+  }
+
   test("non-numeric reduce values count as 0 (reference quirk 6)") {
     import spark.implicits._
     val kv = Seq("a x", "a 3").toDS() // tokens: a,x,a,3 → x→1, 3→1, a→2

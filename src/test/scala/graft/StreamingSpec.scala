@@ -22,6 +22,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("durable parquet streaming sink with checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("stream_sink").toString
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+      val agg = spark.readStream.schema(schema)
+        .parquet(s"$sf0001/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("event_type"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      val written = spark.read.parquet(s"$base/out")
+      assert(written.count() === Tables.events(spark, sf0001).count())
+      // checkpoint exists → restart would resume, not reprocess
+      assert(new java.io.File(s"$base/ckpt/offsets").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("stream_dedup equals batch distinct") {
     val streamed = StreamingQueries.streamDedup(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))
