@@ -51,8 +51,15 @@ object SparkEntry {
         |  SELECT lower(regexp_replace(unnest(string_split(text, ' ')), '[^\w]', '', 'g')) AS word
         |  FROM documents
         |) WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin),
-    QueryDef.noOracle("wordcount_reference",
-      (s, _) => WordCount.referenceJob(s, ReferenceCorpusDir))
+    // the reference corpus job itself is oracle-verified: DuckDB re-reads
+    // the 13 text files and replays the exact tokenization semantics
+    QueryDef("wordcount_reference",
+      (s, _) => WordCount.referenceJob(s, ReferenceCorpusDir),
+      s"""SELECT word, count(*) AS cnt, upper(substring(word, 1, 1)) AS pkey
+         |FROM (
+         |  SELECT lower(regexp_replace(unnest(string_split(content, ' ')), '[^\\w]', '', 'g')) AS word
+         |  FROM read_text('$ReferenceCorpusDir/*.txt')
+         |) WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)
   )
 
   /** Full registry: reference parity + relational/scalar surface (+ the

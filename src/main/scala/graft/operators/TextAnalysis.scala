@@ -142,6 +142,30 @@ object TextAnalysis {
         |    list_transform(string_split(text, ''), c -> cast(ascii(c) AS BIGINT))),
         |    (h, c) -> (h * 131 + c) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin),
-    QueryDef.noOracle("text_langid", textLangid _)
+    // the udf() is oracle-verified too: DuckDB replays the stopword-
+    // table argmax (score DESC, lang DESC ties — mirroring maxBy)
+    QueryDef("text_langid", textLangid _,
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','it','for'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est','pas','pour'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','las','es','y','por'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN ('的','是','了','在','我','有'))) AS s_zh
+        |  FROM t),
+        |r AS (SELECT doc_id, lang, unnest([
+        |    {'sc': s_en, 'l': 'en'}, {'sc': s_de, 'l': 'de'},
+        |    {'sc': s_fr, 'l': 'fr'}, {'sc': s_es, 'l': 'es'},
+        |    {'sc': s_zh, 'l': 'zh'}]) AS rec FROM s),
+        |best AS (SELECT doc_id, lang, rec.sc AS sc, rec.l AS l,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY rec.sc DESC, rec.l DESC) AS rn FROM r)
+        |SELECT doc_id, lang,
+        |  CASE WHEN sc = 0 THEN 'und' ELSE l END AS predicted,
+        |  cast(lang = (CASE WHEN sc = 0 THEN 'und' ELSE l END) AS INT) AS agree
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin)
   )
 }
