@@ -97,7 +97,42 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** "Video" scene-cut stub: a cut is where a frame's digest leading
+    * hex nibble changes from the previous frame — deterministic stand-in
+    * for a perceptual-diff codec, combining the frame addressing with a
+    * lag window over frame order.
+    */
+  def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), expr("(n - 1) div 256"))).as("frame_idx"),
+        col("text"))
+      .select(col("doc_id"), col("frame_idx"),
+        substring(md5(substring(col("text"), lit(1) + col("frame_idx") * 256, lit(256))
+          .cast("binary")), 1, 1).as("nib"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev_nib", lag(col("nib"), 1).over(w))
+      .filter(col("prev_nib").isNotNull && col("nib") =!= col("prev_nib"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("cut_at"))
+      .orderBy(col("doc_id"), col("cut_at"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("mm_scene_cuts", mmSceneCuts _,
+      """WITH frames AS (
+        |  SELECT doc_id, fi,
+        |    substring(md5(substring(text, 1 + fi * 256, 256)), 1, 1) AS nib
+        |  FROM documents, generate_series(0, 63) AS t(fi)
+        |  WHERE fi <= (length(text) - 1) // 256)
+        |SELECT doc_id, cast(fi AS BIGINT) AS cut_at FROM (
+        |  SELECT doc_id, fi, nib,
+        |    lag(nib) OVER (PARTITION BY doc_id ORDER BY fi) AS prev_nib
+        |  FROM frames)
+        |WHERE prev_nib IS NOT NULL AND nib <> prev_nib
+        |ORDER BY doc_id, cut_at""".stripMargin),
     QueryDef("mm_audio_features", mmAudioFeatures _,
       """SELECT doc_id,
         |  cast((length(text) - 1) // 128 + 1 AS BIGINT) AS n_frames,

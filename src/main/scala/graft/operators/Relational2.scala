@@ -172,7 +172,75 @@ object Relational2 {
         round(median(col("o_totalprice")), 2).as("exact_med"))
       .orderBy(col("o_orderpriority"))
 
+  /** Rank-family window functions: percent_rank / cume_dist / ntile. */
+  def q38RankFns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (floor(percent_rank().over(w) * 10000 + 0.5) / 10000).as("pr"),
+        (floor(cume_dist().over(w) * 10000 + 0.5) / 10000).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  /** Subquery battery through the SQL surface: IN, NOT IN (null-safe),
+    * and a scalar subquery — Catalyst rewrites these to semi/anti joins.
+    */
+  def q39Subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_sq")
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer_sq")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  c_custkey IN (SELECT o_custkey FROM v_orders_sq
+        |    WHERE o_totalprice > 400000) AS is_big_spender,
+        |  cast(round((SELECT max(o_totalprice) FROM v_orders_sq), 2) AS DOUBLE) AS global_max
+        |FROM v_customer_sq
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM v_orders_sq
+        |  WHERE o_orderstatus = 'P' AND o_custkey IS NOT NULL)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Map transform functions: transform_values/transform_keys over a
+    * built map, scalars extracted for oracle comparability.
+    */
+  def q40MapTransform(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("l_linestatus"), col("q"))))).as("m"))
+      .select(col("l_returnflag"),
+        element_at(transform_values(col("m"), (_, v) => v * 2), "F").as("f_doubled"),
+        element_at(transform_keys(col("m"), (k, _) => concat(lit("s_"), k)), "s_O").as("o_via_key"))
+      .orderBy(col("l_returnflag"))
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("q38_rank_fns", q38RankFns _,
+      """SELECT o_orderpriority, o_orderkey,
+        |  floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pr,
+        |  floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cd,
+        |  cast(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin),
+    QueryDef("q39_subqueries", q39Subqueries _,
+      """SELECT c_custkey, c_name,
+        |  c_custkey IN (SELECT o_custkey FROM orders
+        |    WHERE o_totalprice > 400000) AS is_big_spender,
+        |  cast(round((SELECT max(o_totalprice) FROM orders), 2) AS DOUBLE) AS global_max
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |  WHERE o_orderstatus = 'P' AND o_custkey IS NOT NULL)
+        |ORDER BY c_custkey""".stripMargin),
+    QueryDef("q40_map_transform", q40MapTransform _,
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) * 2 AS f_doubled,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_via_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     QueryDef("q36_regexp_all", q36RegexpAll _,
       """SELECT p_partkey,
         |  regexp_extract_all(p_name, '[a-z]+') AS words,

@@ -135,7 +135,39 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream inner join with event-time bounds: purchases within
+    * 5 minutes after a signup by the same user — the streaming twin of
+    * the batch range join (q17), sharing its oracle shape. Watermarks on
+    * BOTH sides + the time-bound condition let Spark evict join state;
+    * without them stream-stream state grows forever.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val signups = eventsStream(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = signups.join(purchases,
+      col("user_id") === col("p_user")
+        && col("p_ts") > col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("signup_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_at"))
+    val out = runToMemory(spark, joined, "stream_stream_join", "append")
+    out.orderBy(col("signup_id"), col("purchase_at"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("stream_stream_join", streamStreamJoin _,
+      """SELECT s.event_id AS signup_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_at
+        |FROM events s JOIN events p ON s.user_id = p.user_id
+        |  AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE
+        |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        |ORDER BY signup_id, purchase_at""".stripMargin),
     QueryDef("stream_stateful", streamStateful _,
       """SELECT user_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
