@@ -136,7 +136,49 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup CLUSTERS from the pairwise candidates: connected
+    * components by iterated min-label propagation (each doc takes the
+    * smallest doc_id reachable through candidate edges). The iteration
+    * is join + groupBy-min until fixpoint — the standard Spark
+    * connected-components shape; diameter of near-dup clusters is tiny,
+    * so few iterations suffice (capped, with a convergence check).
+    * Output: (doc_id, cluster_rep) for every doc in some pair.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    // undirected edges both ways
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+    var labels = edges.select(col("id_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 10) {
+      val viaEdges = edges
+        .join(labels, edges("id_b") === labels("doc_id"))
+        .select(edges("id_a").as("doc_id"), col("rep"))
+      // localCheckpoint truncates lineage: each round references the
+      // previous labels twice (union + convergence join), so without it
+      // the recomputed plan doubles per iteration
+      val next = labels.select(col("doc_id"), col("rep"))
+        .union(viaEdges)
+        .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("l"), col("n.doc_id") === col("l.doc_id"))
+        .filter(col("n.rep") =!= col("l.rep")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("rep").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef.noOracle("dedup_clusters", dedupClusters _),
     QueryDef("dedup_exact", dedupExact _,
       """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

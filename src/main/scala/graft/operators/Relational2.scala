@@ -217,7 +217,59 @@ object Relational2 {
         element_at(transform_keys(col("m"), (k, _) => concat(lit("s_"), k)), "s_O").as("o_via_key"))
       .orderBy(col("l_returnflag"))
 
+  /** Datetime interval arithmetic: +interval, date_add, add_months,
+    * last_day — all output as strings for timezone-free comparison.
+    * 45 days, NOT 90: DuckDB normalizes intervals at 30 days/month, so
+    * `+ INTERVAL 90 DAY` and `+ INTERVAL 3 MONTH` hash as the same
+    * expression and its CSE folds them into one — a real engine bug this
+    * oracle must sidestep.
+    */
+  def q41IntervalArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate") + expr("INTERVAL 45 DAYS"),
+          "yyyy-MM-dd HH:mm:ss").as("plus_45d"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_3mo"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(col("o_orderdate").cast("date"), 7), "yyyy-MM-dd").as("plus_7d"))
+      .orderBy(col("o_orderkey"))
+
+  /** Null-handling battery: coalesce chains, nullif, null-aware
+    * aggregation, and explicit null ordering.
+    */
+  def q42NullHandling(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        // synthesize nulls deterministically: every 3rd customer's
+        // balance is "unknown"
+        when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+      .groupBy((col("c_custkey") % 10).cast("long").as("bucket"))
+      .agg(count(col("bal")).as("n_known"),
+        count(lit(1)).as("n_total"),
+        round(coalesce(sum(Tables.money(col("bal"))).cast("double")
+          / nullif(count(col("bal")), lit(0)), lit(-1.0)), 4).as("avg_known"),
+        sum(when(col("bal").isNull, 1).otherwise(0)).cast("long").as("n_null"))
+      .orderBy(col("bucket"))
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("q41_interval_arith", q41IntervalArith _,
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d %H:%M:%S') AS plus_45d,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+        |  strftime(last_day(cast(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  strftime(cast(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS plus_7d
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin),
+    QueryDef("q42_null_handling", q42NullHandling _,
+      """SELECT cast(c_custkey % 10 AS BIGINT) AS bucket,
+        |  count(bal) AS n_known, count(*) AS n_total,
+        |  round(coalesce(cast(sum(cast(bal AS DECIMAL(12,2))) AS DOUBLE)
+        |    / nullif(count(bal), 0), -1.0), 4) AS avg_known,
+        |  cast(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |FROM (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin),
     QueryDef("q38_rank_fns", q38RankFns _,
       """SELECT o_orderpriority, o_orderkey,
         |  floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pr,

@@ -160,6 +160,37 @@ object Similarity {
       .select(col("vec_id"), round(col("sim_exact"), 4).as("sim"))
   }
 
+  /** K-means over embeddings: 3 Lloyd iterations from the 16 vec_id
+    * seeds — the iterative-refinement pattern at Spark scale: each
+    * iteration is one assignment pass (codegen cosine argmax against
+    * BROADCAST centroids, no shuffle) + one shuffle (per-cluster,
+    * per-dim mean); centroids (16×64 floats) are the only driver-side
+    * state. Rows-only (an iterative algorithm has no SQL twin);
+    * the spec pins determinism and monotone within-cluster improvement.
+    */
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    var cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to 3) {
+      val means = emb.select(col("embedding"),
+          nearestCentroidIdx(cents, col("embedding")).as("c"))
+        .select(col("c"), posexplode(col("embedding")))
+        .groupBy(col("c"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+      cents = Array.tabulate(cents.length) { c =>
+        Array.tabulate(64) { p =>
+          val v = means.getOrElse((c, p), cents(c)(p).toDouble)
+          (math.floor(v * 1e6 + 0.5) / 1e6).toFloat
+        }
+      }
+    }
+    emb.select(col("vec_id"),
+        nearestCentroidIdx(cents, col("embedding")).cast("long").as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold) on a bounded
     * slice — the exact verifier that, at scale, runs per LSH bucket
     * rather than all-pairs (see [[Dedup]] for the text-side analogue).
@@ -203,6 +234,7 @@ object Similarity {
         |WHERE rn <= 3 ORDER BY label, rn""".stripMargin),
     QueryDef.noOracle("sim_ann_lsh", simAnnLsh _),
     QueryDef.noOracle("sim_ann_ivf", simAnnIvf _),
+    QueryDef.noOracle("cluster_kmeans", clusterKmeans _),
     QueryDef("dedup_embedding_cosine", dedupEmbeddingCosine _,
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(

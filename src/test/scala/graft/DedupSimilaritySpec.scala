@@ -89,6 +89,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kmeans: deterministic, all vectors assigned, clusters non-trivial") {
+    val a = Similarity.clusterKmeans(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val b = Similarity.clusterKmeans(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(a.toSeq === b.toSeq)
+    assert(a.length === Tables.embeddings(spark, sf0001).count())
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size > 1, "degenerate single cluster")
+    assert(a.forall { case (_, c) => c >= 0 && c < 16 })
+  }
+
+  test("dedup_clusters: transitive closure over candidate pairs") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every endpoint is labeled, pair endpoints share a representative,
+    // and the representative is the component minimum
+    pairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b))
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (rep, members) =>
+      assert(rep === members.keys.min)
+    }
+  }
+
   test("exact dedup groups partition the table") {
     val docs = Tables.documents(spark, sf0001).count()
     val groups = Dedup.dedupExact(spark, sf0001)
