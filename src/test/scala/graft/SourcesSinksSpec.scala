@@ -55,6 +55,31 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     } finally cleanup(out)
   }
 
+  test("JDBC round-trip via embedded Derby") {
+    val dbDir = tmp("derby")
+    System.setProperty("derby.stream.error.file", s"$dbDir/derby.log")
+    val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    try {
+      val nation = Tables.nation(spark, sf0001)
+      nation.write.mode("overwrite").jdbc(url, "NATION_T", props)
+      val back = spark.read.jdbc(url, "NATION_T", props)
+      assert(back.count() === nation.count())
+      assert(back.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq ===
+        nation.orderBy("n_nationkey").collect().map(_.getString(1)).toSeq)
+      // predicate pushdown reaches the JDBC source
+      val plan = back.filter(col("n_regionkey") === 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("EqualTo(n_regionkey,2)"),
+        plan.take(400))
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$dbDir/graftdb;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // shutdown always "fails"
+      cleanup(dbDir)
+    }
+  }
+
   test("partitioned parquet layout enables partition pruning") {
     val out = tmp("part_prune")
     try {
