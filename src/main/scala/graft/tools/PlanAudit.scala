@@ -18,7 +18,9 @@ object PlanAudit {
     val interesting = Seq(
       "q1_agg", "q2_filter_project", "q3_star_join", "q6_topk_per_group",
       "q17_range_join", "q21_global_topk", "wordcount_documents",
-      "sim_topk_bruteforce", "dedup_minhash_lsh")
+      "sim_topk_bruteforce", "dedup_minhash_lsh", "q39_subqueries",
+      "q29_percentiles", "q25_outer_join", "q23_salted_agg",
+      "sim_ann_ivf", "mm_scene_cuts")
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
@@ -28,6 +30,7 @@ object PlanAudit {
       println(s"   scans=${count("Scan parquet")} " +
         s"pushedFilters=${plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []")} " +
         s"bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} " +
+        s"bnlj=${count("BroadcastNestedLoopJoin")} cart=${count("CartesianProduct")} " +
         s"shuffles=${count("Exchange")} wholeStage=${count("WholeStageCodegen")} " +
         s"takeOrdered=${count("TakeOrderedAndProject")}")
       if (args.contains("--full")) println(df.queryExecution.explainString(
