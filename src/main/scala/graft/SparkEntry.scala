@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Relational, Relational2, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Relational2, Similarity, TextAnalysis, WordCount}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -68,7 +68,7 @@ object SparkEntry {
   val registry: Seq[QueryDef] =
     core ++ Relational.registry ++ Relational2.registry ++
       Similarity.registry ++ Dedup.registry ++ TextAnalysis.registry ++
-      Multimodal.registry ++ StreamingQueries.registry
+      Multimodal.registry ++ StreamingQueries.registry ++ Pipeline.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
