@@ -252,7 +252,29 @@ object Relational2 {
         sum(when(col("bal").isNull, 1).otherwise(0)).cast("long").as("n_null"))
       .orderBy(col("bucket"))
 
+  /** ANSI-mode-safe arithmetic: Spark 4 runs ANSI by default, so
+    * division by zero and bad casts THROW unless the try_* family is
+    * used — this query exercises exactly those (l_discount is 0.0 on
+    * real rows).
+    */
+  def q43TryArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(try_divide(col("l_extendedprice"), col("l_discount")), 4).as("price_per_disc"),
+        try_to_number(col("l_returnflag"), lit("999")).cast("int").as("flag_as_int"),
+        col("l_linenumber").cast("string").cast("int").cast("long").as("roundtrip"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("q43_try_arith", q43TryArith _,
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount = 0 THEN NULL
+        |    ELSE round(l_extendedprice / l_discount, 4) END AS price_per_disc,
+        |  try_cast(l_returnflag AS INT) AS flag_as_int,
+        |  cast(l_linenumber AS BIGINT) AS roundtrip
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
     QueryDef("q41_interval_arith", q41IntervalArith _,
       """SELECT o_orderkey,
         |  strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d %H:%M:%S') AS plus_45d,

@@ -99,6 +99,25 @@ object TextAnalysis {
     }
   }
 
+  /** Character-trigram frequency profile per language — the n-gram
+    * table a profile-based language identifier trains on: top-3 char
+    * trigrams of each labeled language by corpus frequency.
+    */
+  def textNgramProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tris = Tables.documents(spark, dir)
+      .select(col("lang"), lower(col("text")).as("lt"), length(col("text")).as("n"))
+      .filter(col("n") >= 3)
+      .select(col("lang"), explode(sequence(lit(1), col("n") - 2)).as("i"), col("lt"))
+      .select(col("lang"), col("lt").substr(col("i"), lit(3)).as("tri"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tri"))
+    tris.groupBy(col("lang"), col("tri")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("rn"), col("tri"), col("cnt"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Predicted language + agreement with the labeled `lang` column. */
   def textLangid(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -142,6 +161,17 @@ object TextAnalysis {
         |    list_transform(string_split(text, ''), c -> cast(ascii(c) AS BIGINT))),
         |    (h, c) -> (h * 131 + c) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin),
+    QueryDef("text_ngram_profile", textNgramProfile _,
+      """WITH tris AS (
+        |  SELECT lang, substring(lower(text), i, 3) AS tri
+        |  FROM documents, generate_series(1, 600) AS t(i)
+        |  WHERE i <= length(text) - 2),
+        |counted AS (
+        |  SELECT lang, tri, count(*) AS cnt FROM tris GROUP BY lang, tri)
+        |SELECT lang, cast(rn AS BIGINT) AS rn, tri, cnt FROM (
+        |  SELECT lang, tri, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, tri) AS rn FROM counted)
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin),
     // the udf() is oracle-verified too: DuckDB replays the stopword-
     // table argmax (score DESC, lang DESC ties — mirroring maxBy)
     QueryDef("text_langid", textLangid _,
