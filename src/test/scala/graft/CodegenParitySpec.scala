@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorExpressions
+
+/** The hand-written doGenCode paths must agree bit-for-bit with the
+  * interpreted nullSafeEval paths — Spark picks either depending on
+  * codegen availability/fallback, so any divergence is a correctness
+  * bug that ordinary runs would hide. Forced via
+  * spark.sql.codegen.factoryMode = CODEGEN_ONLY / NO_CODEGEN.
+  */
+class CodegenParitySpec extends AnyFunSuite with SparkTestBase {
+
+  private def inBothModes[T](f: => Array[T]): (Array[T], Array[T]) = {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key, "FALLBACK")
+    try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val gen = f
+      spark.conf.set(key, "NO_CODEGEN")
+      val interp = f
+      (gen, interp)
+    } finally spark.conf.set(key, prev)
+  }
+
+  private def docsToks = split(lower(col("text")), " ", -1)
+
+  test("cosine_similarity: codegen == interpreted on real embeddings") {
+    def run: Array[Double] = {
+      val q = Tables.embeddings(spark, sf0001).filter(col("vec_id") === 1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Tables.embeddings(spark, sf0001)
+        .select(VectorExpressions.cosineSimilarity(col("embedding"), typedLit(q)))
+        .collect().map(_.getDouble(0))
+    }
+    val (gen, interp) = inBothModes(run)
+    assert(gen.toSeq === interp.toSeq)
+  }
+
+  test("simhash64: codegen == interpreted on documents") {
+    def run: Array[Long] = Tables.documents(spark, sf0001)
+      .select(VectorExpressions.simhash64(docsToks))
+      .collect().map(_.getLong(0))
+    val (gen, interp) = inBothModes(run)
+    assert(gen.toSeq === interp.toSeq)
+  }
+
+  test("minhash_signature: codegen == interpreted on shingles") {
+    def run: Array[Seq[Long]] = Tables.documents(spark, sf0001)
+      .select(VectorExpressions.minhashSignature(
+        VectorExpressions.wordShingles3(docsToks)))
+      .collect().map(_.getSeq[Long](0))
+    val (gen, interp) = inBothModes(run)
+    assert(gen.toSeq === interp.toSeq)
+  }
+
+  test("word_shingles3: codegen == interpreted, and matches a naive builder") {
+    def run: Array[Seq[String]] = Tables.documents(spark, sf0001)
+      .select(VectorExpressions.wordShingles3(docsToks))
+      .collect().map(_.getSeq[String](0))
+    val (gen, interp) = inBothModes(run)
+    assert(gen.toSeq === interp.toSeq)
+    // naive driver-side reference on a sample
+    val sample = Tables.documents(spark, sf0001).limit(20)
+      .select(col("text"), VectorExpressions.wordShingles3(docsToks).as("sh"))
+      .collect()
+    sample.foreach { r =>
+      val toks = r.getString(0).toLowerCase.split(" ", -1)
+      val naive = toks.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq.distinct
+      assert(r.getSeq[String](1) === naive)
+    }
+  }
+}

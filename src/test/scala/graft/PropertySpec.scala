@@ -60,6 +60,16 @@ object PropertySpec extends Properties("graft") {
           SimHashUtil.hamming(a, b) + SimHashUtil.hamming(b, c)
     }
 
+  property("minhash values lie in [0, P)") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier)) { xs =>
+      sig(xs).forall(v => v >= 0 && v <= MinHashUtil.P)
+    }
+
+  property("minhash equal sets ⇒ equal signatures (set semantics)") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier)) { xs =>
+      sig(xs ++ xs).toSeq == sig(xs).toSeq
+    }
+
   property("shingles: n tokens → ≤ max(n-2,0) distinct 3-grams") =
     forAll(Gen.listOf(Gen.identifier)) { xs =>
       val arr = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
