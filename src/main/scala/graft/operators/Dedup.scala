@@ -74,7 +74,11 @@ object Dedup {
   /** MinHash-LSH near-dup pairs, exact-Jaccard-verified (≥ 0.2). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val banded = bandedMinhash(docs)
+    // materialize the signature stream once: it feeds BOTH sides of the
+    // candidate self-join, and uncheckpointed lineage recomputes the
+    // shingle+minhash scan per side (measured 2 extra scans; the table
+    // is O(docs × 8 rows), tiny next to the corpus)
+    val banded = bandedMinhash(docs).localCheckpoint()
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx")

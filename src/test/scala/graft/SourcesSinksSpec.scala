@@ -123,6 +123,32 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("range-partitioned, sorted write produces clustered files") {
+    val out = tmp("range_layout")
+    try {
+      Tables.orders(spark, sf0001)
+        .repartitionByRange(4, col("o_orderdate"))
+        .sortWithinPartitions(col("o_orderdate"))
+        .write.mode("overwrite").parquet(out)
+      // each file's date range must not overlap any other's — the layout
+      // that makes time-range queries prune at the row-group level
+      val spans = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val df = spark.read.parquet(f.getPath)
+          // written NTZ: compare as epoch micros, not java.sql.Timestamp
+          val r = df.agg(min(unix_micros(col("o_orderdate").cast("timestamp"))),
+            max(unix_micros(col("o_orderdate").cast("timestamp")))).head()
+          (r.getLong(0), r.getLong(1))
+        }.sortBy(_._1)
+      assert(spans.length >= 2)
+      spans.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => assert(hi <= lo2,
+          "file date ranges overlap — range partitioning broken")
+        case _ =>
+      }
+    } finally cleanup(out)
+  }
+
   test("GraftExtensions injects SQL functions at session build time") {
     val prev = spark // force shared-session creation first
     SparkSession.clearActiveSession()
