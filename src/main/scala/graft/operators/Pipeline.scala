@@ -62,7 +62,40 @@ object Pipeline {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Deterministic train/validation split — hash-based, NOT random:
+    * the same document lands in the same split on any cluster, any
+    * partitioning, any day (reproducible corpus builds). First md5
+    * byte of the doc id < 230/256 ⇒ train (~90%).
+    */
+  def pipelineTrainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int").as("h"))
+      .withColumn("split", when(col("h") < 230, "train").otherwise("valid"))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified sampling per language (sampleBy, fixed seed) — the
+    * corpus-rebalancing primitive. Sampling is partitioning-dependent,
+    * so rows-only; the spec pins per-language fractions and in-session
+    * determinism.
+    */
+  def pipelineSampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .stat.sampleBy("lang",
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.1, "zh" -> 0.1),
+        42L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_train_split", pipelineTrainSplit _,
+      """SELECT doc_id,
+        |  CASE WHEN ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 2))::int < 230
+        |    THEN 'train' ELSE 'valid' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    QueryDef.noOracle("pipeline_sample_stratified", pipelineSampleStratified _),
     QueryDef("pipeline_quality_filter", pipelineQualityFilter _,
       """WITH scored AS (
         |  SELECT doc_id, source, lang,
