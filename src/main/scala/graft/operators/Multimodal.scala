@@ -120,7 +120,36 @@ object Multimodal {
       .orderBy(col("doc_id"), col("cut_at"))
   }
 
+  /** Resize stage chained on decode: fit each "image" into a 224×224
+    * box preserving aspect ratio — integer arithmetic only, so the
+    * result is exact in any engine. The chain decode → resize is the
+    * real pipeline shape; only the codec inside decode is stubbed.
+    */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    mmDecode(spark, dir)
+      .withColumn("out_w",
+        when(col("width") >= col("height"), lit(224))
+          .otherwise(expr("(width * 224) div height")).cast("long"))
+      .withColumn("out_h",
+        when(col("width") >= col("height"), expr("(height * 224) div width"))
+          .otherwise(lit(224)).cast("long"))
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("out_w"), col("out_h"))
+      .orderBy(col("doc_id"))
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("mm_resize", mmResize _,
+      """WITH decoded AS (
+        |  SELECT doc_id,
+        |    cast(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+        |    cast(64 + (octet_length(encode(text)) * 31) % 353 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width >= height THEN 224
+        |    ELSE (width * 224) // height END AS out_w,
+        |  CASE WHEN width >= height THEN (height * 224) // width
+        |    ELSE 224 END AS out_h
+        |FROM decoded ORDER BY doc_id""".stripMargin),
     QueryDef("mm_scene_cuts", mmSceneCuts _,
       """WITH frames AS (
         |  SELECT doc_id, fi,
