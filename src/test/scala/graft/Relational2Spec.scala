@@ -17,6 +17,32 @@ class Relational2Spec extends AnyFunSuite with SparkTestBase {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("salted aggregation stays exact under heavy key skew") {
+    // amplify one event_type 50x: ~91% of all rows share one key
+    val base = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val hot = base.filter(col("event_type") === "purchase")
+      .withColumn("rep", explode(array_repeat(lit(1), 50)))
+      .drop("rep")
+    val skewed = base.union(hot)
+    val salted = skewed
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(Tables.money(col("value"))).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).cast("double").as("s"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = skewed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Tables.money(col("value"))).cast("double").as("s"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq === plain.toSeq)
+    val hotShare = plain.find(_._1 == "purchase").get._2.toDouble /
+      plain.map(_._2).sum
+    assert(hotShare > 0.85, s"skew amplification failed: $hotShare")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     Relational2.q32ApproxDistinct(spark, sf001).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
