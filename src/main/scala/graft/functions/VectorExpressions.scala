@@ -233,12 +233,21 @@ object VectorExpressions {
   def wordShingles3(tokens: Column): Column =
     exprToColumn(WordShingles3(org.apache.spark.sql.graftglue.columnToExpr(tokens)))
 
-  /** Register both for the SQL surface (`SELECT cosine_similarity(…)`). */
+  /** All four expressions for SQL registration — single source of truth
+    * shared with [[graft.GraftExtensions]] so both registration surfaces
+    * offer the same function set.
+    */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
+    "word_shingles3" -> (exprs => WordShingles3(exprs.head)))
+
+  /** Register the full set for an already-built session's SQL surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

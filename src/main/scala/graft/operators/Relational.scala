@@ -227,8 +227,13 @@ object Relational {
     val e = Tables.events(spark, dir)
       .filter(col("event_type").isin("signup", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    // at equal ts a signup must sort BEFORE the purchase so the running
+    // max includes it — matching the oracle's `s.ts <= p.ts` (review
+    // caught the (ts, event_id) ordering missing same-instant signups)
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "signup", 0).otherwise(1),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("last_signup_ts",
         max(when(col("event_type") === "signup", col("ts"))).over(w))

@@ -114,21 +114,29 @@ object Relational2 {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
-  /** MapType functions: build a linestatus→qty map per returnflag
-    * (map_from_entries over a sorted entry list for determinism), then
-    * extract scalars — the map stays internal so the output schema is
-    * oracle-comparable.
+  /** linestatus→qty map per returnflag, map_from_entries over a sorted
+    * entry list for determinism — shared by q33 and q40.
     */
-  def q33MapFns(spark: SparkSession, dir: String): DataFrame =
+  private def statusQtyMap(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("q"))
       .groupBy(col("l_returnflag"))
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("l_linestatus"), col("q"))))).as("m"))
+
+  /** MapType functions: build, then extract scalars — the map stays
+    * internal so the output schema is oracle-comparable. try_element_at:
+    * ANSI mode (Spark 4 default) makes a missing map key a runtime
+    * ERROR, while the oracle's CASE-sum yields NULL — on any corpus
+    * where some returnflag lacks an 'F' or 'O' row, element_at would
+    * crash where the oracle returns NULL.
+    */
+  def q33MapFns(spark: SparkSession, dir: String): DataFrame =
+    statusQtyMap(spark, dir)
       .select(col("l_returnflag"),
-        element_at(col("m"), "F").as("f_qty"),
-        element_at(col("m"), "O").as("o_qty"),
+        try_element_at(col("m"), lit("F")).as("f_qty"),
+        try_element_at(col("m"), lit("O")).as("o_qty"),
         size(map_keys(col("m"))).cast("long").as("n_keys"))
       .orderBy(col("l_returnflag"))
 
@@ -202,19 +210,16 @@ object Relational2 {
         |ORDER BY c_custkey""".stripMargin)
   }
 
-  /** Map transform functions: transform_values/transform_keys over a
-    * built map, scalars extracted for oracle comparability.
+  /** Map transform functions: transform_values/transform_keys over the
+    * shared built map, scalars extracted for oracle comparability.
     */
   def q40MapTransform(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("q"))
-      .groupBy(col("l_returnflag"))
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("l_linestatus"), col("q"))))).as("m"))
+    statusQtyMap(spark, dir)
       .select(col("l_returnflag"),
-        element_at(transform_values(col("m"), (_, v) => v * 2), "F").as("f_doubled"),
-        element_at(transform_keys(col("m"), (k, _) => concat(lit("s_"), k)), "s_O").as("o_via_key"))
+        try_element_at(transform_values(col("m"), (_, v) => v * 2),
+          lit("F")).as("f_doubled"),
+        try_element_at(transform_keys(col("m"), (k, _) => concat(lit("s_"), k)),
+          lit("s_O")).as("o_via_key"))
       .orderBy(col("l_returnflag"))
 
   /** Datetime interval arithmetic: +interval, date_add, add_months,

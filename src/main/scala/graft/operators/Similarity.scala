@@ -108,23 +108,34 @@ object Similarity {
     * members exactly. At 100 TB the assignment column becomes a
     * partition key, so probing = partition pruning.
     */
-  private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Float]] = {
-    val emb = Tables.embeddings(spark, dir)
-    val seeds = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
-      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      nearestCentroidIdx(seeds, col("embedding")).as("c"))
-    val means = assigned
+  /** One Lloyd iteration: assign to nearest centroid (broadcast argmax,
+    * no shuffle) → per-(cluster, dim) mean (one shuffle) → collect the
+    * 16×64-float table, components rounded to 6 decimals so the result
+    * is identical under any partitioning. Shared by IVF and k-means.
+    */
+  private def lloydStep(emb: DataFrame,
+      cents: Array[Array[Float]]): Array[Array[Float]] = {
+    val means = emb.select(col("embedding"),
+        nearestCentroidIdx(cents, col("embedding")).as("c"))
       .select(col("c"), posexplode(col("embedding")))
       .groupBy(col("c"), col("pos"))
       .agg(avg(col("col").cast("double")).as("m"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    Array.tabulate(seeds.length) { c =>
+    Array.tabulate(cents.length) { c =>
       Array.tabulate(64) { p =>
-        val v = means.getOrElse((c, p), seeds(c)(p).toDouble)
+        val v = means.getOrElse((c, p), cents(c)(p).toDouble)
         (math.floor(v * 1e6 + 0.5) / 1e6).toFloat
       }
     }
+  }
+
+  private def seedCentroids(emb: DataFrame): Array[Array[Float]] =
+    emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+
+  private[graft] def ivfCentroids(spark: SparkSession, dir: String): Array[Array[Float]] = {
+    val emb = Tables.embeddings(spark, dir)
+    lloydStep(emb, seedCentroids(emb))
   }
 
   /** argmax over centroids via array_max of (sim, idx) structs —
@@ -170,22 +181,8 @@ object Similarity {
     */
   def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    var cents = emb.filter(col("vec_id") < 16).orderBy(col("vec_id"))
-      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-    for (_ <- 1 to 3) {
-      val means = emb.select(col("embedding"),
-          nearestCentroidIdx(cents, col("embedding")).as("c"))
-        .select(col("c"), posexplode(col("embedding")))
-        .groupBy(col("c"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-      cents = Array.tabulate(cents.length) { c =>
-        Array.tabulate(64) { p =>
-          val v = means.getOrElse((c, p), cents(c)(p).toDouble)
-          (math.floor(v * 1e6 + 0.5) / 1e6).toFloat
-        }
-      }
-    }
+    var cents = seedCentroids(emb)
+    for (_ <- 1 to 3) cents = lloydStep(emb, cents)
     emb.select(col("vec_id"),
         nearestCentroidIdx(cents, col("embedding")).cast("long").as("cluster"))
       .orderBy(col("vec_id"))

@@ -34,8 +34,9 @@ object TextAnalysis {
     val nToks = size(t)
     val meanLen = aggregate(transform(t, s => length(s)), lit(0),
       (acc, x) => acc + x).cast("double") / nToks.cast("double")
-    val punct = length(col("text")) -
-      length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    // regexp_replace deletes [a-z0-9 ], so what REMAINS is punctuation —
+    // its length IS the punct count (review caught the inverted form)
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
     val punctRatio = punct.cast("double") / length(col("text")).cast("double")
     val stopRatio = size(filter(t, s => s.isInCollection(Stopwords)))
       .cast("double") / nToks.cast("double")
@@ -133,8 +134,7 @@ object TextAnalysis {
         |    cast(len(t) AS BIGINT) AS n_tokens,
         |    cast(list_sum(list_transform(t, s -> len(s))) AS DOUBLE)
         |      / len(t) AS mean_raw,
-        |    cast(length(text)
-        |        - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |    cast(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
         |      / length(text) AS punct_raw,
         |    cast(len(list_filter(t, s -> s IN
         |        ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
@@ -164,7 +164,7 @@ object TextAnalysis {
     QueryDef("text_ngram_profile", textNgramProfile _,
       """WITH tris AS (
         |  SELECT lang, substring(lower(text), i, 3) AS tri
-        |  FROM documents, generate_series(1, 600) AS t(i)
+        |  FROM documents, generate_series(1, 16386) AS t(i)
         |  WHERE i <= length(text) - 2),
         |counted AS (
         |  SELECT lang, tri, count(*) AS cnt FROM tris GROUP BY lang, tri)

@@ -19,6 +19,7 @@ object DebugMinhash {
 
     val docs = graft.Tables.documents(spark, dir)
     println(s"[debug] docs: ${docs.count()}")
+    // (stage-by-stage timings below mirror Dedup.dedupMinhashLsh)
     timed("tokenize only") {
       println("[debug] tok rows: " + docs.select(split(lower(col("text")), " ", -1).as("t"))
         .selectExpr("sum(size(t))").head())
@@ -33,7 +34,6 @@ object DebugMinhash {
           graft.operators.Dedup.shinglesPublic(col("text"))).as("sig"))
         .selectExpr("sum(element_at(sig, 1))").head())
     }
-    val m = classOf[graft.operators.Dedup.type]
     // recompute stages inline (mirrors Dedup.dedupMinhashLsh)
     val banded = timed("bandedMinhash build+count") {
       val b = graft.operators.Dedup.bandedMinhashPublic(docs)
