@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExpressions
@@ -71,6 +72,48 @@ object Dedup {
       .select(col("doc_id"), col("band.band_idx"), col("band.band_hash"))
   }
 
+  /** Bucket-size cap for LSH candidate generation. A degenerate bucket
+    * (boilerplate band shared by millions of docs at 100 TB) makes the
+    * pairwise self-join quadratic on one shuffle key — the classic LSH
+    * skew bomb. Buckets above the cap switch from all-pairs to a STAR:
+    * every member links only to the bucket's minimum doc_id. Members of
+    * an oversized bucket are near-certain duplicates of each other, so
+    * the star keeps them reachable (one verified hop to the rep — and
+    * connected components recovers the full cluster) at O(n) pairs
+    * instead of O(n²).
+    */
+  private[graft] val MaxLshBucket = 32
+
+  /** Candidate (id_a < id_b) pairs from a banded blocking-key stream,
+    * pairwise within small buckets, star-shaped within oversized ones.
+    * `payload` columns (e.g. a simhash signature) ride along as
+    * `<name>_a` / `<name>_b`. One shuffle: the window partitioning on
+    * (band_idx, bucket_key) is reused by the self-join on the same key.
+    */
+  private def cappedBucketPairs(banded: DataFrame, bucketKey: String,
+      payload: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("band_idx"), col(bucketKey))
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("repst",
+        min(struct(col("doc_id") +: payload.map(col): _*)).over(w))
+    val small = sized.filter(col("bsz") <= MaxLshBucket)
+    def side(t: String) =
+      col(s"$t.doc_id").as(s"id_$t") +: payload.map(p => col(s"$t.$p").as(s"${p}_$t"))
+    val pairwise = small.as("a")
+      .join(small.as("b"),
+        col("a.band_idx") === col("b.band_idx")
+          && col(s"a.$bucketKey") === col(s"b.$bucketKey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(side("a") ++ side("b"): _*)
+    val star = sized.filter(col("bsz") > MaxLshBucket)
+      .filter(col("doc_id") =!= col("repst.doc_id"))
+      .select((col("repst.doc_id").as("id_a") +:
+        payload.map(p => col(s"repst.$p").as(s"${p}_a"))) ++
+        (col("doc_id").as("id_b") +: payload.map(p => col(p).as(s"${p}_b"))): _*)
+    pairwise.unionByName(star).distinct()
+  }
+
   /** MinHash-LSH near-dup pairs, exact-Jaccard-verified (≥ 0.2). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -79,13 +122,7 @@ object Dedup {
     // shingle+minhash scan per side (measured 2 extra scans; the table
     // is O(docs × 8 rows), tiny next to the corpus)
     val banded = bandedMinhash(docs).localCheckpoint()
-    val candidates = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx")
-          && col("x.band_hash") === col("y.band_hash")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val candidates = cappedBucketPairs(banded, "band_hash", Seq.empty)
     // exact verification only touches candidate docs: semi-join first so
     // shingles are NOT recomputed for the whole corpus (at scale the
     // candidate id set is tiny and broadcasts)
@@ -102,7 +139,7 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash near-dup pairs: banded blocking + Hamming ≤ 6. */
+  /** SimHash near-dup pairs: banded blocking (capped buckets) + Hamming ≤ 6. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -113,14 +150,11 @@ object Dedup {
           shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL))
             .as("band_key"))): _*)).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_idx"), col("band.band_key"))
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.band_idx") === col("y.band_idx")
-          && col("x.band_key") === col("y.band_key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        call_function("bit_count", col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
+    // cappedBucketPairs already distincts (id, sig) pairs; hamming is a
+    // function of the sigs so no second distinct is needed
+    cappedBucketPairs(banded, "band_key", Seq("sig"))
+      .select(col("id_a"), col("id_b"),
+        call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= 6)
       .orderBy(col("id_a"), col("id_b"))
   }

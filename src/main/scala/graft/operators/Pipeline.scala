@@ -117,9 +117,9 @@ object Pipeline {
         |  SELECT min(doc_id) AS doc_id FROM docs
         |  GROUP BY md5(lower(trim(text))))
         |SELECT lang, source, count(*) AS n_docs,
-        |  sum(len(list_filter(string_split(lower(text), ' '),
-        |    s -> s <> ''))) AS token_budget,
-        |  sum(n_chars) AS char_budget
+        |  cast(sum(len(list_filter(string_split(lower(text), ' '),
+        |    s -> s <> ''))) AS BIGINT) AS token_budget,
+        |  cast(sum(n_chars) AS BIGINT) AS char_budget
         |FROM docs WHERE doc_id IN (SELECT doc_id FROM survivors)
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
   )

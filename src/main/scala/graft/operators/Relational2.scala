@@ -96,11 +96,14 @@ object Relational2 {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
-  /** collect_set made deterministic via sort_array. */
+  /** collect_set made deterministic via sort_array; the array is
+    * serialized with array_join so the driver's pandas comparator can
+    * hash the cell (raw array cells are unhashable there).
+    */
   def q31Collect(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+      .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
         countDistinct(col("l_linestatus")).as("n_statuses"))
       .orderBy(col("l_returnflag"))
 
@@ -158,14 +161,15 @@ object Relational2 {
         round(element_at(reverse(col("embedding")), 1).cast("double"), 6).as("last_elem"))
       .orderBy(col("vec_id"))
 
-  /** regexp_extract_all battery: all letter-runs and all digit-runs of
-    * each part name/type, as arrays.
+  /** regexp_extract_all battery: all letter-runs and all capital-runs of
+    * each part name/type. Match arrays are serialized with array_join
+    * (preserving match order) so the comparator can hash the cells.
     */
   def q36RegexpAll(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .select(col("p_partkey"),
-        regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)).as("words"),
-        regexp_extract_all(col("p_type"), lit("[A-Z]+"), lit(0)).as("caps"),
+        array_join(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)), ",").as("words"),
+        array_join(regexp_extract_all(col("p_type"), lit("[A-Z]+"), lit(0)), ",").as("caps"),
         size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)))
           .cast("long").as("n_vowels"))
       .orderBy(col("p_partkey"))
@@ -322,8 +326,8 @@ object Relational2 {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     QueryDef("q36_regexp_all", q36RegexpAll _,
       """SELECT p_partkey,
-        |  regexp_extract_all(p_name, '[a-z]+') AS words,
-        |  regexp_extract_all(p_type, '[A-Z]+') AS caps,
+        |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
+        |  array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS caps,
         |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels
         |FROM part ORDER BY p_partkey""".stripMargin),
     QueryDef.noOracle("q37_approx_percentile", q37ApproxPercentile _),
@@ -394,7 +398,7 @@ object Relational2 {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
     QueryDef("q31_collect", q31Collect _,
       """SELECT l_returnflag,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
         |  count(DISTINCT l_linestatus) AS n_statuses
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
     QueryDef.noOracle("q32_approx_distinct", q32ApproxDistinct _)

@@ -142,11 +142,15 @@ object StreamingQueries {
     * without them stream-stream state grows forever.
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val signups = eventsStream(spark, dir)
+    // ONE source stream split into both join sides by filtering — a
+    // second eventsStream() call would register an independent file
+    // source and scan the events files twice per micro-batch
+    val ev = eventsStream(spark, dir)
+    val signups = ev
       .filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
       .withWatermark("s_ts", "10 minutes")
-    val purchases = eventsStream(spark, dir)
+    val purchases = ev
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "10 minutes")

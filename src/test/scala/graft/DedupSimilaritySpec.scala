@@ -117,6 +117,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("degenerate LSH bucket (1000 identical docs) stays linear via star linking") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lshcap").toString
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    (0L until 1000L).map(i => (i, text)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // uncapped all-pairs would emit 1000·999/2 = 499 500 candidates from
+    // the single hot bucket; the star path emits exactly n-1 anchored at
+    // the bucket minimum
+    val pairs = Dedup.dedupMinhashLsh(spark, tmp).collect()
+    assert(pairs.length === 999)
+    pairs.foreach { r =>
+      assert(r.getLong(0) === 0L)
+      assert(r.getDouble(2) === 1.0)
+    }
+    val sim = Dedup.dedupSimhash(spark, tmp).collect()
+    assert(sim.length === 999)
+    sim.foreach { r => assert(r.getLong(0) === 0L && r.getInt(2) === 0) }
+    // connected components recover the full cluster through the star
+    val labels = Dedup.dedupClusters(spark, tmp).collect()
+    assert(labels.length === 1000)
+    labels.foreach(r => assert(r.getLong(1) === 0L))
+  }
+
   test("exact dedup groups partition the table") {
     val docs = Tables.documents(spark, sf0001).count()
     val groups = Dedup.dedupExact(spark, sf0001)
