@@ -36,20 +36,27 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) } catch { case e: Throwable =>
         // a failed query must not masquerade as a fast one
-        errors += name
+        if (!errors.contains(name)) errors += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // lane 1: first run after session warmup (comparable to round 1)
+    val results = pass()
+    // lane 2: steady state — a second run of every query. At these scale
+    // factors per-query noop-job overhead dominates lane 1; the warm lane
+    // is what makes round-over-round perf deltas meaningful.
+    val warm = pass()
+    def fmt(m: Map[String, Double]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"total_warm":$totalWarm,"queries_warm":${fmt(warm)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

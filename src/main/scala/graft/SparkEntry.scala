@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Relational2, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Relational2, Relational3, Similarity, TextAnalysis, WordCount}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -67,6 +67,7 @@ object SparkEntry {
     */
   val registry: Seq[QueryDef] =
     core ++ Relational.registry ++ Relational2.registry ++
+      Relational3.registry ++
       Similarity.registry ++ Dedup.registry ++ TextAnalysis.registry ++
       Multimodal.registry ++ StreamingQueries.registry ++ Pipeline.registry
 

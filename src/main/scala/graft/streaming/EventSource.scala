@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source abstraction for the streaming surface. Every source yields the
+  * SAME typed events schema (event_id, ts[µs], user_id, event_type,
+  * value, props), so every downstream plan in [[StreamingQueries]] is
+  * source-agnostic: swap the file replay for a Kafka topic and the
+  * watermarks, windows, state stores, and sinks are untouched. The
+  * reference has no streaming at all (SURVEY.md §2b), so this whole
+  * surface is net-new; the abstraction is what makes it portable.
+  */
+trait EventSource {
+  /** A STREAMING DataFrame in the canonical events schema. */
+  def stream(spark: SparkSession): DataFrame
+}
+
+/** File-backed replay of `events.parquet` — the in-container stand-in
+  * for a broker (none is installed). `ts` arrives as parquet
+  * TIMESTAMP(NANOS), which the vectorized reader rejects; read it as raw
+  * nanos and truncate to µs exactly as the batch loader does.
+  */
+final case class FileEventSource(dir: String) extends EventSource {
+  def stream(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream
+      .schema(schema)
+      // FileStreamSource wants a directory; a glob keeps the parent as
+      // basePath while matching the single parquet file
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+/** The Kafka wire shape and its codec. A Kafka record is
+  * (key binary, value binary, topic, partition, offset, timestamp, …);
+  * the payload here is one JSON event per record. `decode` is a pure
+  * DataFrame→DataFrame transform, so the SAME code path serves batch
+  * backfills, the memory-stream tests, and a real broker — which is the
+  * point: the source only determines where bytes come from.
+  */
+object KafkaShaped {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** µs-precision timestamp format: Spark's to_json default truncates to
+    * millis, which would silently corrupt event times on round-trip.
+    */
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+  private val jsonOpts = Map("timestampFormat" -> TsFormat)
+
+  /** Kafka-wire records (binary `value` payload) → typed event rows.
+    * Corrupt payloads become all-null rows rather than failing the
+    * stream (PERMISSIVE from_json) — poison-pill tolerance a 100 TB
+    * ingest needs.
+    */
+  def decode(records: DataFrame): DataFrame =
+    records
+      .select(from_json(col("value").cast("string"), eventSchema, jsonOpts).as("e"))
+      .select(col("e.*"))
+
+  /** Typed event rows → Kafka-wire records (used by tests and by any
+    * writeStream back to a topic; key = user_id so a topic partition
+    * preserves per-user order, which the session/stateful queries rely
+    * on brokers for).
+    */
+  def encode(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      to_json(
+        struct(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")),
+        jsonOpts.asJava).cast("binary").as("value"))
+
+  private implicit class MapOps(m: Map[String, String]) {
+    def asJava: java.util.Map[String, String] = {
+      val jm = new java.util.HashMap[String, String]()
+      m.foreach { case (k, v) => jm.put(k, v) }
+      jm
+    }
+  }
+}
+
+/** A directory of parquet files whose rows are Kafka-WIRE records
+  * (key/value binary) — a broker stand-in that exercises the exact
+  * decode path a real topic would, end to end, with no broker installed.
+  */
+final case class KafkaShapedFileSource(dir: String) extends EventSource {
+  private val wireSchema = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType)))
+  def stream(spark: SparkSession): DataFrame =
+    KafkaShaped.decode(spark.readStream.schema(wireSchema).parquet(dir))
+}
+
+/** A real broker source: same decode, same downstream plans. Not
+  * runnable in this container (no broker, no kafka connector jar) but
+  * the complete wiring a deployment needs — the options are the standard
+  * spark-sql-kafka ones.
+  */
+final case class KafkaEventSource(bootstrapServers: String, topic: String)
+    extends EventSource {
+  def stream(spark: SparkSession): DataFrame =
+    KafkaShaped.decode(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load())
+}

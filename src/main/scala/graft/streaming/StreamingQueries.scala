@@ -26,23 +26,14 @@ import graft.QueryDef
   */
 object StreamingQueries {
 
-  /** events as a streaming source: schema from the batch reader (ts
-    * arrives as raw nanos — see Tables.events), converted after read.
+  /** events as a streaming source, via the [[EventSource]] abstraction
+    * (file replay here; a broker in production — same downstream plan).
     */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    spark.readStream
-      .schema(schema)
-      // FileStreamSource wants a directory; a glob keeps the parent as
-      // basePath while matching the single parquet file
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    FileEventSource(dir).stream(spark)
 
   /** Run a streaming DF to a memory sink, drain, return the table. */
-  private def runToMemory(spark: SparkSession, streamed: DataFrame,
+  private[graft] def runToMemory(spark: SparkSession, streamed: DataFrame,
       name: String, mode: String): DataFrame = {
     val q = streamed.writeStream
       .format("memory").queryName(name).outputMode(mode)
@@ -53,13 +44,20 @@ object StreamingQueries {
   }
 
   /** Tumbling 1-hour windows per event_type (count + exact-decimal sum). */
-  def streamTumbling(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+  def streamTumbling(spark: SparkSession, dir: String): DataFrame =
+    streamTumblingFrom(spark, FileEventSource(dir), "stream_tumbling")
+
+  /** The same tumbling plan over ANY [[EventSource]] — the spec runs it
+    * against a Kafka-shaped memory stream to prove source-agnosticism.
+    */
+  private[graft] def streamTumblingFrom(spark: SparkSession, src: EventSource,
+      name: String): DataFrame = {
+    val agg = src.stream(spark)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(graft.Tables.money(col("value"))).cast("double").as("sum_value"))
-    val out = runToMemory(spark, agg, "stream_tumbling", "complete")
+    val out = runToMemory(spark, agg, name, "complete")
     out.select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))

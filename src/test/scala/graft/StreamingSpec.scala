@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.StreamingQueries
+import graft.streaming.{KafkaShaped, KafkaShapedFileSource, StreamingQueries}
 
 /** Streaming results must equal their batch-equivalent computations
   * (beyond the DuckDB oracle, which already pins them at sf0.01).
@@ -93,6 +93,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         s"emitted=$emittedTotal total=$total late=$lateN")
       val windows = emitted.map(_.get(0).toString)
       assert(windows.distinct.length === windows.length, "window emitted twice")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("kafka-shaped codec round-trips events at microsecond precision") {
+    val ev = Tables.events(spark, sf0001)
+    val back = KafkaShaped.decode(KafkaShaped.encode(ev))
+    val a = ev.orderBy("event_id").collect().map(_.toSeq)
+    val b = back.orderBy("event_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("tumbling plan is source-agnostic: kafka-shaped replay matches file replay") {
+    val dir = java.nio.file.Files.createTempDirectory("kafka_shaped").toString
+    try {
+      KafkaShaped.encode(Tables.events(spark, sf0001))
+        .coalesce(1).write.parquet(s"$dir/topic")
+      val viaKafkaShape = StreamingQueries.streamTumblingFrom(
+        spark, KafkaShapedFileSource(s"$dir/topic"), "tumbling_kafka_shaped")
+        .collect()
+      val viaFile = StreamingQueries.streamTumbling(spark, sf0001).collect()
+      assert(viaKafkaShape.toSeq === viaFile.toSeq)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
