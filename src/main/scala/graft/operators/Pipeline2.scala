@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Second wave of training-data pipeline operators (round 2): sequence
+  * packing, benchmark decontamination, PII-style redaction, and
+  * repetition/diversity quality signals. Like Pipeline, each is ONE
+  * oracle-verified declarative query — the shapes a corpus build runs
+  * between dedup and tokenization.
+  */
+object Pipeline2 {
+
+  private def toks(c: Column) = split(lower(c), " ", -1)
+  private def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+
+  /** Tokens per training bin (≈ a shard of packed sequences). */
+  val PackBudget = 2048
+
+  /** Sequence packing: assign documents (deterministic doc_id order,
+    * per language) to fixed-token-budget bins by exclusive running sum —
+    * the operator that turns a deduped corpus into training shards.
+    * One window shuffle on lang; at 100 TB the partition key would be
+    * (lang, shard_range) and the cumsum runs per range — the bin ids
+    * stay deterministic because they derive from doc order, not
+    * physical placement.
+    */
+  def pipelinePackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = size(filter(toks(col("text")), s => s =!= "")).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nToks.as("n_toks"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+      .withColumn("bin", expr(s"(cum_toks - n_toks) div $PackBudget"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-3-gram shingle with the held-out eval slice (doc_id % 50 = 0
+    * stands in for the benchmark set). The eval shingle set is tiny
+    * relative to the corpus, so it BROADCASTS — the train-side shingle
+    * explosion never shuffles; this is the textbook contamination-check
+    * plan at 100 TB.
+    */
+  def pipelineContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalShingles = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(Dedup.shinglesPublic(col("text"))).as("sh"))
+      .distinct()
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(Dedup.shinglesPublic(col("text"))).as("sh"))
+      .join(broadcast(evalShingles), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Redaction battery: emails and digit runs replaced with placeholder
+    * tokens in `events.props`, redaction counts alongside (the audit
+    * trail a PII pass must emit). Pure codegen'd regexp work — scales
+    * as a narrow map over the corpus, no shuffle until the ORDER BY.
+    */
+  def pipelineRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val digits = "[0-9]+"
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        regexp_replace(regexp_replace(col("props"), email, "<EMAIL>"),
+          digits, "<NUM>").as("scrubbed"),
+        regexp_count(col("props"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("props"), lit(digits)).cast("long").as("n_nums"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Repetition/diversity quality signals (Gopher-rule flavor):
+    * type-token ratio and the share of the single most-repeated token.
+    * Explode → two aggregations, both partitioned by doc_id — the
+    * distributed shape; per-row higher-order lambdas would be
+    * interpreted and single-threaded per row.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(filter(toks(col("text")), s => s =!= "")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        r4(col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        r4(col("top_freq").cast("double") / col("n_tokens").cast("double")).as("top_token_ratio"))
+      .orderBy(col("doc_id"))
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_pack_sequences", pipelinePackSequences _,
+      s"""SELECT doc_id, lang, n_toks,
+         |  cast(cum_toks AS BIGINT) AS cum_toks,
+         |  cast((cum_toks - n_toks) // $PackBudget AS BIGINT) AS bin
+         |FROM (
+         |  SELECT doc_id, lang, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+         |  FROM (SELECT doc_id, lang,
+         |      cast(len(list_filter(string_split(lower(text), ' '),
+         |        s -> s <> '')) AS BIGINT) AS n_toks
+         |    FROM documents))
+         |ORDER BY lang, doc_id""".stripMargin),
+    QueryDef("pipeline_contamination", pipelineContamination _,
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+        |FROM sh s JOIN ev ON s.sh = ev.sh
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+    QueryDef("pipeline_redact", pipelineRedact _,
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(props,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS scrubbed,
+        |  len(regexp_extract_all(props,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(props, '[0-9]+')) AS n_nums
+        |FROM events ORDER BY event_id""".stripMargin),
+    QueryDef("text_repetition", textRepetition _,
+      """SELECT doc_id,
+        |  cast(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  floor(cast(count(*) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000 AS ttr,
+        |  floor(cast(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000 AS top_token_ratio
+        |FROM (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      string_split(lower(text), ' '), s -> s <> '')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+}

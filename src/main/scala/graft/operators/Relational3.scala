@@ -50,6 +50,49 @@ object Relational3 {
         sum(when(col("s_acctbal") < 0, 1).otherwise(0)).cast("long").as("n_negative"))
       .orderBy(col("n_name"))
 
+  /** Time-RANGE window frame: each order's 30-day trailing revenue for
+    * its customer — `RANGE BETWEEN INTERVAL ... PRECEDING` over the
+    * event-time column, which rows-based frames (q7) cannot express.
+    * RANGE includes all date peers, so the sum is deterministic even
+    * with same-day ties; the money sum stays decimal-exact.
+    */
+  def q46RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_rf")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  cast(sum(cast(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS rev_30d
+        |FROM v_orders_rf
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
+  /** Salted SORT-MERGE join — the skew idiom for joins (q23 covers
+    * aggregations): the fact side salts on pmod(event_id, 8), the dim
+    * side replicates 8×, and the join key becomes (event_type, salt) so
+    * one hot event_type spreads over 8 shuffle partitions instead of
+    * one straggler. The merge hint forces the shuffle path — salting a
+    * broadcast join would be pointless (broadcasts don't skew). Results
+    * are identical to the unsalted join, which is what the oracle
+    * checks.
+    */
+  def q47SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val S = 8
+    val events = Tables.events(spark, dir)
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("type_tag", upper(substring(col("event_type"), 1, 3)))
+    val dimSalted = dim.withColumn("salt",
+      explode(array((0 until S).map(lit): _*)))
+    events
+      .withColumn("salt", pmod(col("event_id"), lit(S)).cast("int"))
+      .join(dimSalted.hint("merge"), Seq("event_type", "salt"))
+      .groupBy(col("type_tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.money(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("type_tag"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
@@ -68,6 +111,20 @@ object Relational3 {
         |  round(avg(s_acctbal), 2) AS avg_bal,
         |  cast(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    QueryDef("q46_range_frame", q46RangeFrame _,
+      """SELECT o_custkey, o_orderkey,
+        |  cast(sum(cast(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS rev_30d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    // oracle = the UNSALTED aggregation: salting must not change results
+    QueryDef("q47_salted_join", q47SaltedJoin _,
+      """SELECT upper(substring(event_type, 1, 3)) AS type_tag,
+        |  count(*) AS n,
+        |  cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY type_tag""".stripMargin)
   )
 }

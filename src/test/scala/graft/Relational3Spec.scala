@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Pipeline2, Relational3}
+
+class Relational3Spec extends AnyFunSuite with SparkTestBase {
+
+  test("salted join takes the sort-merge path and matches the unsalted result") {
+    val salted = Relational3.q47SaltedJoin(spark, sf001)
+    val rows = salted.collect()
+    // the merge hint must hold through AQE: salting a broadcast join
+    // would be meaningless (broadcasts don't skew)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    val plain = Tables.events(spark, sf001)
+      .groupBy(upper(substring(col("event_type"), 1, 3)).as("type_tag"))
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.money(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("type_tag"))
+      .collect()
+    assert(rows.toSeq === plain.toSeq)
+  }
+
+  test("supplier star join broadcasts every dimension") {
+    val df = Relational3.q44SupplierRevenue(spark, sf001)
+    df.collect()
+    // AQE plan strings repeat the tree under "== Initial Plan ==";
+    // count joins in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    def count(s: String) = s.r.findAllIn(plan).length
+    assert(count("BroadcastHashJoin") === 3, s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("pack sequences: exclusive-cumsum bins, contiguous from 0 per lang") {
+    val rows = Relational3Support.collectPack(spark, sf0001)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (_, _, nToks, cumToks, bin) =>
+        cum += nToks
+        assert(cumToks === cum)
+        assert(bin === (cum - nToks) / Pipeline2.PackBudget)
+      }
+      val bins = sorted.map(_._5)
+      assert(bins.head === 0L)
+      bins.zip(bins.tail).foreach { case (a, b) => assert(b >= a) }
+    }
+  }
+
+  test("contamination: flagged docs are outside the eval slice and truly overlap") {
+    val flagged = Pipeline2.pipelineContamination(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(flagged.nonEmpty)
+    flagged.foreach { case (id, n) =>
+      assert(id % 50 != 0L)
+      assert(n >= 1L)
+    }
+    // driver-side ground truth on the small corpus
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), operators.Dedup.shinglesPublic(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val evalSh = docs.filter(_._1 % 50 == 0).flatMap(_._2).toSet
+    val expected = docs.filter(_._1 % 50 != 0)
+      .map { case (id, sh) => id -> sh.count(evalSh.contains).toLong }
+      .filter(_._2 >= 1).toMap
+    assert(flagged.toMap === expected)
+  }
+}
+
+/** Collect helper kept outside the suite so Spark closures never capture
+  * the ScalaTest instance (TaskNotSerializable).
+  */
+object Relational3Support {
+  def collectPack(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(Long, String, Long, Long, Long)] =
+    Pipeline2.pipelinePackSequences(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+}

@@ -98,6 +98,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("foreachBatch sink: every micro-batch lands exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("feb_sink").toString
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$sf0001/events*.parquet")
+        .select(col("event_id"), col("event_type"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // arbitrary batch-side code — the escape hatch for sinks Spark
+          // has no connector for (upserts, RPCs, multi-table writes)
+          batch.write.mode("append").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      val written = spark.read.parquet(s"$base/out")
+      assert(written.count() === Tables.events(spark, sf0001).count())
+      assert(written.select("event_id").distinct().count() === written.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("kafka-shaped codec round-trips events at microsecond precision") {
     val ev = Tables.events(spark, sf0001)
     val back = KafkaShaped.decode(KafkaShaped.encode(ev))
