@@ -20,7 +20,10 @@ object PlanAudit {
       "q17_range_join", "q21_global_topk", "wordcount_documents",
       "sim_topk_bruteforce", "dedup_minhash_lsh", "q39_subqueries",
       "q29_percentiles", "q25_outer_join", "q23_salted_agg",
-      "sim_ann_ivf", "mm_scene_cuts")
+      "sim_ann_ivf", "mm_scene_cuts",
+      "q44_supplier_revenue", "q46_range_frame", "q47_salted_join",
+      "pipeline_contamination", "pipeline_pack_sequences",
+      "pipeline_redact", "text_repetition")
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
