@@ -93,6 +93,31 @@ object Relational3 {
       .orderBy(col("type_tag"))
   }
 
+  /** Date spine: a generated daily calendar spanning the order-date
+    * range, left-joined to per-day order aggregates with gaps
+    * zero-filled — the reporting primitive that makes "days with no
+    * orders" visible. The spine is sequence+explode over a 1-row bounds
+    * aggregate (thousands of rows at any corpus size), so it broadcasts
+    * to the daily-aggregate side; the only real shuffle is the daily
+    * groupBy.
+    */
+  def q48DateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val spine = orders
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"), Tables.sumMoney(col("o_totalprice")).as("rev"))
+    spine.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("rev"), lit(0.0)).as("revenue"))
+      .orderBy(col("day"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
@@ -120,6 +145,21 @@ object Relational3 {
         |    AS DOUBLE) AS rev_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    QueryDef("q48_date_spine", q48DateSpine _,
+      """WITH b AS (
+        |  SELECT min(cast(o_orderdate AS DATE)) AS lo,
+        |    max(cast(o_orderdate AS DATE)) AS hi FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |daily AS (
+        |  SELECT cast(o_orderdate AS DATE) AS day, count(*) AS n,
+        |    cast(sum(cast(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        |  coalesce(n, 0) AS n_orders,
+        |  coalesce(rev, 0.0) AS revenue
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY day""".stripMargin),
     // oracle = the UNSALTED aggregation: salting must not change results
     QueryDef("q47_salted_join", q47SaltedJoin _,
       """SELECT upper(substring(event_type, 1, 3)) AS type_tag,
