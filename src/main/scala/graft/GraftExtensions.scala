@@ -22,11 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.VectorExpressions.sqlFunctions.foreach {
       case (name, builder) =>
         ext.injectFunction((FunctionIdentifier(name),
           info(name, s"$name - graft codegen expression"),
           (exprs: Seq[Expression]) => builder(exprs)))
     }
+    // whole-operator extension: the declarative as-of join node lowers
+    // to its union+running-max plan during analysis (plans/AsOfJoin)
+    ext.injectResolutionRule(session => new graft.plans.ResolveAsOfJoin(session))
+  }
 }

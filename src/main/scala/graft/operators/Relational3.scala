@@ -118,6 +118,26 @@ object Relational3 {
       .orderBy(col("day"))
   }
 
+  /** The custom whole-operator surface (plans/AsOfJoin): the same
+    * semantics as q18 but through the declarative `AsOf.join` node —
+    * the injected analyzer rule, not this query, owns the lowering to
+    * the single-shuffle union+running-max plan. Registered through the
+    * correctness gate so the custom-plan path is oracle-verified too.
+    */
+  def q49AsofCustomOp(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    graft.plans.AsOf.join(purchases, signups,
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        asOfName = "last_signup_ts")
+      .select(col("event_id"),
+        date_format(col("last_signup_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("signup_at"))
+      .orderBy(col("event_id"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
@@ -145,6 +165,13 @@ object Relational3 {
         |    AS DOUBLE) AS rev_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    QueryDef("q49_asof_custom_op", q49AsofCustomOp _,
+      """SELECT p.event_id,
+        |  strftime((SELECT max(s.ts) FROM events s
+        |    WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+        |      AND s.ts <= p.ts), '%Y-%m-%d %H:%M:%S.%f') AS signup_at
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin),
     QueryDef("q48_date_spine", q48DateSpine _,
       """WITH b AS (
         |  SELECT min(cast(o_orderdate AS DATE)) AS lo,

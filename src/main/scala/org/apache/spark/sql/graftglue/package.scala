@@ -13,4 +13,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 package object graftglue {
   def exprToColumn(e: Expression): Column = ExpressionUtils.column(e)
   def columnToExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame over a raw logical plan (analyzed eagerly) — the bridge a
+    * custom LogicalPlan operator needs to surface as a user DataFrame.
+    */
+  def dfFromPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (resolved attributes). */
+  def analyzedPlanOf(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
 }
