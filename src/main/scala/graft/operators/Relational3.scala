@@ -138,6 +138,51 @@ object Relational3 {
       .orderBy(col("event_id"))
   }
 
+  /** UNPIVOT (melt): wide per-returnflag quantity metrics → long
+    * (flag, metric, value) form — the inverse of q22's pivot. The
+    * unpivot is a zero-shuffle projection (Expand) over the tiny
+    * aggregate.
+    */
+  def q50Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(max(col("l_quantity")), 2).as("max_qty"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("avg_qty"), col("max_qty")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** str_to_map: parse `k:v,k:v` config-style strings (built
+    * deterministically from event columns) into MapType and extract
+    * typed values — the standing idiom for tag/label columns.
+    */
+  def q51StrToMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") <= 1000)
+      .select(col("event_id"),
+        str_to_map(
+          concat(lit("type:"), col("event_type"),
+            lit(",uid:"), (col("user_id") % 10).cast("string")),
+          lit(","), lit(":")).as("m"))
+      .select(col("event_id"),
+        try_element_at(col("m"), lit("type")).as("type_val"),
+        try_element_at(col("m"), lit("uid")).as("uid_val"))
+      .orderBy(col("event_id"))
+
+  /** explode_outer: rows with EMPTY generator input survive as a null
+    * row (plain explode drops them) — the left-join-shaped lateral
+    * view.
+    */
+  def q52ExplodeOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"),
+        explode_outer(filter(split(col("p_type"), " ", -1),
+          s => s.startsWith("s"))).as("s_word"))
+      .orderBy(col("p_partkey"), col("s_word"))
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
@@ -165,6 +210,32 @@ object Relational3 {
         |    AS DOUBLE) AS rev_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    QueryDef("q50_unpivot", q50Unpivot _,
+      """WITH b AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |    round(avg(l_quantity), 2) AS avg_qty,
+        |    round(max(l_quantity), 2) AS max_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM b
+        |  UNION ALL SELECT l_returnflag, 'avg_qty', avg_qty FROM b
+        |  UNION ALL SELECT l_returnflag, 'max_qty', max_qty FROM b)
+        |ORDER BY l_returnflag, metric""".stripMargin),
+    // oracle computes the same values WITHOUT parsing — pinning that
+    // str_to_map round-trips the constructed k:v string exactly
+    QueryDef("q51_str_to_map", q51StrToMap _,
+      """SELECT event_id, event_type AS type_val,
+        |  cast(user_id % 10 AS VARCHAR) AS uid_val
+        |FROM events WHERE event_id <= 1000 ORDER BY event_id""".stripMargin),
+    QueryDef("q52_explode_outer", q52ExplodeOuter _,
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    list_filter(string_split(p_type, ' '), s -> s LIKE 's%') AS l
+        |  FROM part WHERE p_partkey <= 200),
+        |ex AS (SELECT p_partkey, unnest(l) AS s_word FROM base)
+        |SELECT b.p_partkey, e.s_word
+        |FROM base b LEFT JOIN ex e USING (p_partkey)
+        |ORDER BY p_partkey, s_word""".stripMargin),
     QueryDef("q49_asof_custom_op", q49AsofCustomOp _,
       """SELECT p.event_id,
         |  strftime((SELECT max(s.ts) FROM events s
