@@ -191,6 +191,14 @@ object Dedup {
       .distinct()
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
+    // convergence probe: min-label propagation only ever DECREASES a
+    // doc's rep, so the label sum is strictly monotone — unchanged sum
+    // ⟺ fixpoint. One aggregation per round instead of a self-join
+    // (decimal sum: a long sum of 10^12-scale ids would overflow, and
+    // ANSI mode makes that a runtime error, not a wrap)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(20,0)")).as("s")).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 10) {
@@ -198,17 +206,16 @@ object Dedup {
         .join(labels, edges("id_b") === labels("doc_id"))
         .select(edges("id_a").as("doc_id"), col("rep"))
       // localCheckpoint truncates lineage: each round references the
-      // previous labels twice (union + convergence join), so without it
-      // the recomputed plan doubles per iteration
+      // previous labels twice (union + convergence probe), so without
+      // it the recomputed plan doubles per iteration
       val next = labels.select(col("doc_id"), col("rep"))
         .union(viaEdges)
         .groupBy(col("doc_id")).agg(min(col("rep")).as("rep"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.doc_id") === col("l.doc_id"))
-        .filter(col("n.rep") =!= col("l.rep")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     labels.select(col("doc_id"), col("rep").as("cluster_rep"))

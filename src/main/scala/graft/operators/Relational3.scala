@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -183,6 +184,38 @@ object Relational3 {
           s => s.startsWith("s"))).as("s_word"))
       .orderBy(col("p_partkey"), col("s_word"))
 
+  /** Correlated EXISTS / NOT EXISTS — q39 covers IN / NOT IN; these
+    * decorrelate to semi/anti joins (never a per-row subquery loop).
+    */
+  def q53ExistsCorrelated(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer_ex")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_ex")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM v_customer_ex c
+        |WHERE EXISTS (SELECT 1 FROM v_orders_ex o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM v_orders_ex o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** IGNORE NULLS window semantics: carry the most recent non-null
+    * price forward (gap-fill / last-observation-carried-forward — the
+    * time-series imputation primitive).
+    */
+  def q54IgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 2000)
+      .withColumn("p", when(col("o_orderkey") % 3 === 0, lit(null))
+        .otherwise(round(col("o_totalprice"), 2)))
+      .select(col("o_custkey"), col("o_orderkey"), col("p"),
+        last(col("p"), ignoreNulls = true).over(w).as("last_known"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
@@ -209,6 +242,23 @@ object Relational3 {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS rev_30d
         |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    QueryDef("q53_exists_correlated", q53ExistsCorrelated _,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+    QueryDef("q54_ignore_nulls", q54IgnoreNulls _,
+      """SELECT o_custkey, o_orderkey, p,
+        |  last_value(p IGNORE NULLS) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_known
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |      ELSE round(o_totalprice, 2) END AS p
+        |  FROM orders WHERE o_orderkey <= 2000)
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
     QueryDef("q50_unpivot", q50Unpivot _,
       """WITH b AS (
