@@ -52,6 +52,68 @@ class ScaleBehaviorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bloom filter row pruning: no false negatives, real pruning") {
+    // the mechanism behind Spark's runtime bloom-filter join pruning,
+    // exercised through the public stat API: build a sketch over the
+    // dim keys, broadcast it, prune the fact side before the shuffle
+    val dimKeys = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"))
+    val fact = Tables.lineitem(spark, sf0001)
+    val pruned = fact.filter(
+      BloomSupport.mightContain(spark, dimKeys, "o_orderkey")(col("l_orderkey")))
+    val exact = fact.join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val prunedKeys = pruned.select("l_orderkey").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val exactKeys = exact.select("l_orderkey").distinct().collect()
+      .map(_.getLong(0)).toSet
+    // a bloom filter may admit false positives, NEVER false negatives
+    assert(exactKeys.subsetOf(prunedKeys))
+    // and it must actually prune at this selectivity
+    val total = fact.select("l_orderkey").distinct().count()
+    assert(prunedKeys.size < total,
+      s"no pruning: ${prunedKeys.size} of $total keys pass")
+  }
+
+  test("parquet schema evolution: mergeSchema unions column sets") {
+    val base = java.nio.file.Files.createTempDirectory("evolve").toString
+    try {
+      import spark.implicits._
+      Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$base/t/p=1")
+      Seq((2L, 3.5)).toDF("id", "v2").write.parquet(s"$base/t/p=2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+      assert(merged.columns.toSet === Set("id", "v1", "v2", "p"))
+      val rows = merged.orderBy("id").collect()
+      assert(rows(0).getAs[String]("v1") === "a" && rows(0).isNullAt(merged.columns.indexOf("v2")))
+      assert(rows(1).getAs[Double]("v2") === 3.5 && rows(1).isNullAt(merged.columns.indexOf("v1")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  test("malformed CSV rows are quarantined, not silently dropped (PERMISSIVE)") {
+    val base = java.nio.file.Files.createTempDirectory("badcsv").toString
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/data.csv"),
+        "1,alpha,10.5\n2,beta,not_a_number\n3,gamma,7.25\n")
+      val schema = "id LONG, name STRING, score DOUBLE, _corrupt STRING"
+      val df = spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(base)
+      // caching avoids the Spark caveat that a query touching ONLY the
+      // corrupt column over raw parsed rows is disallowed
+      df.cache().count()
+      val bad = df.filter(col("_corrupt").isNotNull).collect()
+      assert(bad.length === 1 && bad.head.getAs[String]("_corrupt").contains("not_a_number"))
+      assert(df.filter(col("_corrupt").isNull).count() === 2)
+      df.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("AQE splits a skewed shuffle partition (skew=true in final SMJ)") {
     import spark.implicits._
     // 95% of rows share one key — the classic straggler shape
@@ -78,5 +140,20 @@ class ScaleBehaviorSpec extends AnyFunSuite with SparkTestBase {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
     }
+  }
+}
+
+/** Top-level so the UDF closure captures only the broadcast, never the
+  * ScalaTest suite (TaskNotSerializable).
+  */
+object BloomSupport {
+  def mightContain(spark: org.apache.spark.sql.SparkSession,
+      keys: org.apache.spark.sql.DataFrame, keyCol: String)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val bf = keys.stat.bloomFilter(keyCol, 1000, 0.03)
+    val b = spark.sparkContext.broadcast(bf)
+    val f = org.apache.spark.sql.functions.udf(
+      (k: Long) => b.value.mightContainLong(k))
+    c => f(c)
   }
 }
