@@ -36,28 +36,33 @@ object Bench {
       force(SparkEntry.queries("sim_topk_bruteforce")(spark, sfDir))
     } catch { case _: Throwable => () }
 
-    val errors = scala.collection.mutable.ListBuffer.empty[String]
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // per-lane error lists: a timing is only trustworthy in the lane
+    // where the query succeeded — a failed query must not masquerade as
+    // a fast one, and a lane-2-only failure must not poison lane 1
+    def pass(errors: scala.collection.mutable.ListBuffer[String])
+        : Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { force(fn(spark, sfDir)) } catch { case e: Throwable =>
-        // a failed query must not masquerade as a fast one
-        if (!errors.contains(name)) errors += name
+        errors += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val errCold = scala.collection.mutable.ListBuffer.empty[String]
+    val errWarm = scala.collection.mutable.ListBuffer.empty[String]
     // lane 1: first run after session warmup (comparable to round 1)
-    val results = pass()
+    val results = pass(errCold)
     // lane 2: steady state — a second run of every query. At these scale
     // factors per-query noop-job overhead dominates lane 1; the warm lane
     // is what makes round-over-round perf deltas meaningful.
-    val warm = pass()
+    val warm = pass(errWarm)
     def fmt(m: Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def fmtE(e: Seq[String]) = e.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = fmtE((errCold ++ errWarm).distinct.toSeq)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"total_warm":$totalWarm,"queries_warm":${fmt(warm)},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"total_warm":$totalWarm,"queries_warm":${fmt(warm)},"errors":$errs,"errors_cold":${fmtE(errCold.toSeq)},"errors_warm":${fmtE(errWarm.toSeq)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,6 +36,16 @@ object Tables {
   def rate(c: Column): Column = c.cast(DecimalType(4, 2))
   def sumMoney(c: Column): Column = sum(money(c)).cast("double")
 
+  /** Engine-stable 4-decimal rounding: `floor(x·10⁴ + 0.5)/10⁴` is the
+    * same IEEE op sequence in Spark and DuckDB, so identical input
+    * doubles give identical output — unlike round(), whose half-up
+    * implementations diverge when the true value sits exactly on a
+    * 0.00005 boundary (as rationals like 567/4000 routinely do). The
+    * single definition here keeps every operator module and its DuckDB
+    * oracle twin on the same idiom.
+    */
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -197,7 +197,10 @@ object Dedup {
     // (decimal sum: a long sum of 10^12-scale ids would overflow, and
     // ANSI mode makes that a runtime error, not a wrap)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(20,0)")).as("s")).head().getDecimal(0)
+      // sum over an EMPTY labels frame (no candidate pairs at all) is
+      // null — normalize so the probe converges instead of NPEing
+      Option(df.agg(sum(col("rep").cast("decimal(20,0)")).as("s"))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -13,7 +13,7 @@ import graft.{QueryDef, Tables}
 object Pipeline {
 
   private def toks(c: org.apache.spark.sql.Column) = split(lower(c), " ", -1)
-  private def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+  private def r4(c: org.apache.spark.sql.Column) = Tables.r4(c)
 
   /** Quality-filter pipeline: score every document (token count,
     * stopword ratio), rank within source, keep the top 10 per source.

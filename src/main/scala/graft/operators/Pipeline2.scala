@@ -14,7 +14,7 @@ import graft.{QueryDef, Tables}
 object Pipeline2 {
 
   private def toks(c: Column) = split(lower(c), " ", -1)
-  private def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+  private def r4(c: Column) = Tables.r4(c)
 
   /** Tokens per training bin (≈ a shard of packed sequences). */
   val PackBudget = 2048
@@ -66,12 +66,15 @@ object Pipeline2 {
   def pipelineRedact(spark: SparkSession, dir: String): DataFrame = {
     val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
     val digits = "[0-9]+"
+    // n_nums counts against the email-scrubbed INTERMEDIATE, so digits
+    // inside an address (already replaced as part of <EMAIL>) are not
+    // double-counted — the audit numbers match the replacements made
+    val emailScrubbed = regexp_replace(col("props"), email, "<EMAIL>")
     Tables.events(spark, dir)
       .select(col("event_id"),
-        regexp_replace(regexp_replace(col("props"), email, "<EMAIL>"),
-          digits, "<NUM>").as("scrubbed"),
+        regexp_replace(emailScrubbed, digits, "<NUM>").as("scrubbed"),
         regexp_count(col("props"), lit(email)).cast("long").as("n_emails"),
-        regexp_count(col("props"), lit(digits)).cast("long").as("n_nums"))
+        regexp_count(emailScrubbed, lit(digits)).cast("long").as("n_nums"))
       .orderBy(col("event_id"))
   }
 
@@ -126,7 +129,9 @@ object Pipeline2 {
         |    '[0-9]+', '<NUM>', 'g') AS scrubbed,
         |  len(regexp_extract_all(props,
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(props, '[0-9]+')) AS n_nums
+        |  len(regexp_extract_all(regexp_replace(props,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+')) AS n_nums
         |FROM events ORDER BY event_id""".stripMargin),
     QueryDef("text_repetition", textRepetition _,
       """SELECT doc_id,

@@ -47,7 +47,10 @@ object Relational3 {
       .agg(
         count(lit(1)).as("n_suppliers"),
         sum(Tables.money(col("s_acctbal"))).cast("double").as("total_bal"),
-        round(avg(col("s_acctbal")), 2).as("avg_bal"),
+        // exact-decimal sum / count so both engines divide identical
+        // doubles — round(avg(double), 2) sits on half-cent knife-edges
+        round(sum(Tables.money(col("s_acctbal"))).cast("double")
+          / count(lit(1)), 2).as("avg_bal"),
         sum(when(col("s_acctbal") < 0, 1).otherwise(0)).cast("long").as("n_negative"))
       .orderBy(col("n_name"))
 
@@ -231,7 +234,8 @@ object Relational3 {
     QueryDef("q45_supplier_balance", q45SupplierBalance _,
       """SELECT n_name, count(*) AS n_suppliers,
         |  cast(sum(cast(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
-        |  round(avg(s_acctbal), 2) AS avg_bal,
+        |  round(cast(sum(cast(s_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    / count(*), 2) AS avg_bal,
         |  cast(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin),

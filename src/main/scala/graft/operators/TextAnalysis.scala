@@ -15,13 +15,7 @@ object TextAnalysis {
 
   private def toks(c: Column): Column = split(lower(c), " ", -1)
 
-  /** Engine-stable 4-decimal rounding: `floor(x·10⁴ + 0.5)/10⁴` is the
-    * same IEEE op sequence in Spark and DuckDB, so identical input
-    * doubles give identical output — unlike round(), whose half-up
-    * implementations diverge when the true value sits exactly on a
-    * 0.00005 boundary (as rationals like 567/4000 routinely do).
-    */
-  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
+  private def r4(c: Column): Column = Tables.r4(c)
 
   private val Stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")

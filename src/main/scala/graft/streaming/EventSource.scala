@@ -80,15 +80,7 @@ object KafkaShaped {
       to_json(
         struct(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props")),
-        jsonOpts.asJava).cast("binary").as("value"))
-
-  private implicit class MapOps(m: Map[String, String]) {
-    def asJava: java.util.Map[String, String] = {
-      val jm = new java.util.HashMap[String, String]()
-      m.foreach { case (k, v) => jm.put(k, v) }
-      jm
-    }
-  }
+        jsonOpts).cast("binary").as("value"))
 }
 
 /** A directory of parquet files whose rows are Kafka-WIRE records

@@ -141,6 +141,17 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     labels.foreach(r => assert(r.getLong(1) === 0L))
   }
 
+  test("dedup_clusters on a corpus with zero candidate pairs is empty, not a crash") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nodups").toString
+    // fully distinct shingle sets → no LSH candidates → empty edge set
+    (0L until 50L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(Dedup.dedupMinhashLsh(spark, tmp).collect().isEmpty)
+    assert(Dedup.dedupClusters(spark, tmp).collect().isEmpty)
+  }
+
   test("exact dedup groups partition the table") {
     val docs = Tables.documents(spark, sf0001).count()
     val groups = Dedup.dedupExact(spark, sf0001)
