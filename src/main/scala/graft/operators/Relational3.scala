@@ -219,6 +219,49 @@ object Relational3 {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** LATERAL correlated derived table: per-priority top order — the
+    * SQL-surface twin of the window top-k (q6), decorrelated by
+    * Catalyst into a join, never a per-row re-execution.
+    */
+  def q55LateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_lat")
+    spark.sql(
+      """SELECT p.o_orderpriority, t.o_orderkey, t.price
+        |FROM (SELECT DISTINCT o_orderpriority FROM v_orders_lat) p,
+        |LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM v_orders_lat o
+        |  WHERE o.o_orderpriority = p.o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY p.o_orderpriority""".stripMargin)
+  }
+
+  /** WITH RECURSIVE (new in Spark 4): a recursively generated month
+    * axis left-joined to 1995 monthly order counts, empty months
+    * zero-visible — the recursive-CTE surface with a data-grounded use.
+    */
+  def q56RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_rec")
+    spark.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+        |SELECT m, count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN v_orders_rec
+        |  ON month(cast(o_orderdate AS DATE)) = m
+        |  AND year(cast(o_orderdate AS DATE)) = 1995
+        |GROUP BY m ORDER BY m""".stripMargin)
+  }
+
+  /** width_bucket histogram: fixed-width price buckets with per-bucket
+    * bounds — the one-pass distributed histogram shape.
+    */
+  def q57WidthBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(expr("width_bucket(o_totalprice, 0.0, 600000.0, 12)").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
@@ -247,6 +290,33 @@ object Relational3 {
         |    AS DOUBLE) AS rev_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    QueryDef("q55_lateral_topk", q55LateralTopk _,
+      """SELECT p.o_orderpriority, t.o_orderkey, t.price
+        |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        |LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders o
+        |  WHERE o.o_orderpriority = p.o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY p.o_orderpriority""".stripMargin),
+    QueryDef("q56_recursive_cte", q56RecursiveCte _,
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12)
+        |SELECT m, count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON month(cast(o_orderdate AS DATE)) = m
+        |  AND year(cast(o_orderdate AS DATE)) = 1995
+        |GROUP BY m ORDER BY m""".stripMargin),
+    // DuckDB 1.0 has no width_bucket; the oracle spells out the same
+    // arithmetic (width = 600000/12 = 50000 exactly, so the FP division
+    // sequence is identical in both engines)
+    QueryDef("q57_width_bucket", q57WidthBucket _,
+      """SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |    WHEN o_totalprice >= 600000 THEN 13
+        |    ELSE cast(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
     QueryDef("q53_exists_correlated", q53ExistsCorrelated _,
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -148,6 +148,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("RocksDB state store backend produces identical windowed results") {
+    // HDFSBackedStateStore keeps all state on-heap — fine for tests,
+    // not for 100 TB streaming state. RocksDB is the scale backend;
+    // results must be byte-identical under it.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = StreamingQueries.streamTumbling(spark, sf0001).collect()
+      spark.conf.unset(key)
+      val heap = StreamingQueries.streamTumbling(spark, sf0001).collect()
+      assert(rocks.toSeq === heap.toSeq)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream_session: session count and event conservation") {
     val sessions = StreamingQueries.streamSession(spark, sf0001).collect()
     val totalEvents = sessions.map(_.getLong(2)).sum
