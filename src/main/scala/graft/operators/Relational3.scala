@@ -262,6 +262,21 @@ object Relational3 {
         round(max(col("o_totalprice")), 2).as("hi"))
       .orderBy(col("bucket"))
 
+  /** Fuzzy string matching: edit distance and a length-normalized
+    * similarity — the record-linkage primitive next to the shingle/
+    * minhash tiers (exact char-level distance where those are set-level).
+    */
+  def q58Fuzzy(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).cast("long").as("edit_dist"),
+        Tables.r4(lit(1.0) -
+          levenshtein(col("p_name"), col("p_type")).cast("double")
+            / greatest(length(col("p_name")), length(col("p_type"))).cast("double"))
+          .as("sim"))
+      .orderBy(col("p_partkey"))
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
@@ -290,6 +305,12 @@ object Relational3 {
         |    AS DOUBLE) AS rev_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    QueryDef("q58_fuzzy", q58Fuzzy _,
+      """SELECT p_partkey,
+        |  cast(levenshtein(p_name, p_type) AS BIGINT) AS edit_dist,
+        |  floor((1.0 - cast(levenshtein(p_name, p_type) AS DOUBLE)
+        |    / greatest(length(p_name), length(p_type))) * 10000 + 0.5) / 10000 AS sim
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin),
     QueryDef("q55_lateral_topk", q55LateralTopk _,
       """SELECT p.o_orderpriority, t.o_orderkey, t.price
         |FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
