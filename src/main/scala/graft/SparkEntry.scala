@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Pipeline, Pipeline2, Relational, Relational2, Relational3, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Dedup, Embeddings, Multimodal, Pipeline, Pipeline2, Relational, Relational2, Relational3, Similarity, TextAnalysis, WordCount}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -70,7 +70,7 @@ object SparkEntry {
       Relational3.registry ++
       Similarity.registry ++ Dedup.registry ++ TextAnalysis.registry ++
       Multimodal.registry ++ StreamingQueries.registry ++ Pipeline.registry ++
-      Pipeline2.registry
+      Pipeline2.registry ++ Embeddings.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

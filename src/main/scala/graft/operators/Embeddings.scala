@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Embedding-preparation operators over `embeddings` — the vector-side
+  * half of a training/serving pipeline (the similarity/ANN tiers query
+  * vectors; these CONDITION them). Everything is built-in-function
+  * composition, so it stays a narrow codegen'd map over the corpus with
+  * no shuffle before the output sort.
+  *
+  * Float discipline: embeddings are float32 on disk; both engines cast
+  * to double before arithmetic, and array folds are LEFT folds in both
+  * (Spark `aggregate`, DuckDB `list_reduce`-style sums), so the IEEE op
+  * sequences match; results are pinned with the engine-stable floor
+  * rounding (Tables.r4).
+  */
+object Embeddings {
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** L2 normalization summary: the vector norm, the first normalized
+    * component, and a conservation check (norm of the normalized vector
+    * rounds to 1 unless the input is the zero vector).
+    */
+  def embNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecD(col("embedding"))
+    val norm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        Tables.r4(norm).as("l2_norm"),
+        Tables.r4(element_at(v, 1) / norm).as("first_component"),
+        size(col("embedding")).cast("long").as("dim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Symmetric int8 quantization: scale = 127 / max|x|, q_i =
+    * floor(x_i·scale + 0.5) — the storage/serving compression step.
+    * Output is the per-vector scale plus exact integer checksums
+    * (sum and count-at-saturation), which pin every quantized value
+    * without shipping the array through the comparator.
+    */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecD(col("embedding"))
+    val maxAbs = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / maxAbs
+    val q = transform(v, x => floor(x * scale + 0.5).cast("long"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        Tables.r4(scale).as("scale"),
+        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+        size(filter(q, x => abs(x) === 127)).cast("long").as("n_saturated"))
+      .orderBy(col("vec_id"))
+  }
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("emb_normalize", embNormalize _,
+      """SELECT vec_id,
+        |  floor(sqrt(list_sum(list_transform(embedding,
+        |    x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))) * 10000 + 0.5)
+        |    / 10000 AS l2_norm,
+        |  floor(cast(embedding[1] AS DOUBLE)
+        |    / sqrt(list_sum(list_transform(embedding,
+        |      x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))) * 10000 + 0.5)
+        |    / 10000 AS first_component,
+        |  len(embedding) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+    QueryDef("emb_quantize", embQuantize _,
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    127.0 / list_max(list_transform(embedding,
+        |      x -> abs(cast(x AS DOUBLE)))) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  floor(scale * 10000 + 0.5) / 10000 AS scale,
+        |  cast(list_sum(list_transform(embedding,
+        |    x -> cast(floor(cast(x AS DOUBLE) * scale + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS q_sum,
+        |  cast(len(list_filter(embedding,
+        |    x -> abs(floor(cast(x AS DOUBLE) * scale + 0.5)) = 127))
+        |    AS BIGINT) AS n_saturated
+        |FROM s ORDER BY vec_id""".stripMargin)
+  )
+}

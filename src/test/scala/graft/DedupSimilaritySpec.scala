@@ -152,6 +152,23 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.dedupClusters(spark, tmp).collect().isEmpty)
   }
 
+  test("embedding quantization checksums match a driver-side recompute") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val rows = graft.operators.Embeddings.embQuantize(spark, sf0001).collect()
+    assert(rows.length === vecs.size)
+    rows.foreach { r =>
+      val v = vecs(r.getLong(0)).map(_.toDouble)
+      val scale = 127.0 / v.map(math.abs).max
+      val q = v.map(x => math.floor(x * scale + 0.5).toLong)
+      assert(r.getLong(2) === q.sum, s"q_sum mismatch for vec ${r.getLong(0)}")
+      assert(r.getLong(3) === q.count(x => math.abs(x) == 127))
+      // quantized values stay in int8 range by construction
+      assert(q.forall(x => x >= -127 && x <= 127))
+    }
+  }
+
   test("exact dedup groups partition the table") {
     val docs = Tables.documents(spark, sf0001).count()
     val groups = Dedup.dedupExact(spark, sf0001)
