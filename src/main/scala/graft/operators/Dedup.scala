@@ -225,8 +225,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The end product of the dedup family: the corpus with BOTH exact
+    * duplicates and near-dup cluster non-representatives removed —
+    * what actually ships to tokenization. Exact tier first (cheap
+    * digest groupBy), then the near-dup clusters from the LSH tier;
+    * a doc survives iff it is its exact-group minimum AND (not in any
+    * near-dup cluster, or that cluster's representative). Anti-join
+    * against the (tiny) removal set broadcasts at any corpus size.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exactKeep = dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
+    val nearDupLosers = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    docs.join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef.noOracle("dedup_clusters", dedupClusters _),
+    QueryDef.noOracle("dedup_survivors", dedupSurvivors _),
     QueryDef("dedup_exact", dedupExact _,
       """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -152,6 +152,29 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.dedupClusters(spark, tmp).collect().isEmpty)
   }
 
+  test("dedup_survivors: removals are accounted, every loser keeps a surviving rep") {
+    val all = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val survivors = Dedup.dedupSurvivors(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(all))
+    val exactKeep = Dedup.dedupExact(spark, sf0001).collect()
+      .map(_.getLong(1)).toSet
+    val clusters = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val losers = clusters.collect { case (d, rep) if d != rep => d }.toSet
+    // the definition, recomputed set-wise
+    assert(survivors === (exactKeep -- losers))
+    // every removed near-dup's representative survives the near-dup
+    // tier (it may itself lose to the exact tier only if it is not an
+    // exact-group minimum, which can't happen: reps are cluster minima
+    // and exact-dup groups share identical text, hence identical
+    // clusters)
+    clusters.foreach { case (d, rep) =>
+      if (d != rep) assert(!losers.contains(rep))
+    }
+  }
+
   test("embedding quantization checksums match a driver-side recompute") {
     val vecs = Tables.embeddings(spark, sf0001)
       .select("vec_id", "embedding").collect()
