@@ -23,7 +23,9 @@ object PlanAudit {
       "sim_ann_ivf", "mm_scene_cuts",
       "q44_supplier_revenue", "q46_range_frame", "q47_salted_join",
       "pipeline_contamination", "pipeline_pack_sequences",
-      "pipeline_redact", "text_repetition")
+      "pipeline_redact", "text_repetition",
+      "emb_quantize", "dedup_survivors", "q55_lateral_topk",
+      "q56_recursive_cte", "q57_width_bucket")
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
