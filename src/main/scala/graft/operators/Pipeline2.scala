@@ -63,18 +63,26 @@ object Pipeline2 {
     * trail a PII pass must emit). Pure codegen'd regexp work — scales
     * as a narrow map over the corpus, no shuffle until the ORDER BY.
     */
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val DigitsRe = "[0-9]+"
+
+  /** The redaction transform itself — exposed for the idempotency spec
+    * (placeholders contain no digits or addresses, so a second pass is
+    * the identity).
+    */
+  private[graft] def scrub(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), DigitsRe, "<NUM>")
+
   def pipelineRedact(spark: SparkSession, dir: String): DataFrame = {
-    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-    val digits = "[0-9]+"
     // n_nums counts against the email-scrubbed INTERMEDIATE, so digits
     // inside an address (already replaced as part of <EMAIL>) are not
     // double-counted — the audit numbers match the replacements made
-    val emailScrubbed = regexp_replace(col("props"), email, "<EMAIL>")
+    val emailScrubbed = regexp_replace(col("props"), EmailRe, "<EMAIL>")
     Tables.events(spark, dir)
       .select(col("event_id"),
-        regexp_replace(emailScrubbed, digits, "<NUM>").as("scrubbed"),
-        regexp_count(col("props"), lit(email)).cast("long").as("n_emails"),
-        regexp_count(emailScrubbed, lit(digits)).cast("long").as("n_nums"))
+        regexp_replace(emailScrubbed, DigitsRe, "<NUM>").as("scrubbed"),
+        regexp_count(col("props"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(emailScrubbed, lit(DigitsRe)).cast("long").as("n_nums"))
       .orderBy(col("event_id"))
   }
 

@@ -152,6 +152,33 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.dedupClusters(spark, tmp).collect().isEmpty)
   }
 
+  test("bucket cap preserves recall: uncapped verified pairs stay cluster-connected") {
+    // reconstruct the pre-cap candidate set: plain all-pairs self-join
+    // on the banded signature stream, then the same jaccard >= 0.2 gate
+    val banded = Dedup.bandedMinhashPublic(Tables.documents(spark, sf0001))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byBucket = banded.groupBy(t => (t._2, t._3)).values
+    val uncappedCandidates = byBucket.flatMap { rows =>
+      val ids = rows.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+    }.toSet
+    val shingleSets = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Dedup.shinglesPublic(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (shingleSets(a), shingleSets(b))
+      if (x.isEmpty && y.isEmpty) 0.0
+      else (x & y).size.toDouble / (x | y).size.toDouble
+    }
+    val uncappedVerified = uncappedCandidates.filter { case (a, b) => jac(a, b) >= 0.2 }
+    val labels = Dedup.dedupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    uncappedVerified.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b) && labels(a) === labels(b),
+        s"pair ($a,$b) lost by the capped path")
+    }
+  }
+
   test("dedup_survivors: removals are accounted, every loser keeps a surviving rep") {
     val all = Tables.documents(spark, sf0001).select("doc_id").collect()
       .map(_.getLong(0)).toSet

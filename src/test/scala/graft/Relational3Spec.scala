@@ -49,6 +49,22 @@ class Relational3Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("redaction is idempotent: a second scrub pass is the identity") {
+    import spark.implicits._
+    val samples = Seq(
+      "reach me at jane.doe+spam@mail.example.org or call 555-0199",
+      "no pii here at all",
+      "ids 123 456 and a@b.co plus trailing 7",
+      "<EMAIL> already scrubbed <NUM> stays put",
+      "")
+    val df = samples.toDF("s")
+    val once = df.select(Pipeline2.scrub(col("s")).as("v")).collect().map(_.getString(0))
+    val twice = df.select(Pipeline2.scrub(Pipeline2.scrub(col("s"))).as("v"))
+      .collect().map(_.getString(0))
+    assert(once.toSeq === twice.toSeq)
+    assert(once(0) === "reach me at <EMAIL> or call <NUM>-<NUM>")
+  }
+
   test("contamination: flagged docs are outside the eval slice and truly overlap") {
     val flagged = Pipeline2.pipelineContamination(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
