@@ -22,19 +22,44 @@ object Pipeline2 {
   /** Sequence packing: assign documents (deterministic doc_id order,
     * per language) to fixed-token-budget bins by exclusive running sum —
     * the operator that turns a deduped corpus into training shards.
-    * One window shuffle on lang; at 100 TB the partition key would be
-    * (lang, shard_range) and the cumsum runs per range — the bin ids
-    * stay deterministic because they derive from doc order, not
-    * physical placement.
+    *
+    * Implemented as a DISTRIBUTED PREFIX SUM, not one window per
+    * language: a `Window.partitionBy(lang)` would serialize each
+    * language's entire corpus through a single task (5 languages ⇒ 5
+    * tasks at 100 TB — the straggler that kills the naive plan). Here:
+    *   1. docs land in order-preserving doc_id range buckets;
+    *   2. per-(lang, bucket) token totals — a tiny frame — get
+    *      exclusive per-lang offsets (window over langs × buckets rows);
+    *   3. the in-bucket running sum (parallelism = langs × buckets)
+    *      plus the broadcast offset is the global cumsum.
+    * Same output as the single-window formulation (the oracle computes
+    * exactly that), linear parallelism in the bucket count.
     */
   def pipelinePackSequences(spark: SparkSession, dir: String): DataFrame = {
     val nToks = size(filter(toks(col("text")), s => s =!= "")).cast("long")
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), nToks.as("n_toks"))
-      .withColumn("cum_toks", sum(col("n_toks")).over(w))
+    // order-preserving bucketing needs doc_id ranges, not hashes; the
+    // 2-value bounds agg is the same legitimate driver-side footprint
+    // as IVF's centroid state
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val nBuckets = 32L
+    val width = math.max(1L, (hi - lo) / nBuckets + 1L)
+    val bucketed = docs.withColumn("bkt", ((col("doc_id") - lo) / width).cast("long"))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = bucketed.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_toks")).as("bkt_toks"))
+      .withColumn("offset", coalesce(sum(col("bkt_toks")).over(wOff), lit(0L)))
+      .select(col("lang"), col("bkt"), col("offset"))
+    val wIn = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), Seq("lang", "bkt"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(wIn) + col("offset"))
       .withColumn("bin", expr(s"(cum_toks - n_toks) div $PackBudget"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_toks"), col("bin"))
       .orderBy(col("lang"), col("doc_id"))
   }
 
