@@ -49,6 +49,17 @@ class Relational3Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("low-cardinality top-k windows get WindowGroupLimit (partial limit pre-shuffle)") {
+    // quality filter ranks within ~20 sources; without Spark 4's
+    // WindowGroupLimit the rank window would serialize each source
+    // through one task at 100 TB. The rn<=10 filter must trigger the
+    // partial per-partition limit so only k rows per source ship.
+    val df = operators.Pipeline.pipelineQualityFilter(spark, sf001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no partial limit in:\n$plan")
+  }
+
   test("redaction is idempotent: a second scrub pass is the identity") {
     import spark.implicits._
     val samples = Seq(
