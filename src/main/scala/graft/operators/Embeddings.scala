@@ -21,8 +21,9 @@ object Embeddings {
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** L2 normalization summary: the vector norm, the first normalized
-    * component, and a conservation check (norm of the normalized vector
-    * rounds to 1 unless the input is the zero vector).
+    * component (NULL for a zero vector — ANSI mode would otherwise
+    * throw DIVIDE_BY_ZERO, while the oracle's x/0 is NULL in DuckDB),
+    * and the dimension.
     */
   def embNormalize(spark: SparkSession, dir: String): DataFrame = {
     val v = vecD(col("embedding"))
@@ -30,7 +31,7 @@ object Embeddings {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         Tables.r4(norm).as("l2_norm"),
-        Tables.r4(element_at(v, 1) / norm).as("first_component"),
+        Tables.r4(try_divide(element_at(v, 1), norm)).as("first_component"),
         size(col("embedding")).cast("long").as("dim"))
       .orderBy(col("vec_id"))
   }
@@ -44,13 +45,16 @@ object Embeddings {
   def embQuantize(spark: SparkSession, dir: String): DataFrame = {
     val v = vecD(col("embedding"))
     val maxAbs = array_max(transform(v, x => abs(x)))
-    val scale = lit(127.0) / maxAbs
+    // a zero vector has no scale: guard explicitly (ANSI division by
+    // zero throws) — scale and q_sum go NULL, nothing saturates
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs)
     val q = transform(v, x => floor(x * scale + 0.5).cast("long"))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         Tables.r4(scale).as("scale"),
-        aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-        size(filter(q, x => abs(x) === 127)).cast("long").as("n_saturated"))
+        when(maxAbs > 0, aggregate(q, lit(0L), (a, x) => a + x)).as("q_sum"),
+        when(maxAbs > 0, size(filter(q, x => abs(x) === 127)))
+          .otherwise(0).cast("long").as("n_saturated"))
       .orderBy(col("vec_id"))
   }
 
@@ -74,12 +78,14 @@ object Embeddings {
         |  FROM embeddings)
         |SELECT vec_id,
         |  floor(scale * 10000 + 0.5) / 10000 AS scale,
-        |  cast(list_sum(list_transform(embedding,
-        |    x -> cast(floor(cast(x AS DOUBLE) * scale + 0.5) AS BIGINT)))
-        |    AS BIGINT) AS q_sum,
-        |  cast(len(list_filter(embedding,
-        |    x -> abs(floor(cast(x AS DOUBLE) * scale + 0.5)) = 127))
-        |    AS BIGINT) AS n_saturated
+        |  CASE WHEN scale IS NULL THEN NULL
+        |    ELSE cast(list_sum(list_transform(embedding,
+        |      x -> cast(floor(cast(x AS DOUBLE) * scale + 0.5) AS BIGINT)))
+        |      AS BIGINT) END AS q_sum,
+        |  CASE WHEN scale IS NULL THEN 0
+        |    ELSE cast(len(list_filter(embedding,
+        |      x -> abs(floor(cast(x AS DOUBLE) * scale + 0.5)) = 127))
+        |      AS BIGINT) END AS n_saturated
         |FROM s ORDER BY vec_id""".stripMargin)
   )
 }

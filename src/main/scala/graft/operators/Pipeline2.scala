@@ -37,12 +37,23 @@ object Pipeline2 {
     */
   def pipelinePackSequences(spark: SparkSession, dir: String): DataFrame = {
     val nToks = size(filter(toks(col("text")), s => s =!= "")).cast("long")
+    // checkpoint the tokenized narrow frame: it feeds both the offsets
+    // aggregation and the join side, and uncheckpointed lineage would
+    // re-tokenize the full corpus per side (same idiom as the minhash
+    // signature stream)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), nToks.as("n_toks"))
+      .localCheckpoint()
     // order-preserving bucketing needs doc_id ranges, not hashes; the
     // 2-value bounds agg is the same legitimate driver-side footprint
     // as IVF's centroid state
     val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (bounds.isNullAt(0)) {
+      // empty corpus: null min/max — return the empty frame with the
+      // output schema instead of NPEing on getLong
+      return docs.select(col("doc_id"), col("lang"), col("n_toks"),
+        col("n_toks").as("cum_toks"), col("n_toks").as("bin"))
+    }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val nBuckets = 32L
     val width = math.max(1L, (hi - lo) / nBuckets + 1L)
@@ -105,7 +116,7 @@ object Pipeline2 {
     val emailScrubbed = regexp_replace(col("props"), EmailRe, "<EMAIL>")
     Tables.events(spark, dir)
       .select(col("event_id"),
-        regexp_replace(emailScrubbed, DigitsRe, "<NUM>").as("scrubbed"),
+        scrub(col("props")).as("scrubbed"),
         regexp_count(col("props"), lit(EmailRe)).cast("long").as("n_emails"),
         regexp_count(emailScrubbed, lit(DigitsRe)).cast("long").as("n_nums"))
       .orderBy(col("event_id"))

@@ -60,6 +60,16 @@ class Relational3Spec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"no partial limit in:\n$plan")
   }
 
+  test("pack sequences on an empty corpus returns an empty frame, not an NPE") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-emptypack").toString
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+      .write.parquet(s"$tmp/documents.parquet")
+    val out = Pipeline2.pipelinePackSequences(spark, tmp)
+    assert(out.columns.toSeq === Seq("doc_id", "lang", "n_toks", "cum_toks", "bin"))
+    assert(out.collect().isEmpty)
+  }
+
   test("redaction is idempotent: a second scrub pass is the identity") {
     import spark.implicits._
     val samples = Seq(
