@@ -277,6 +277,46 @@ object Relational3 {
           .as("sim"))
       .orderBy(col("p_partkey"))
 
+  /** Batch sessionization — the exact batch twin of the streaming
+    * session window (stream_session shares this oracle's logic): a
+    * session break is >= 30 min of inactivity; session id = running
+    * count of breaks per user. One shuffle on user_id; the windows are
+    * per-user (high cardinality), so no straggler concern.
+    */
+  def q59SessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("is_new",
+        when(lag(col("ts"), 1).over(byUser).isNull
+          || col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double")
+             >= 1800.0, 1).otherwise(0))
+      .withColumn("sid", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** Cohort retention: users cohorted by first-activity week, activity
+    * counted per week offset — the product-analytics matrix, computed
+    * without a self-join: a per-user min window (one shuffle) then one
+    * aggregation.
+    */
+  def q60CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .withColumn("week", date_trunc("week", col("ts")))
+      .withColumn("cohort", min(col("week")).over(wUser))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        ((col("week").cast("long") - col("cohort").cast("long")) / 604800L)
+          .cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
@@ -305,6 +345,34 @@ object Relational3 {
         |    AS DOUBLE) AS rev_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    QueryDef("q59_sessionize_batch", q59SessionizeBatch _,
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         >= INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin),
+    QueryDef("q60_cohort_retention", q60CohortRetention _,
+      """WITH w AS (
+        |  SELECT user_id, date_trunc('week', ts) AS week,
+        |    min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort
+        |  FROM events)
+        |-- DuckDB date_trunc('week') yields DATE, so week - cohort is DAYS
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  cast((week - cohort) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin),
     QueryDef("q58_fuzzy", q58Fuzzy _,
       """SELECT p_partkey,
         |  cast(levenshtein(p_name, p_type) AS BIGINT) AS edit_dist,
