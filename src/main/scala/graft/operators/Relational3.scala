@@ -317,7 +317,29 @@ object Relational3 {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Mergeable HLL sketches (DataSketches): per-day sketches unioned
+    * into per-type estimates beside the exact count — the incremental-
+    * analytics pattern at 100 TB: daily partial sketches are tiny,
+    * re-aggregatable, and never re-scan history. Rows-only (sketch
+    * estimates are impl-parameterized); the spec bounds the error and
+    * pins two-phase union == direct sketch.
+    */
+  def q61HllMergeable(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("est_users"), col("exact_users"))
+      .orderBy(col("event_type"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef.noOracle("q61_hll_mergeable", q61HllMergeable _),
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
         |  cast(sum(cast(l_extendedprice AS DECIMAL(12,2))

@@ -60,6 +60,22 @@ class Relational3Spec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"no partial limit in:\n$plan")
   }
 
+  test("HLL sketches: merged daily estimates within 5% of exact, union == direct") {
+    val rows = Relational3.q61HllMergeable(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+    // mergeability: unioning daily sketches equals sketching directly
+    val direct = Tables.events(spark, sf001)
+      .groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) === direct(r.getString(0))))
+  }
+
   test("pack sequences on an empty corpus returns an empty frame, not an NPE") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-emptypack").toString
