@@ -285,13 +285,15 @@ object Relational3 {
     */
   def q59SessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val run = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exact integer microsecond comparison: a double-seconds cast sits
+    // on a rounding knife-edge at exactly 30 minutes, where the
+    // oracle's INTERVAL comparison is exact
     Tables.events(spark, dir)
       .withColumn("is_new",
         when(lag(col("ts"), 1).over(byUser).isNull
-          || col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double")
-             >= 1800.0, 1).otherwise(0))
+          || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+             >= 1800000000L, 1).otherwise(0))
       .withColumn("sid", sum(col("is_new")).over(run))
       .groupBy(col("user_id"), col("sid"))
       .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
@@ -367,24 +369,10 @@ object Relational3 {
         |    AS DOUBLE) AS rev_30d
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
+    // the batch twin shares the stream_session oracle VERBATIM (one
+    // definition — see StreamingQueries.SessionOracleSql)
     QueryDef("q59_sessionize_batch", q59SessionizeBatch _,
-      """WITH marked AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |         >= INTERVAL '30 minutes'
-        |    THEN 1 ELSE 0 END AS is_new
-        |  FROM events),
-        |sessions AS (
-        |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM marked)
-        |SELECT user_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  count(*) AS n_events
-        |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin),
+      graft.streaming.StreamingQueries.SessionOracleSql),
     QueryDef("q60_cohort_retention", q60CohortRetention _,
       """WITH w AS (
         |  SELECT user_id, date_trunc('week', ts) AS week,

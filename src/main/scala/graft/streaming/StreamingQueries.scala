@@ -162,6 +162,29 @@ object StreamingQueries {
     out.orderBy(col("signup_id"), col("purchase_at"))
   }
 
+  /** The sessionization oracle, shared verbatim with the batch twin
+    * (`Relational3.q59SessionizeBatch`) — ONE definition so the
+    * batch/stream parity guarantee can't silently drift.
+    */
+  private[graft] val SessionOracleSql: String =
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         >= INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("stream_stream_join", streamStreamJoin _,
       """SELECT s.event_id AS signup_id,
@@ -186,26 +209,10 @@ object StreamingQueries {
         |  event_type, count(*) AS n
         |FROM events, unnest([0, 1, 2]) AS t(k)
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
-    QueryDef("stream_session", streamSession _,
-      """WITH marked AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |         >= INTERVAL '30 minutes'
-        |    THEN 1 ELSE 0 END AS is_new
-        |  FROM events),
-        |sessions AS (
-        |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM marked)
-        |SELECT user_id,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  count(*) AS n_events
-        |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin),
+    QueryDef("stream_session", streamSession _, SessionOracleSql),
     QueryDef("stream_dedup", streamDedup _,
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin)
   )
+
 }

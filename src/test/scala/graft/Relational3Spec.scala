@@ -68,12 +68,20 @@ class Relational3Spec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(est - exact).toDouble / exact <= 0.05,
         s"${r.getString(0)}: est=$est exact=$exact")
     }
-    // mergeability: unioning daily sketches equals sketching directly
+    // mergeability: unioning daily sketches tracks sketching directly.
+    // NOT exact equality as a law — past the coupon→HLL promotion
+    // (~512 distincts at lgK=12) a union uses the composite estimator
+    // while an unmerged sketch uses HIP, so estimates may differ
+    // slightly; bound the divergence instead
     val direct = Tables.events(spark, sf001)
       .groupBy(col("event_type"))
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    rows.foreach(r => assert(r.getLong(1) === direct(r.getString(0))))
+    rows.foreach { r =>
+      val (merged, one) = (r.getLong(1), direct(r.getString(0)))
+      assert(math.abs(merged - one).toDouble / one <= 0.02,
+        s"${r.getString(0)}: merged=$merged direct=$one")
+    }
   }
 
   test("pack sequences on an empty corpus returns an empty frame, not an NPE") {
