@@ -340,8 +340,26 @@ object Relational3 {
       .orderBy(col("event_type"))
   }
 
+  /** VARIANT (new in Spark 4): parse_json into the open semi-structured
+    * type, extract typed fields with variant_get — the schema-on-read
+    * path for evolving event payloads where a fixed from_json schema
+    * (q16) would break on drift.
+    */
+  def q62Variant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") <= 2000)
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k_val"))
+      .withColumn("k_parity", pmod(col("k_val"), lit(2)))
+      .orderBy(col("event_id"))
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef.noOracle("q61_hll_mergeable", q61HllMergeable _),
+    QueryDef("q62_variant", q62Variant _,
+      """SELECT event_id,
+        |  cast(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  cast(json_extract_string(props, '$.k') AS INT) % 2 AS k_parity
+        |FROM events WHERE event_id <= 2000 ORDER BY event_id""".stripMargin),
     QueryDef("q44_supplier_revenue", q44SupplierRevenue _,
       """SELECT r_name, n_name,
         |  cast(sum(cast(l_extendedprice AS DECIMAL(12,2))
