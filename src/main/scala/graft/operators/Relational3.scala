@@ -353,8 +353,29 @@ object Relational3 {
       .withColumn("k_parity", pmod(col("k_val"), lit(2)))
       .orderBy(col("event_id"))
 
+  /** XML functions (built into Spark 4): serialize each event row to an
+    * XML fragment with to_xml, parse it back with from_xml, extract
+    * typed fields. The oracle computes the same values WITHOUT XML —
+    * pinning that the round-trip is lossless (the q51 str_to_map
+    * pattern, applied to the XML codec).
+    */
+  def q63XmlFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") <= 1000)
+      .select(col("event_id"),
+        expr("to_xml(struct(event_type, user_id))").as("x"))
+      .select(col("event_id"),
+        expr("from_xml(x, 'event_type STRING, user_id BIGINT')").as("p"))
+      .select(col("event_id"),
+        col("p.event_type").as("type_rt"),
+        col("p.user_id").as("uid_rt"))
+      .orderBy(col("event_id"))
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef.noOracle("q61_hll_mergeable", q61HllMergeable _),
+    QueryDef("q63_xml_fns", q63XmlFns _,
+      """SELECT event_id, event_type AS type_rt, user_id AS uid_rt
+        |FROM events WHERE event_id <= 1000 ORDER BY event_id""".stripMargin),
     QueryDef("q62_variant", q62Variant _,
       """SELECT event_id,
         |  cast(json_extract_string(props, '$.k') AS INT) AS k_val,

@@ -17,6 +17,36 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
   private def cleanup(dir: String): Unit =
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
 
+  test("binaryFile source reads raw payloads with metadata (multimodal ingest path)") {
+    // the ingestion shape for image/audio/video corpora: opaque bytes +
+    // path/length metadata, no decode at scan time
+    val df = spark.read.format("binaryFile")
+      .load(SparkEntry.ReferenceCorpusDir)
+      .select(col("path"), col("length"), col("content"))
+    val rows = df.collect()
+    assert(rows.length === 13)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("length") === r.getAs[Array[Byte]]("content").length.toLong)
+    }
+    assert(rows.map(_.getAs[Long]("length")).sum === 71570L)
+  }
+
+  test("XML round-trip preserves the star dims") {
+    val base = java.nio.file.Files.createTempDirectory("xml_rt").toString
+    try {
+      val nation = Tables.nation(spark, sf001)
+      nation.write.option("rootTag", "nations").option("rowTag", "nation")
+        .format("xml").save(s"$base/nation")
+      val back = spark.read.option("rowTag", "nation")
+        .format("xml").load(s"$base/nation")
+        .select(nation.columns.map(col): _*)
+      assert(back.orderBy("n_nationkey").collect().toSeq ===
+        nation.orderBy("n_nationkey").collect().toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("JSON round-trip preserves documents") {
     val out = tmp("json_rt")
     try {
