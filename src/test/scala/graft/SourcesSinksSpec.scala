@@ -32,19 +32,21 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("XML round-trip preserves the star dims") {
-    val base = java.nio.file.Files.createTempDirectory("xml_rt").toString
+    val base = tmp("xml_rt")
     try {
       val nation = Tables.nation(spark, sf001)
       nation.write.option("rootTag", "nations").option("rowTag", "nation")
         .format("xml").save(s"$base/nation")
+      // read back under the ORIGINAL schema: inferred XML numerics widen
+      // to bigint, and boxed-numeric equality would mask that drift
       val back = spark.read.option("rowTag", "nation")
+        .schema(nation.schema)
         .format("xml").load(s"$base/nation")
         .select(nation.columns.map(col): _*)
+      assert(back.schema === nation.schema)
       assert(back.orderBy("n_nationkey").collect().toSeq ===
         nation.orderBy("n_nationkey").collect().toSeq)
-    } finally {
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
-    }
+    } finally cleanup(base)
   }
 
   test("JSON round-trip preserves documents") {
