@@ -98,6 +98,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("checkpoint restart resumes exactly-once: no reprocessing, no loss") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("restart").toString
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(spark, sf0001).select(col("event_id"))
+      val half = ev.count() / 2
+      val firstBatch = ev.filter(col("event_id") <= half)
+      val n1 = firstBatch.count()
+      firstBatch.write.parquet(s"$base/in/b1")
+      val schema = spark.read.parquet(s"$base/in/b1").schema
+
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(schema).parquet(s"$base/in/*")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // run 1 processes batch 1, then the query STOPS (a crash/redeploy)
+      runOnce()
+      assert(spark.read.parquet(s"$base/out").count() === n1)
+      // new data arrives while the query is down
+      ev.filter(col("event_id") > half).write.parquet(s"$base/in/b2")
+      // run 2 resumes from the checkpoint: only the new files process
+      runOnce()
+      val out = spark.read.parquet(s"$base/out")
+      assert(out.count() === ev.count(), "loss or reprocessing after restart")
+      assert(out.select("event_id").distinct().count() === ev.count(),
+        "duplicate rows after restart")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("foreachBatch sink: every micro-batch lands exactly once") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("feb_sink").toString
