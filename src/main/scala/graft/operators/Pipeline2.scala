@@ -37,13 +37,20 @@ object Pipeline2 {
     */
   def pipelinePackSequences(spark: SparkSession, dir: String): DataFrame = {
     val nToks = size(filter(toks(col("text")), s => s =!= "")).cast("long")
+    packByBudget(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nToks.as("n_toks")))
+  }
+
+  /** The distributed-prefix-sum packer over a prepared (doc_id, lang,
+    * n_toks) frame — shared by the standalone query and the end-to-end
+    * corpus build.
+    */
+  private[graft] def packByBudget(prepared: DataFrame): DataFrame = {
     // checkpoint the tokenized narrow frame: it feeds both the offsets
     // aggregation and the join side, and uncheckpointed lineage would
     // re-tokenize the full corpus per side (same idiom as the minhash
     // signature stream)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), nToks.as("n_toks"))
-      .localCheckpoint()
+    val docs = prepared.localCheckpoint()
     // order-preserving bucketing needs doc_id ranges, not hashes; the
     // 2-value bounds agg is the same legitimate driver-side footprint
     // as IVF's centroid state
@@ -72,6 +79,31 @@ object Pipeline2 {
       .withColumn("bin", expr(s"(cum_toks - n_toks) div $PackBudget"))
       .select(col("doc_id"), col("lang"), col("n_toks"), col("cum_toks"), col("bin"))
       .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** The end-to-end corpus build as ONE declarative query — the
+    * north-star composite: language allowlist → quality gate (length +
+    * stopword floor) → exact-dedup survivors → token-budget packing
+    * into training bins. Every stage is the operator proven separately;
+    * composing them costs two broadcastable joins and the packer's one
+    * bucket-window shuffle.
+    */
+  def pipelineCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val t = filter(toks(col("text")), s => s =!= "")
+    val nToks = size(t).cast("long")
+    val stopHits = size(filter(t, s => s.isInCollection(
+      Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"))))
+    val base = Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "de", "fr"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        nToks.as("n_toks"), stopHits.as("stop_hits"))
+      .filter(col("n_toks") >= 20 && col("stop_hits") >= 1)
+    val survivors = base
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    packByBudget(base.join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("n_toks")))
   }
 
   /** Benchmark decontamination: flag training documents sharing any
@@ -142,6 +174,29 @@ object Pipeline2 {
       .orderBy(col("doc_id"))
 
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_corpus_build", pipelineCorpusBuild _,
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text,
+         |    cast(len(list_filter(string_split(lower(text), ' '),
+         |      s -> s <> '')) AS BIGINT) AS n_toks,
+         |    len(list_filter(list_filter(string_split(lower(text), ' '),
+         |      s -> s <> ''), s -> s IN
+         |      ('the','a','of','and','to','in','is','it','for','on'))) AS stop_hits
+         |  FROM documents WHERE lang IN ('en','de','fr')),
+         |gated AS (
+         |  SELECT * FROM base WHERE n_toks >= 20 AND stop_hits >= 1),
+         |survivors AS (
+         |  SELECT min(doc_id) AS doc_id FROM gated
+         |  GROUP BY md5(lower(trim(text))))
+         |SELECT doc_id, lang, n_toks,
+         |  cast(cum_toks AS BIGINT) AS cum_toks,
+         |  cast((cum_toks - n_toks) // $PackBudget AS BIGINT) AS bin
+         |FROM (
+         |  SELECT doc_id, lang, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+         |  FROM gated WHERE doc_id IN (SELECT doc_id FROM survivors))
+         |ORDER BY lang, doc_id""".stripMargin),
     QueryDef("pipeline_pack_sequences", pipelinePackSequences _,
       s"""SELECT doc_id, lang, n_toks,
          |  cast(cum_toks AS BIGINT) AS cum_toks,
