@@ -11,12 +11,27 @@ import org.apache.spark.sql.SparkSession
   *     the first timed query isn't billed ~10 s of session warmup;
   *   - each query is forced through the `noop` sink, which evaluates
   *     every output row and column — `.count()` would let Catalyst prune
-  *     projection-only queries down to a row count.
+  *     projection-only queries down to a row count;
+  *   - lane 1 (cold) is a single pass comparable to earlier rounds;
+  *   - the warm lane is the MEDIAN of `SPARK_GRAFT_WARM_PASSES`
+  *     (default 3) full passes: one warm sample at these scale factors
+  *     is noise-prone, and a median cannot be skewed by a single loaded
+  *     moment on the machine;
+  *   - a failed query contributes NO timing anywhere (an early throw
+  *     would masquerade as a fast run and deflate the totals); it is
+  *     listed in the errors arrays and counted in n_failed, and totals
+  *     are sums over successes only;
+  *   - the JSON line goes to stdout AND to the file named by
+  *     SPARK_GRAFT_BENCH_OUT (default bench_out.json in the cwd), so
+  *     consumers don't have to scrape it out of the sbt log tail.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmPasses =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,33 +51,58 @@ object Bench {
       force(SparkEntry.queries("sim_topk_bruteforce")(spark, sfDir))
     } catch { case _: Throwable => () }
 
-    // per-lane error lists: a timing is only trustworthy in the lane
-    // where the query succeeded — a failed query must not masquerade as
-    // a fast one, and a lane-2-only failure must not poison lane 1
-    def pass(errors: scala.collection.mutable.ListBuffer[String])
-        : Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // one pass = per-query seconds for SUCCESSFUL queries only; failures
+    // go to `errors` (tagged with the pass) and contribute no timing
+    def pass(tag: String,
+        errors: scala.collection.mutable.ListBuffer[String])
+        : Map[String, Double] = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case e: Throwable =>
+      try {
+        force(fn(spark, sfDir))
+        Some(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         errors += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench:$tag] $name failed: ${e.getMessage}")
+        None
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+
     val errCold = scala.collection.mutable.ListBuffer.empty[String]
     val errWarm = scala.collection.mutable.ListBuffer.empty[String]
     // lane 1: first run after session warmup (comparable to round 1)
-    val results = pass(errCold)
-    // lane 2: steady state — a second run of every query. At these scale
-    // factors per-query noop-job overhead dominates lane 1; the warm lane
-    // is what makes round-over-round perf deltas meaningful.
-    val warm = pass(errWarm)
+    val results = pass("cold", errCold)
+    // warm lane: median over warmPasses full passes — steady state with
+    // single-sample noise (GC pauses, machine load spikes) removed
+    val warmSamples = (1 to warmPasses).map(i => pass(s"warm$i", errWarm))
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    // a query only gets a warm median if it succeeded in EVERY warm pass
+    // (partial samples would mix real timings with rethrow latencies)
+    val warm: Map[String, Double] = SparkEntry.queries.keys.toSeq
+      .flatMap { name =>
+        val samples = warmSamples.flatMap(_.get(name))
+        if (samples.length == warmPasses) Some(name -> median(samples)) else None
+      }.toMap
+
     def fmt(m: Map[String, Double]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def fmtE(e: Seq[String]) = e.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val errs = fmtE((errCold ++ errWarm).distinct.toSeq)
+    val failed = (errCold ++ errWarm).distinct.toSeq
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"total_warm":$totalWarm,"queries_warm":${fmt(warm)},"errors":$errs,"errors_cold":${fmtE(errCold.toSeq)},"errors_warm":${fmtE(errWarm.toSeq)},"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"total_warm":$totalWarm,"queries_warm":${fmt(warm)},"warm_passes":$warmPasses,"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"sf":"$sfDir"}"""
+    println(json)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

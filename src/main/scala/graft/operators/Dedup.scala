@@ -75,48 +75,75 @@ object Dedup {
   /** Bucket-size cap for LSH candidate generation. A degenerate bucket
     * (boilerplate band shared by millions of docs at 100 TB) makes the
     * pairwise self-join quadratic on one shuffle key — the classic LSH
-    * skew bomb. Buckets above the cap switch from all-pairs to a STAR:
-    * every member links only to the bucket's minimum doc_id. Members of
+    * skew bomb. Buckets above the cap switch from all-pairs to a
+    * k-anchor STAR: every member links to the bucket's [[StarAnchors]]
+    * smallest doc_ids (anchors pair among themselves too). Members of
     * an oversized bucket are near-certain duplicates of each other, so
-    * the star keeps them reachable (one verified hop to the rep — and
-    * connected components recovers the full cluster) at O(n) pairs
+    * the star keeps them reachable (one verified hop to an anchor — and
+    * connected components recovers the full cluster) at O(k·n) pairs
     * instead of O(n²).
+    *
+    * RECALL BOUND (documented, spec-pinned): an oversized band bucket
+    * can contain FALSE-POSITIVE members. Two docs that are mutually
+    * near-dup but dissimilar to every anchor keep a candidate pair only
+    * if at least one of them is an anchor, or they co-occur in another
+    * ≤cap bucket (8 independent bands make that the common case). A
+    * non-anchor/non-anchor similar pair inside a single oversized bucket
+    * of otherwise-dissimilar docs is lost — the price of the O(k·n) cap.
+    * k=4 anchors instead of round 2's single minimum shrinks that window
+    * 4× for the same asymptotics.
     */
   private[graft] val MaxLshBucket = 32
 
+  /** Anchors sampled per oversized bucket (the k in the k-anchor star). */
+  private[graft] val StarAnchors = 4
+
+  private[graft] def cappedBucketPairsPublic(banded: DataFrame,
+      bucketKey: String, payload: Seq[String]): DataFrame =
+    cappedBucketPairs(banded, bucketKey, payload)
+
   /** Candidate (id_a < id_b) pairs from a banded blocking-key stream,
-    * pairwise within small buckets, star-shaped within oversized ones.
+    * pairwise within small buckets, k-anchor-star within oversized ones.
     * `payload` columns (e.g. a simhash signature) ride along as
-    * `<name>_a` / `<name>_b`. One shuffle: the window partitioning on
-    * (band_idx, bucket_key) is reused by the self-join on the same key.
+    * `<name>_a` / `<name>_b`. The window partitioning on
+    * (band_idx, bucket_key) matches the self-join keys, so the shuffle
+    * is shared across both branches.
     */
   private def cappedBucketPairs(banded: DataFrame, bucketKey: String,
       payload: Seq[String]): DataFrame = {
     val w = Window.partitionBy(col("band_idx"), col(bucketKey))
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("repst",
-        min(struct(col("doc_id") +: payload.map(col): _*)).over(w))
+    val sized = banded.withColumn("bsz", count(lit(1)).over(w))
     val small = sized.filter(col("bsz") <= MaxLshBucket)
     def side(t: String) =
       col(s"$t.doc_id").as(s"id_$t") +: payload.map(p => col(s"$t.$p").as(s"${p}_$t"))
-    val pairwise = small.as("a")
-      .join(small.as("b"),
+    def bucketJoin(a: DataFrame, b: DataFrame) = a.as("a")
+      .join(b.as("b"),
         col("a.band_idx") === col("b.band_idx")
           && col(s"a.$bucketKey") === col(s"b.$bucketKey")
           && col("a.doc_id") < col("b.doc_id"))
       .select(side("a") ++ side("b"): _*)
-    val star = sized.filter(col("bsz") > MaxLshBucket)
-      .filter(col("doc_id") =!= col("repst.doc_id"))
-      .select((col("repst.doc_id").as("id_a") +:
-        payload.map(p => col(s"repst.$p").as(s"${p}_a"))) ++
-        (col("doc_id").as("id_b") +: payload.map(p => col(p).as(s"${p}_b"))): _*)
+    val pairwise = bucketJoin(small, small)
+    // oversized buckets: the k smallest doc_ids become anchors; each
+    // member pairs with every anchor below it (so anchors also pair
+    // among themselves) — O(k·n) pairs per bucket, never O(n²)
+    val big = sized.filter(col("bsz") > MaxLshBucket)
+    val anchors = big
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("band_idx"), col(bucketKey))
+          .orderBy(col("doc_id"))))
+      .filter(col("rn") <= StarAnchors)
+      .drop("rn")
+    val star = bucketJoin(anchors, big)
     pairwise.unionByName(star).distinct()
   }
 
-  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified (≥ 0.2). */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** MinHash-LSH verified pair stream from a documents frame — the
+    * shared substrate of `dedup_minhash_lsh` / `dedup_clusters` /
+    * `dedup_survivors`: each caller in the chain builds it exactly ONCE
+    * and passes DataFrames down, never (spark, dir) pairs that would
+    * silently rebuild the pipeline.
+    */
+  private[graft] def verifiedPairs(docs: DataFrame): DataFrame = {
     // materialize the signature stream once: it feeds BOTH sides of the
     // candidate self-join, and uncheckpointed lineage recomputes the
     // shingle+minhash scan per side (measured 2 extra scans; the table
@@ -136,8 +163,12 @@ object Dedup {
       .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jac") >= 0.2)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified (≥ 0.2). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(Tables.documents(spark, dir))
+      .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash near-dup pairs: banded blocking (capped buckets) + Hamming ≤ 6. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -182,13 +213,22 @@ object Dedup {
     * so few iterations suffice (capped, with a convergence check).
     * Output: (doc_id, cluster_rep) for every doc in some pair.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhashLsh(spark, dir)
-      .select(col("id_a"), col("id_b"))
-    // undirected edges both ways
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(verifiedPairs(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  private def clustersOf(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.select(col("id_a"), col("id_b"))
+    // undirected edges both ways, CHECKPOINTED: the propagation loop
+    // joins edges every round, and without truncation each round — and
+    // the convergence probe's action — would re-execute the entire LSH
+    // candidate pipeline (shingle → minhash → band → join → verify)
+    // from the scan up. One materialization instead of an
+    // iteration-count multiplier on the most expensive subplan here.
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id"))
     // convergence probe: min-label propagation only ever DECREASES a
@@ -222,7 +262,6 @@ object Dedup {
       iter += 1
     }
     labels.select(col("doc_id"), col("rep").as("cluster_rep"))
-      .orderBy(col("doc_id"))
   }
 
   /** The end product of the dedup family: the corpus with BOTH exact
@@ -236,7 +275,11 @@ object Dedup {
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val exactKeep = dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
-    val nearDupLosers = dedupClusters(spark, dir)
+    // share the substrate: ONE verifiedPairs build feeds the cluster
+    // pass (whose edges frame is checkpointed inside clustersOf), so
+    // survivors costs clusters + two broadcastable joins, not a second
+    // LSH pipeline
+    val nearDupLosers = clustersOf(verifiedPairs(docs))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"))
     docs.join(exactKeep, Seq("doc_id"), "left_semi")

@@ -85,9 +85,22 @@ final class ResolveAsOfJoin(session: SparkSession) extends Rule[LogicalPlan] {
   * custom node; the injected rule owns everything below.
   */
 object AsOf {
+
+  /** Column-name prefix reserved by the lowered plan. */
+  val ReservedPrefix = "__asof_"
+
   def join(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, asOfName: String): DataFrame =
+      leftTime: String, rightTime: String, asOfName: String): DataFrame = {
+    // fail at the API boundary with the reserved prefix named, instead
+    // of a confusing duplicate-attribute error deep in the lowered plan
+    val clashes = (left.columns ++ right.columns).filter(_.startsWith(ReservedPrefix))
+    require(clashes.isEmpty,
+      s"AsOf.join: column name(s) ${clashes.distinct.mkString(", ")} collide with " +
+        s"the reserved internal prefix '$ReservedPrefix'; rename them before joining")
+    require(!asOfName.startsWith(ReservedPrefix),
+      s"AsOf.join: output column '$asOfName' must not use the reserved prefix '$ReservedPrefix'")
     graftglue.dfFromPlan(left.sparkSession,
       AsOfJoin(graftglue.analyzedPlanOf(left), graftglue.analyzedPlanOf(right),
         key, leftTime, rightTime, asOfName))
+  }
 }

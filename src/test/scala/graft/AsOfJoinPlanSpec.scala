@@ -39,4 +39,22 @@ class AsOfJoinPlanSpec extends AnyFunSuite with SparkTestBase {
     // probe@10 sees ref@10 (<= tie), probe@20 sees ref@15, key 2 → null
     assert(out.toSeq === Seq(100L -> 10L, 101L -> 15L, 102L -> -1L))
   }
+
+  test("reserved __asof_ columns are rejected at the API boundary") {
+    import spark.implicits._
+    val clean = Seq((1L, 2L)).toDF("k", "t")
+    val dirty = clean.withColumn("__asof_t", col("t"))
+    val e1 = intercept[IllegalArgumentException] {
+      plans.AsOf.join(dirty, clean, "k", "t", "t", "m")
+    }
+    assert(e1.getMessage.contains("__asof_"), "message must name the reserved prefix")
+    val e2 = intercept[IllegalArgumentException] {
+      plans.AsOf.join(clean, dirty, "k", "t", "t", "m")
+    }
+    assert(e2.getMessage.contains("__asof_t"))
+    val e3 = intercept[IllegalArgumentException] {
+      plans.AsOf.join(clean, clean, "k", "t", "t", "__asof_out")
+    }
+    assert(e3.getMessage.contains("reserved"))
+  }
 }

@@ -124,21 +124,48 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     (0L until 1000L).map(i => (i, text)).toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     // uncapped all-pairs would emit 1000·999/2 = 499 500 candidates from
-    // the single hot bucket; the star path emits exactly n-1 anchored at
-    // the bucket minimum
+    // the single hot bucket; the k-anchor star emits Σ_{i<k}(n-1-i) =
+    // 999+998+997+996 = 3990 pairs, every one anchored at one of the 4
+    // smallest doc_ids
     val pairs = Dedup.dedupMinhashLsh(spark, tmp).collect()
-    assert(pairs.length === 999)
+    assert(pairs.length === 3990)
     pairs.foreach { r =>
-      assert(r.getLong(0) === 0L)
+      assert(r.getLong(0) < Dedup.StarAnchors)
       assert(r.getDouble(2) === 1.0)
     }
     val sim = Dedup.dedupSimhash(spark, tmp).collect()
-    assert(sim.length === 999)
-    sim.foreach { r => assert(r.getLong(0) === 0L && r.getInt(2) === 0) }
+    assert(sim.length === 3990)
+    sim.foreach { r => assert(r.getLong(0) < Dedup.StarAnchors && r.getInt(2) === 0) }
     // connected components recover the full cluster through the star
     val labels = Dedup.dedupClusters(spark, tmp).collect()
     assert(labels.length === 1000)
     labels.foreach(r => assert(r.getLong(1) === 0L))
+  }
+
+  test("oversized-bucket star: anchor pairs survive, the non-anchor recall bound holds") {
+    import spark.implicits._
+    // a crafted single oversized bucket (40 members > cap 32) fed
+    // straight into the blocking layer: with k=4 anchors, candidate
+    // pairs exist iff the smaller endpoint is an anchor. Two mutually-
+    // similar docs dissimilar to every anchor (ADVICE round 2) get a
+    // candidate pair only when one of them IS an anchor — present for
+    // (1,2), and ABSENT for (10,11): that loss is the documented recall
+    // bound of the O(k·n) cap, pinned here so it can't regress silently.
+    val banded = (0L until 40L)
+      .map(i => (i, 0, 77L)).toDF("doc_id", "band_idx", "band_hash")
+    val got = Dedup.cappedBucketPairsPublic(banded, "band_hash", Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val anchors = (0L until Dedup.StarAnchors.toLong)
+    val expected = (for {
+      a <- anchors; b <- 0L until 40L if a < b
+    } yield (a, b)).toSet
+    assert(got === expected)
+    assert(got.contains((1L, 2L)), "anchor/anchor pair must be a candidate")
+    assert(!got.contains((10L, 11L)),
+      "non-anchor/non-anchor pair is (documented) outside the capped candidate set")
+    // but with 8 independent minhash bands on REAL text, a similar pair
+    // in one oversized bucket nearly always co-occurs in another ≤cap
+    // bucket; the sf0.001 recall test below covers that path end-to-end
   }
 
   test("dedup_clusters on a corpus with zero candidate pairs is empty, not a crash") {
