@@ -29,8 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           info(name, s"$name - graft codegen expression"),
           (exprs: Seq[Expression]) => builder(exprs)))
     }
-    // whole-operator extension: the declarative as-of join node lowers
-    // to its union+running-max plan during analysis (plans/AsOfJoin)
+    // whole-operator extensions: the declarative as-of join node lowers
+    // to its union+running-max plan during analysis (plans/AsOfJoin);
+    // the per-group top-k node lowers to the WindowGroupLimit-eligible
+    // window+filter shape (plans/TopKPerGroup)
     ext.injectResolutionRule(session => new graft.plans.ResolveAsOfJoin(session))
+    ext.injectResolutionRule(session => new graft.plans.ResolveTopKPerGroup(session))
   }
 }

@@ -142,6 +142,21 @@ object Relational3 {
       .orderBy(col("event_id"))
   }
 
+  /** The second custom whole-operator surface (plans/TopKPerGroup):
+    * top-3 orders by price per order priority through the declarative
+    * `TopK.perGroup` node. The injected rule lowers it to the
+    * WindowGroupLimit-eligible window+filter shape, so each map task
+    * keeps ≤3 rows per group before the window shuffle — pinned by
+    * TopKPerGroupPlanSpec, oracle-verified here.
+    */
+  def q64TopkCustomOp(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perGroup(
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+        partitionCols = Seq("o_orderpriority"), orderCol = "o_totalprice",
+        k = 3, rankName = "rn", tieBreak = Seq("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+
   /** UNPIVOT (melt): wide per-returnflag quantity metrics → long
     * (flag, metric, value) form — the inverse of q22's pivot. The
     * unpivot is a zero-shuffle projection (Expand) over the tiny
@@ -498,6 +513,13 @@ object Relational3 {
         |SELECT b.p_partkey, e.s_word
         |FROM base b LEFT JOIN ex e USING (p_partkey)
         |ORDER BY p_partkey, s_word""".stripMargin),
+    QueryDef("q64_topk_custom_op", q64TopkCustomOp _,
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, rn FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin),
     QueryDef("q49_asof_custom_op", q49AsofCustomOp _,
       """SELECT p.event_id,
         |  strftime((SELECT max(s.ts) FROM events s

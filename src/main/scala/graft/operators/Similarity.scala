@@ -20,20 +20,26 @@ import graft.functions.{TopKByScore, VectorExpressions}
   */
 object Similarity {
 
-  /** Deterministic query vector: embeddings row with vec_id = 0,
-    * fetched once driver-side and inlined as a literal — the broadcast-
-    * the-needle pattern (the haystack never moves).
+  /** Deterministic query vector: the embeddings row with the given
+    * vec_id, fetched once driver-side and inlined as a literal — the
+    * broadcast-the-needle pattern (the haystack never moves). The
+    * registered queries pin qid = 0; the recall specs sweep several.
     */
-  private def queryVector(spark: SparkSession, dir: String): Array[Float] =
-    Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+  private def queryVector(spark: SparkSession, dir: String,
+      qid: Long = 0L): Array[Float] =
+    Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
       .select("embedding").head().getSeq[Float](0).toArray
 
   private def simTo(vec: Array[Float]): Column =
     VectorExpressions.cosineSimilarity(col("embedding"), typedLit(vec))
 
   /** Exact top-10 by cosine similarity (self included, sim = 1.0). */
-  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val q = queryVector(spark, dir)
+  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
+    simTopkBruteforceFor(spark, dir, 0L)
+
+  private[graft] def simTopkBruteforceFor(spark: SparkSession, dir: String,
+      qid: Long): DataFrame = {
+    val q = queryVector(spark, dir, qid)
     Tables.embeddings(spark, dir)
       .withColumn("sim_exact", simTo(q))
       .orderBy(col("sim_exact").desc, col("vec_id"))
@@ -86,8 +92,12 @@ object Similarity {
     * cosine re-rank. At scale the bucket filter is a partition-pruned
     * lookup (bucket-partitioned layout), not a scan.
     */
-  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val q = queryVector(spark, dir)
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame =
+    simAnnLshFor(spark, dir, 0L)
+
+  private[graft] def simAnnLshFor(spark: SparkSession, dir: String,
+      qid: Long): DataFrame = {
+    val q = queryVector(spark, dir, qid)
     val sig = signatureOf(q)
     val withBands = Tables.embeddings(spark, dir).select(
       col("vec_id") +: col("embedding") +: bandCols: _*)
@@ -151,8 +161,12 @@ object Similarity {
   /** IVF ANN top-10: assign corpus to centroids, probe the query's 4
     * nearest lists, exact re-rank within them.
     */
-  def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val q = queryVector(spark, dir)
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    simAnnIvfFor(spark, dir, 0L)
+
+  private[graft] def simAnnIvfFor(spark: SparkSession, dir: String,
+      qid: Long): DataFrame = {
+    val q = queryVector(spark, dir, qid)
     val cents = ivfCentroids(spark, dir)
     val qSims = cents.map { c =>
       val dot = q.indices.map(i => q(i).toDouble * c(i)).sum

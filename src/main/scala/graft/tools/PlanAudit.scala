@@ -1,17 +1,30 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-/** Prints the executed-plan audit for representative queries: scan
+/** Prints the EXECUTED-plan audit for representative queries: scan
   * pushdown, join strategies, aggregation phases, codegen coverage.
-  * Run: sbt "runMain graft.tools.PlanAudit [sfDir]"
+  *
+  * Each query is executed through its own QueryExecution
+  * (`executedPlan.executeCollect()`), so the audited string is the
+  * FINAL adaptive plan — after AQE re-planning, exchange reuse, and
+  * codegen — not the pre-execution guess (round-2 audits printed
+  * initial plans, which double-counted shared window subtrees and
+  * showed wholeStage=0). The `== Initial Plan ==` section AQE appends
+  * is stripped before counting.
+  *
+  * Run: sbt "runMain graft.tools.PlanAudit [sfDir] [--full]"
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val dir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -25,21 +38,36 @@ object PlanAudit {
       "pipeline_contamination", "pipeline_pack_sequences",
       "pipeline_redact", "text_repetition",
       "emb_quantize", "dedup_survivors", "q55_lateral_topk",
-      "q56_recursive_cte", "q57_width_bucket")
+      "q56_recursive_cte", "q57_width_bucket", "q64_topk_custom_op")
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
+      val qe = df.queryExecution
+      // execute through THIS QueryExecution so AQE finalizes in place;
+      // df.write would build a separate QueryExecution and leave this
+      // one at its initial plan
+      qe.executedPlan.executeCollect()
+      val isFinal = qe.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.isFinalPlan
+        case _ => true // non-adaptive plans are what they are
+      }
+      val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
       def count(s: String) = s.r.findAllIn(plan).length
+      // codegen spans print as "*(n)" operator prefixes in toString
+      // (the literal WholeStageCodegen node only appears in formatted
+      // explain); distinct span ids = number of fused pipelines
+      val codegenSpans = """\*\((\d+)\)""".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
       println(s"== $name")
-      println(s"   scans=${count("Scan parquet")} " +
+      println(s"   final=$isFinal scans=${count("Scan parquet")} " +
         s"pushedFilters=${plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []")} " +
         s"bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} " +
         s"bnlj=${count("BroadcastNestedLoopJoin")} cart=${count("CartesianProduct")} " +
-        s"shuffles=${count("Exchange")} wholeStage=${count("WholeStageCodegen")} " +
-        s"takeOrdered=${count("TakeOrderedAndProject")}")
-      if (args.contains("--full")) println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        s"shuffles=${count("(?<!Reused)Exchange")} reused=${count("ReusedExchange")} " +
+        s"aqeRead=${count("AQEShuffleRead")} wholeStage=$codegenSpans " +
+        s"takeOrdered=${count("TakeOrderedAndProject")} " +
+        s"wgl=${count("WindowGroupLimit")}")
+      if (args.contains("--full")) println(plan)
     }
     spark.stop()
   }

@@ -45,6 +45,30 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.head._1 === 0L && math.abs(ivf.head._2 - 1.0) < 1e-9)
   }
 
+  test("ANN recall@10 floors hold across multiple query vectors") {
+    // both approximate tiers, swept over 3 well-separated query ids —
+    // fixed hyperplane seed + deterministic centroids make every recall
+    // value reproducible, so the floors are falsifiable, not decorative
+    val qids = Seq(0L, 123L, 456L)
+    val recalls = qids.map { qid =>
+      val exact = Similarity.simTopkBruteforceFor(spark, sf0001, qid)
+        .collect().map(_.getLong(0)).toSet
+      def recall(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(_.getLong(0)).count(exact.contains) / 10.0
+      val lsh = recall(Similarity.simAnnLshFor(spark, sf0001, qid).collect())
+      val ivf = recall(Similarity.simAnnIvfFor(spark, sf0001, qid).collect())
+      (qid, lsh, ivf)
+    }
+    recalls.foreach { case (qid, lsh, ivf) =>
+      assert(lsh >= 0.3, s"LSH recall@10 for qid=$qid: $lsh (all: $recalls)")
+      assert(ivf >= 0.3, s"IVF recall@10 for qid=$qid: $ivf (all: $recalls)")
+    }
+    // the sweep must not be uniformly at the floor — that would suggest
+    // the candidate filters are degenerate rather than selective
+    assert(recalls.exists { case (_, lsh, ivf) => lsh >= 0.5 || ivf >= 0.5 },
+      s"suspiciously flat recalls: $recalls")
+  }
+
   test("IVF centroids are deterministic across invocations") {
     val a = Similarity.ivfCentroids(spark, sf0001)
     val b = Similarity.ivfCentroids(spark, sf0001)
