@@ -192,6 +192,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     // bucket; the sf0.001 recall test below covers that path end-to-end
   }
 
+  test("dedup_clusters output is decoupled from the LSH lineage (checkpointed)") {
+    // the propagation loop must iterate over MATERIALIZED edges/labels:
+    // if either checkpoint is dropped, the returned frame's lineage
+    // reaches back through the full LSH pipeline to the parquet scan,
+    // and every downstream action (and each propagation round) re-runs
+    // shingling+minhashing+banding+verification. A checkpointed result
+    // plans as a LogicalRDD with no file source underneath.
+    val plan = Dedup.dedupClusters(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"cluster lineage reaches the scan — checkpoint dropped?\n$plan")
+    assert(!plan.contains("Join"),
+      s"cluster lineage re-plans the LSH joins — checkpoint dropped?\n$plan")
+  }
+
   test("dedup_clusters on a corpus with zero candidate pairs is empty, not a crash") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-nodups").toString
