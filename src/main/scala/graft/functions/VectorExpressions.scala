@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.exprToColumn
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 
 /** Custom Catalyst expressions for the vector/text pipeline — native
   * codegen (no Scala UDF serialization, stays inside whole-stage
@@ -217,6 +217,42 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** int8_quant_stats(array<float>) → struct<scale:double, q_sum:bigint,
+    * n_saturated:bigint>.
+    *
+    * One tight pass computing the symmetric-int8 quantization summary
+    * (scale = 127/max|x|, Σ floor(x·scale + 0.5), saturation count).
+    * The built-in formulation (`array_max(transform(abs))` + two more
+    * higher-order folds referencing the scale) re-derives max|x| inside
+    * every per-element lambda because lambda bodies are interpreted and
+    * escape whole-stage CSE — measured 4.9 s warm at sf0.1 vs <1 s here
+    * (same phenomenon as [[MinHashSignature]]).
+    */
+  case class Int8QuantStats(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float>, got ${other.simpleString}")
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = true),
+      StructField("q_sum", LongType, nullable = true),
+      StructField("n_saturated", LongType, nullable = false)))
+    override def prettyName: String = "int8_quant_stats"
+
+    override def nullSafeEval(input: Any): Any =
+      Int8QuantUtil.stats(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr =>
+        s"${ev.value} = graft.functions.Int8QuantUtil.stats($arr);\n")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------------ Column API
 
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -233,7 +269,10 @@ object VectorExpressions {
   def wordShingles3(tokens: Column): Column =
     exprToColumn(WordShingles3(org.apache.spark.sql.graftglue.columnToExpr(tokens)))
 
-  /** All four expressions for SQL registration — single source of truth
+  def int8QuantStats(vec: Column): Column =
+    exprToColumn(Int8QuantStats(org.apache.spark.sql.graftglue.columnToExpr(vec)))
+
+  /** All five expressions for SQL registration — single source of truth
     * shared with [[graft.GraftExtensions]] so both registration surfaces
     * offer the same function set.
     */
@@ -241,7 +280,8 @@ object VectorExpressions {
     "cosine_similarity" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
-    "word_shingles3" -> (exprs => WordShingles3(exprs.head)))
+    "word_shingles3" -> (exprs => WordShingles3(exprs.head)),
+    "int8_quant_stats" -> (exprs => Int8QuantStats(exprs.head)))
 
   /** Register the full set for an already-built session's SQL surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -43,18 +43,18 @@ object Embeddings {
     * without shipping the array through the comparator.
     */
   def embQuantize(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecD(col("embedding"))
-    val maxAbs = array_max(transform(v, x => abs(x)))
-    // a zero vector has no scale: guard explicitly (ANSI division by
-    // zero throws) — scale and q_sum go NULL, nothing saturates
-    val scale = when(maxAbs > 0, lit(127.0) / maxAbs)
-    val q = transform(v, x => floor(x * scale + 0.5).cast("long"))
+    // one codegen pass per vector (functions/Int8QuantUtil). The
+    // built-in higher-order formulation this replaced re-derived
+    // max|x| inside every per-element lambda (interpreted, outside
+    // whole-stage CSE) — measured 4.9 s warm at sf0.1 vs <1 s here.
+    // Zero-vector guard lives in the kernel: (NULL, NULL, 0).
+    val st = graft.functions.VectorExpressions.int8QuantStats(col("embedding"))
     Tables.embeddings(spark, dir)
+      .select(col("vec_id"), st.as("st"))
       .select(col("vec_id"),
-        Tables.r4(scale).as("scale"),
-        when(maxAbs > 0, aggregate(q, lit(0L), (a, x) => a + x)).as("q_sum"),
-        when(maxAbs > 0, size(filter(q, x => abs(x) === 127)))
-          .otherwise(0).cast("long").as("n_saturated"))
+        Tables.r4(col("st.scale")).as("scale"),
+        col("st.q_sum").as("q_sum"),
+        col("st.n_saturated").as("n_saturated"))
       .orderBy(col("vec_id"))
   }
 

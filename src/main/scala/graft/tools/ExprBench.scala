@@ -71,9 +71,26 @@ object ExprBench {
       emb.select((dot / (sqrt(na) * sqrt(nb))).as("s"))
     }
 
+    // 4. int8 quant stats: one-pass kernel vs the higher-order chain
+    //    (the scale subexpression re-derives array_max inside every
+    //    per-element lambda — interpreted, outside whole-stage CSE)
+    val quantExpr = timeMedian(emb.select(col("vec_id"),
+      VectorExpressions.int8QuantStats(col("embedding")).as("st")))
+    val quantHof = timeMedian {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val maxAbs = array_max(transform(v, x => abs(x)))
+      val scale = when(maxAbs > 0, lit(127.0) / maxAbs)
+      val qq = transform(v, x => floor(x * scale + 0.5).cast("long"))
+      emb.select(col("vec_id"), scale.as("scale"),
+        when(maxAbs > 0, aggregate(qq, lit(0L), (a, x) => a + x)).as("q_sum"),
+        when(maxAbs > 0, size(filter(qq, x => abs(x) === 127)))
+          .otherwise(0).cast("long").as("n_saturated"))
+    }
+
     println(f"[exprbench] shingles: codegen=$shingleExpr%.2fs hof=$shingleHof%.2fs speedup=${shingleHof / shingleExpr}%.1fx")
     println(f"[exprbench] minhash32: codegen=$mhExpr%.2fs hof=$mhHof%.2fs speedup=${mhHof / mhExpr}%.1fx")
     println(f"[exprbench] cosine: codegen=$cosExpr%.2fs hof=$cosHof%.2fs speedup=${cosHof / cosExpr}%.1fx")
+    println(f"[exprbench] int8quant: codegen=$quantExpr%.2fs hof=$quantHof%.2fs speedup=${quantHof / quantExpr}%.1fx")
     spark.stop()
   }
 }

@@ -56,6 +56,29 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestBase {
     assert(gen.toSeq === interp.toSeq)
   }
 
+  test("int8_quant_stats: codegen == interpreted, zero vector → (null, null, 0)") {
+    def run: Array[(Option[Double], Option[Long], Long)] =
+      Tables.embeddings(spark, sf0001)
+        .select(VectorExpressions.int8QuantStats(col("embedding")).as("st"))
+        .select(col("st.scale"), col("st.q_sum"), col("st.n_saturated"))
+        .collect().map { r =>
+          (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getLong(2))
+        }
+    val (gen, interp) = inBothModes(run)
+    assert(gen.toSeq === interp.toSeq)
+    // zero and empty vectors have no scale
+    import spark.implicits._
+    val edge = Seq(Array.fill(4)(0.0f), Array.empty[Float]).toDF("embedding")
+      .select(VectorExpressions.int8QuantStats(col("embedding")).as("st"))
+      .select(col("st.scale"), col("st.q_sum"), col("st.n_saturated"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) === 0L)
+    }
+  }
+
   test("word_shingles3: codegen == interpreted, and matches a naive builder") {
     def run: Array[Seq[String]] = Tables.documents(spark, sf0001)
       .select(VectorExpressions.wordShingles3(docsToks))
