@@ -29,8 +29,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val warmPasses =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_WARM_PASSES", "3").toInt)
+    val warmPasses = sys.env.get("SPARK_GRAFT_WARM_PASSES")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption.orElse {
+        System.err.println(
+          s"[bench] ignoring unparseable SPARK_GRAFT_WARM_PASSES='$s', using 3")
+        None
+      }).map(math.max(1, _)).getOrElse(3)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

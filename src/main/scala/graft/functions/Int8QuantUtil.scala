@@ -13,21 +13,31 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * `operators/Embeddings`): scale = 127 / max|x_i| (double math),
   * q_i = floor(x_i · scale + 0.5) as long, q_sum = Σ q_i,
   * n_saturated = #{i : |q_i| = 127}. A zero or empty vector has no
-  * scale: (NULL, NULL, 0).
+  * scale: (NULL, NULL, 0). NULL and NaN elements are SKIPPED in every
+  * aggregate — the SQL-aggregate convention DuckDB's list_max/list_sum
+  * follow — so the SQL-registered function is total over any
+  * array<float>, not just the clean embeddings table.
   */
 object Int8QuantUtil {
+
+  private def usable(arr: ArrayData, i: Int): Boolean =
+    !arr.isNullAt(i) && !java.lang.Float.isNaN(arr.getFloat(i))
 
   def stats(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     var maxAbs = 0.0
+    var any = false
     var i = 0
     while (i < n) {
-      val x = math.abs(arr.getFloat(i).toDouble)
-      if (x > maxAbs) maxAbs = x
+      if (usable(arr, i)) {
+        any = true
+        val x = math.abs(arr.getFloat(i).toDouble)
+        if (x > maxAbs) maxAbs = x
+      }
       i += 1
     }
     val row = new GenericInternalRow(3)
-    if (n == 0 || maxAbs <= 0.0) {
+    if (!any || maxAbs <= 0.0) {
       row.setNullAt(0); row.setNullAt(1); row.setLong(2, 0L)
     } else {
       val scale = 127.0 / maxAbs
@@ -35,9 +45,11 @@ object Int8QuantUtil {
       var nSat = 0L
       i = 0
       while (i < n) {
-        val q = math.floor(arr.getFloat(i).toDouble * scale + 0.5).toLong
-        qSum += q
-        if (q == 127L || q == -127L) nSat += 1
+        if (usable(arr, i)) {
+          val q = math.floor(arr.getFloat(i).toDouble * scale + 0.5).toLong
+          qSum += q
+          if (q == 127L || q == -127L) nSat += 1
+        }
         i += 1
       }
       row.update(0, scale); row.setLong(1, qSum); row.setLong(2, nSat)

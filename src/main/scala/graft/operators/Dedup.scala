@@ -128,9 +128,7 @@ object Dedup {
     // among themselves) — O(k·n) pairs per bucket, never O(n²)
     val big = sized.filter(col("bsz") > MaxLshBucket)
     val anchors = big
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col("band_idx"), col(bucketKey))
-          .orderBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
       .filter(col("rn") <= StarAnchors)
       .drop("rn")
     val star = bucketJoin(anchors, big)

@@ -99,6 +99,14 @@ object AsOf {
         s"the reserved internal prefix '$ReservedPrefix'; rename them before joining")
     require(!asOfName.startsWith(ReservedPrefix),
       s"AsOf.join: output column '$asOfName' must not use the reserved prefix '$ReservedPrefix'")
+    // a duplicate output name would only surface as AMBIGUOUS_REFERENCE
+    // at the first downstream use — reject it here instead (resolver is
+    // case-insensitive by default, so compare the same way)
+    val caseSensitive =
+      left.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    require(!left.columns.exists(c =>
+        if (caseSensitive) c == asOfName else c.equalsIgnoreCase(asOfName)),
+      s"AsOf.join: output column '$asOfName' collides with an existing left column; pass a different asOfName")
     graftglue.dfFromPlan(left.sparkSession,
       AsOfJoin(graftglue.analyzedPlanOf(left), graftglue.analyzedPlanOf(right),
         key, leftTime, rightTime, asOfName))

@@ -67,8 +67,15 @@ object TopK {
       k: Int, rankName: String = "rn", tieBreak: Seq[String] = Nil): DataFrame = {
     require(k > 0, s"TopK.perGroup: k must be positive, got $k")
     require(partitionCols.nonEmpty, "TopK.perGroup: partitionCols must be non-empty")
-    require(!df.columns.contains(rankName),
-      s"TopK.perGroup: rank column '$rankName' already exists in the input; pass a different rankName")
+    // withColumn resolves case-INsensitively under the default
+    // spark.sql.caseSensitive=false, so a case-differing clash would
+    // silently overwrite the user's column — match the resolver here
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val clash = df.columns.exists(c =>
+      if (caseSensitive) c == rankName else c.equalsIgnoreCase(rankName))
+    require(!clash,
+      s"TopK.perGroup: rank column '$rankName' already exists in the input (case-insensitive match); pass a different rankName")
     graftglue.dfFromPlan(df.sparkSession,
       TopKPerGroup(graftglue.analyzedPlanOf(df), partitionCols, orderCol,
         tieBreak, k, rankName))

@@ -56,5 +56,15 @@ class AsOfJoinPlanSpec extends AnyFunSuite with SparkTestBase {
       plans.AsOf.join(clean, clean, "k", "t", "t", "__asof_out")
     }
     assert(e3.getMessage.contains("reserved"))
+    // an output name that duplicates a left column would only surface as
+    // AMBIGUOUS_REFERENCE at first downstream use — reject at the boundary
+    val e4 = intercept[IllegalArgumentException] {
+      plans.AsOf.join(clean, clean, "k", "t", "t", "t")
+    }
+    assert(e4.getMessage.contains("collides"))
+    val e5 = intercept[IllegalArgumentException] {
+      plans.AsOf.join(clean, clean, "k", "t", "t", "T")
+    }
+    assert(e5.getMessage.contains("collides"))
   }
 }

@@ -68,15 +68,27 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestBase {
         }
     val (gen, interp) = inBothModes(run)
     assert(gen.toSeq === interp.toSeq)
-    // zero and empty vectors have no scale
+    // zero and empty vectors have no scale; NaN-only likewise (skipped
+    // as in SQL aggregates, so no poisoned scale)
     import spark.implicits._
-    val edge = Seq(Array.fill(4)(0.0f), Array.empty[Float]).toDF("embedding")
+    val edge = Seq(Array.fill(4)(0.0f), Array.empty[Float],
+        Array.fill(3)(Float.NaN)).toDF("embedding")
       .select(VectorExpressions.int8QuantStats(col("embedding")).as("st"))
       .select(col("st.scale"), col("st.q_sum"), col("st.n_saturated"))
       .collect()
     edge.foreach { r =>
       assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) === 0L)
     }
+    // NULL elements are skipped, not read as 0: [1.0f, null] must behave
+    // exactly like [1.0f]
+    val withNull = Seq((1, Seq(Some(1.0f), None)), (2, Seq(Some(1.0f))))
+      .toDF("id", "embedding")
+      .select(col("id"),
+        VectorExpressions.int8QuantStats(
+          col("embedding").cast("array<float>")).as("st"))
+      .select(col("id"), col("st.scale"), col("st.q_sum"), col("st.n_saturated"))
+      .collect().map(r => (r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    assert(withNull.size === 1, s"null element changed the stats: $withNull")
   }
 
   test("word_shingles3: codegen == interpreted, and matches a naive builder") {

@@ -31,7 +31,7 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkTestBase {
   test("both registration surfaces expose the same SQL function set") {
     val listed = graft.functions.VectorExpressions.sqlFunctions.map(_._1).toSet
     assert(listed === Set("cosine_similarity", "simhash64",
-      "minhash_signature", "word_shingles3"))
+      "minhash_signature", "word_shingles3", "int8_quant_stats"))
     // register() path
     graft.functions.VectorExpressions.register(spark)
     listed.foreach { name =>

@@ -57,5 +57,11 @@ class TopKPerGroupPlanSpec extends AnyFunSuite with SparkTestBase {
     val e3 = intercept[IllegalArgumentException](
       plans.TopK.perGroup(df, Seq("g"), "x", 3, rankName = "id"))
     assert(e3.getMessage.contains("already exists"))
+    // withColumn resolves case-insensitively by default: a case-differing
+    // clash would silently overwrite the user's column, so it must be
+    // rejected the same way the resolver would match it
+    val e4 = intercept[IllegalArgumentException](
+      plans.TopK.perGroup(df, Seq("g"), "x", 3, rankName = "ID"))
+    assert(e4.getMessage.contains("already exists"))
   }
 }
