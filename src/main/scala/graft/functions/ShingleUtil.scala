@@ -13,16 +13,22 @@ object ShingleUtil {
     * array_distinct(transform(…)) built-in formulation and DuckDB's
     * list_distinct ordering), one pass, no intermediate arrays.
     */
-  def wordShingles3(tokens: ArrayData): ArrayData = {
+  def wordShingles3(tokens: ArrayData): ArrayData = wordNgrams(tokens, 3)
+
+  /** Distinct word n-grams in first-occurrence order (matches the
+    * array_distinct(transform(…)) built-in formulation and DuckDB's
+    * list_distinct ordering), one pass, no intermediate arrays.
+    */
+  def wordNgrams(tokens: ArrayData, w: Int): ArrayData = {
     val n = tokens.numElements()
-    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    if (n < w) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](math.max(16, n))
+    val parts = new Array[UTF8String](w)
     var i = 0
-    while (i <= n - 3) {
-      val s = UTF8String.concatWs(Space,
-        tokens.getUTF8String(i), tokens.getUTF8String(i + 1),
-        tokens.getUTF8String(i + 2))
-      seen.add(s)
+    while (i <= n - w) {
+      var j = 0
+      while (j < w) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])

@@ -217,6 +217,36 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** word_ngrams(array<string>, n) → array<string>: distinct word
+    * n-grams in first-occurrence order — the generalized
+    * [[WordShingles3]] (shared kernel), used with n=8 by the exact
+    * substring-dedup tier where 3-gram shingles are too short to mean
+    * "copied span".
+    */
+  case class WordNgrams(child: Expression, n: Int)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName window must be positive, got $n")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_ngrams"
+
+    override def nullSafeEval(input: Any): Any =
+      ShingleUtil.wordNgrams(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr =>
+        s"${ev.value} = graft.functions.ShingleUtil.wordNgrams($arr, $n);\n")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** int8_quant_stats(array<float>) → struct<scale:double, q_sum:bigint,
     * n_saturated:bigint>.
     *
@@ -272,7 +302,10 @@ object VectorExpressions {
   def int8QuantStats(vec: Column): Column =
     exprToColumn(Int8QuantStats(org.apache.spark.sql.graftglue.columnToExpr(vec)))
 
-  /** All five expressions for SQL registration — single source of truth
+  def wordNgrams(tokens: Column, n: Int): Column =
+    exprToColumn(WordNgrams(org.apache.spark.sql.graftglue.columnToExpr(tokens), n))
+
+  /** All six expressions for SQL registration — single source of truth
     * shared with [[graft.GraftExtensions]] so both registration surfaces
     * offer the same function set.
     */
@@ -281,7 +314,13 @@ object VectorExpressions {
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
     "word_shingles3" -> (exprs => WordShingles3(exprs.head)),
-    "int8_quant_stats" -> (exprs => Int8QuantStats(exprs.head)))
+    "int8_quant_stats" -> (exprs => Int8QuantStats(exprs.head)),
+    "word_ngrams" -> (exprs => exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+        WordNgrams(exprs.head, v)
+      case other => throw new IllegalArgumentException(
+        s"word_ngrams: window size must be an integer literal, got $other")
+    }))
 
   /** Register the full set for an already-built session's SQL surface. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -188,6 +188,52 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Window length (tokens) for exact substring dedup: long enough that
+    * a shared window means a copied span, not a common phrase.
+    */
+  private[graft] val SpanTokens = 8
+
+  /** A window shared by more docs than this is boilerplate (headers,
+    * licenses, templates), not copying between a specific pair — and at
+    * 100 TB it is also the hot key that would make the window self-join
+    * quadratic. Dropped BEFORE pair generation, same discipline as
+    * [[MaxLshBucket]]; the oracle applies the identical HAVING gate so
+    * the cap itself is hash-verified.
+    */
+  private[graft] val MaxSpanDocs = 32
+
+  /** Exact repeated-SPAN detection — the substring-level dedup tier
+    * between exact-document and near-dup: pairs of docs sharing ≥1
+    * identical [[SpanTokens]]-token window, with the shared-window
+    * count. The training-data failure mode this catches is partial
+    * copying (quoted paragraphs, boilerplate plus fresh text) that
+    * document-level digests miss and shingle-Jaccard dilutes.
+    *
+    * Shape: tokenize → distinct 8-token windows per doc (one codegen
+    * pass) → explode to an inverted index → drop boilerplate windows
+    * (window-frequency cap) → self-join on the window (bucket-keyed
+    * shuffle, never all-pairs across docs) → count windows per pair.
+    * No slice bound needed: unlike the all-pairs Jaccard ground truth,
+    * the window-keyed join is replayable by DuckDB at full table size.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(
+        VectorExpressions.wordNgrams(split(lower(col("text")), " ", -1),
+          SpanTokens)).as("w"))
+    // windows are distinct per doc, so a per-window row count IS its
+    // document frequency; the window shuffle is reused by the join
+    val kept = wins
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .filter(col("ndocs") <= MaxSpanDocs)
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact word-3-gram Jaccard on a bounded slice (doc_id < 60) — DuckDB-
     * verifiable ground truth for the approximate tiers above.
     */
@@ -295,6 +341,23 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin),
     QueryDef.noOracle("dedup_minhash_lsh", dedupMinhashLsh _),
     QueryDef.noOracle("dedup_simhash", dedupSimhash _),
+    QueryDef("dedup_substring", dedupSubstring _,
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, len(t) - 7),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |        || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' '
+        |        || t[i+7])) AS g
+        |  FROM t),
+        |wx AS (SELECT doc_id, unnest(g) AS w FROM g),
+        |keep AS (SELECT w FROM wx GROUP BY w HAVING count(*) <= 32),
+        |wk AS (SELECT wx.doc_id, wx.w FROM wx JOIN keep USING (w))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM wk a JOIN wk b ON a.w = b.w AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin),
     QueryDef("dedup_ngram_jaccard", dedupNgramJaccard _,
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(

@@ -245,6 +245,28 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedup_substring matches a driver-side recompute (8-token windows + cap)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val wins: Map[Long, Set[String]] = docs.map { case (id, text) =>
+      id -> text.toLowerCase.split(" ", -1).sliding(Dedup.SpanTokens)
+        .filter(_.length == Dedup.SpanTokens).map(_.mkString(" ")).toSet
+    }.toMap
+    val docFreq = wins.values.flatten.toSeq.groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val kept = wins.view.mapValues(_.filter(w =>
+      docFreq(w) <= Dedup.MaxSpanDocs)).toMap
+    val expected = (for {
+      (a, wa) <- kept.toSeq; (b, wb) <- kept.toSeq if a < b
+      n = (wa & wb).size if n > 0
+    } yield (a, b, n.toLong)).toSet
+    val got = Dedup.dedupSubstring(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "slice should contain at least one copied span")
+  }
+
   test("dedup_survivors: removals are accounted, every loser keeps a surviving rep") {
     val all = Tables.documents(spark, sf0001).select("doc_id").collect()
       .map(_.getLong(0)).toSet

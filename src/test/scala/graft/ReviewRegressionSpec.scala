@@ -31,7 +31,8 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkTestBase {
   test("both registration surfaces expose the same SQL function set") {
     val listed = graft.functions.VectorExpressions.sqlFunctions.map(_._1).toSet
     assert(listed === Set("cosine_similarity", "simhash64",
-      "minhash_signature", "word_shingles3", "int8_quant_stats"))
+      "minhash_signature", "word_shingles3", "int8_quant_stats",
+      "word_ngrams"))
     // register() path
     graft.functions.VectorExpressions.register(spark)
     listed.foreach { name =>
