@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Third training-pipeline batch: the corpus-assembly primitives that
+  * sit between "cleaned documents" and "training shards" — deterministic
+  * global shuffling into shards, temperature-based domain reweighting,
+  * incremental dedup of a new batch against an existing corpus, and a
+  * token-entropy quality signal. Everything is hash-deterministic (md5,
+  * never rand()) so the same corpus builds bit-identically on any
+  * cluster, any partitioning — the property that makes 100 TB corpus
+  * builds auditable and resumable.
+  */
+object Pipeline3 {
+
+  private def toks(c: Column) = split(lower(c), " ", -1)
+
+  /** First 8 md5 hex digits of a salted doc id as a long — the shared
+    * deterministic-hash idiom (pipeline_train_split uses the 1-byte
+    * form). 32 bits is plenty for per-document decisions and stays
+    * exactly representable on both engines' integer paths.
+    */
+  private def h32(salt: String): Column =
+    conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+
+  val NumShards = 8
+
+  /** Deterministic global shuffle into training shards: shard by hash,
+    * order within shard by the same hash. Replaces the usual
+    * `orderBy(rand())` anti-pattern — reproducible AND scalable: one
+    * hash projection, one shuffle on shard, an in-shard sort; never a
+    * global sort. At 100 TB each shard sorts independently (32-bit key),
+    * and re-running the build yields byte-identical shard files.
+    */
+  def pipelineShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h32("shuf:").as("h"))
+      .withColumn("shard", pmod(col("h"), lit(NumShards)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** Temperature-based domain reweighting (the data-mixing primitive):
+    * downsample each source toward size^α with α = 1/2 — keep
+    * probability sqrt(n_min/n_s), so the smallest source keeps
+    * everything and large sources shrink toward the α-tempered share.
+    * The keep decision is integer basis points against a salted hash,
+    * and sqrt/division are IEEE correctly-rounded single ops, so the
+    * sampled set is bit-identical across engines and runs — unlike
+    * rand()-based sampling, this is replayable for corpus audits.
+    * Plan: tiny per-source rate frame broadcast back onto the scan; no
+    * extra shuffle beyond the two accounting aggregates.
+    */
+  def pipelineMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_orig"))
+    val rates = counts
+      .withColumn("n_min", min(col("n_orig")).over(Window.partitionBy()))
+      .withColumn("keep_bps",
+        floor(sqrt(col("n_min").cast("double") / col("n_orig").cast("double"))
+          * 10000).cast("long"))
+      .select(col("source"), col("n_orig"), col("keep_bps"))
+    val kept = docs
+      .select(col("source"), pmod(h32("mix:"), lit(10000)).as("hb"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("hb") < col("keep_bps"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_orig"), col("keep_bps"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Incremental dedup — the production ingestion pattern: a new batch
+    * (doc_id ≡ 0 mod 5 here) is deduplicated within itself (min doc_id
+    * per digest) and against the EXISTING corpus's digest index, without
+    * ever reshuffling the existing documents. At 100 TB the index is a
+    * digest-only column scan (pruned to one column) and the anti-join
+    * ships batch-sized state, not corpus-sized.
+    */
+  def pipelineDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+    val index = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("h")).distinct()
+    docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(index, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token Shannon entropy (bits) per document — the repetition-aware
+    * quality signal: low entropy = keyboard-mash or template spam even
+    * when TTR looks fine. H = log2 n − (Σ c·ln c)/(n·ln 2) over token
+    * counts c; two hash-agg shuffles (doc×token, then doc), both
+    * map-side combinable.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ln2 = log(lit(2.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("doc_id"), col("n_toks"),
+        Tables.r4((log(col("n_toks").cast("double"))
+          - col("clnc") / col("n_toks").cast("double")) / ln2).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_shuffle", pipelineShuffle _,
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5('shuf:' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  cast(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin),
+    QueryDef("pipeline_mixture", pipelineMixture _,
+      """WITH c AS (SELECT source, count(*) AS n_orig FROM documents GROUP BY source),
+        |r AS (SELECT source, n_orig,
+        |  cast(floor(sqrt((SELECT min(n_orig) FROM c)::DOUBLE / n_orig::DOUBLE)
+        |    * 10000) AS BIGINT) AS keep_bps FROM c),
+        |k AS (SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE ('0x' || substring(md5('mix:' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 10000 < keep_bps
+        |  GROUP BY d.source)
+        |SELECT r.source, n_orig, keep_bps, coalesce(n_kept, 0) AS n_kept
+        |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin),
+    QueryDef("pipeline_dedup_incremental", pipelineDedupIncremental _,
+      """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+        |idx AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
+        |batch AS (SELECT h, min(doc_id) AS doc_id FROM d
+        |  WHERE doc_id % 5 = 0 GROUP BY h)
+        |SELECT doc_id, h FROM batch
+        |WHERE h NOT IN (SELECT h FROM idx) ORDER BY doc_id""".stripMargin),
+    QueryDef("text_entropy", textEntropy _,
+      """WITH tc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, cast(sum(c) AS BIGINT) AS n_toks,
+        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n_toks,
+        |  floor((ln(n_toks::DOUBLE) - clnc / n_toks::DOUBLE) / ln(2.0)
+        |    * 10000 + 0.5) / 10000 AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin)
+  )
+}

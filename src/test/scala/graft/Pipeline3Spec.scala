@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.operators.{Pipeline3, Relational4}
+
+class Pipeline3Spec extends AnyFunSuite with SparkTestBase {
+
+  test("shuffle: every doc lands in exactly one shard, positions are contiguous, order is hash-deterministic") {
+    val rows = Pipeline3.pipelineShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong === all, "bijection over the corpus")
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.groupBy(_._2).foreach { case (shard, in) =>
+      assert(in.map(_._3).sorted.toSeq === (1L to in.length).toSeq,
+        s"shard $shard positions must be 1..n")
+    }
+    // no shard hogs the corpus (hash balance at 500 docs / 8 shards)
+    val sizes = rows.groupBy(_._2).values.map(_.length)
+    assert(sizes.max < 2 * sizes.min + 16, s"shard skew: $sizes")
+    val again = Pipeline3.pipelineShuffle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("mixture: smallest source keeps everything, rates fall as sources grow, kept ≤ orig") {
+    val rows = Pipeline3.pipelineMixture(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val minOrig = rows.map(_._2).min
+    rows.foreach { case (src, nOrig, bps, nKept) =>
+      assert(bps >= 0 && bps <= 10000, s"$src bps $bps")
+      assert(nKept <= nOrig, s"$src kept $nKept > orig $nOrig")
+      if (nOrig == minOrig)
+        assert(bps === 10000L && nKept === nOrig,
+          s"smallest source $src must keep everything")
+    }
+    // keep rate is monotone non-increasing in source size
+    rows.sortBy(_._2).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "rates must fall as sources grow")
+      case _ =>
+    }
+  }
+
+  test("incremental dedup: survivors are novel vs the corpus index and unique within batch") {
+    import org.apache.spark.sql.functions.{lower, md5, pmod, trim, lit}
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+    val existing = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select("h").collect().map(_.getString(0)).toSet
+    val out = Pipeline3.pipelineDedupIncremental(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.nonEmpty)
+    assert(out.map(_._2).distinct.length === out.length, "one survivor per digest")
+    out.foreach { case (id, h) =>
+      assert(id % 5 === 0, s"survivor $id must come from the batch")
+      assert(!existing.contains(h), s"doc $id digest already in the corpus index")
+    }
+  }
+
+  test("entropy: bounded by log2(n_toks), zero for a constant doc, maximal for all-distinct") {
+    val rows = Pipeline3.textEntropy(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length.toLong === Tables.documents(spark, sf0001).count())
+    rows.foreach { case (id, n, h) =>
+      val hmax = math.log(n.toDouble) / math.log(2.0)
+      assert(h >= -1e-4 && h <= hmax + 1e-4, s"doc $id entropy $h outside [0, $hmax]")
+    }
+    // synthetic pins for the two extremes, through the same operator
+    import spark.implicits._
+    val tiny = Seq((1L, "a a a a", "en", "s", 7L), (2L, "a b c d", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("entropy").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ext = Pipeline3.textEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ext(1L) === 0.0, "constant doc has zero entropy")
+    assert(ext(2L) === 2.0, "4 distinct tokens = 2 bits")
+  }
+
+  test("q65 mode is the absorbing 3-bin (dominance by construction) and q68 nations are sorted") {
+    Relational4.q65OrderedSet(spark, sf0001).collect().foreach { r =>
+      assert(r.getLong(1) === 3L, "least(l_linenumber,3)=3 holds 5/7 of the mass")
+    }
+    Relational4.q68Listagg(spark, sf0001).collect().foreach { r =>
+      val nations = r.getString(1).split(",").toSeq
+      assert(nations === nations.sorted, "WITHIN GROUP ordering must hold")
+    }
+  }
+}
