@@ -38,7 +38,10 @@ object PlanAudit {
       "pipeline_contamination", "pipeline_pack_sequences",
       "pipeline_redact", "text_repetition",
       "emb_quantize", "dedup_survivors", "q55_lateral_topk",
-      "q56_recursive_cte", "q57_width_bucket", "q64_topk_custom_op")
+      "q56_recursive_cte", "q57_width_bucket", "q64_topk_custom_op",
+      "dedup_substring", "pipeline_shuffle", "pipeline_mixture",
+      "pipeline_dedup_incremental", "text_entropy", "q66_regr_aggs",
+      "q68_listagg")
 
     interesting.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
