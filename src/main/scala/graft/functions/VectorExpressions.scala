@@ -315,11 +315,14 @@ object VectorExpressions {
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
     "word_shingles3" -> (exprs => WordShingles3(exprs.head)),
     "int8_quant_stats" -> (exprs => Int8QuantStats(exprs.head)),
-    "word_ngrams" -> (exprs => exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
-        WordNgrams(exprs.head, v)
-      case other => throw new IllegalArgumentException(
+    "word_ngrams" -> (exprs => exprs match {
+      case Seq(tokens,
+          org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) =>
+        WordNgrams(tokens, v)
+      case Seq(_, other) => throw new IllegalArgumentException(
         s"word_ngrams: window size must be an integer literal, got $other")
+      case _ => throw new IllegalArgumentException(
+        s"word_ngrams expects 2 arguments (tokens, window), got ${exprs.length}")
     }))
 
   /** Register the full set for an already-built session's SQL surface. */

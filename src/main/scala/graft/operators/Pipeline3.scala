@@ -82,7 +82,10 @@ object Pipeline3 {
     * per digest) and against the EXISTING corpus's digest index, without
     * ever reshuffling the existing documents. At 100 TB the index is a
     * digest-only column scan (pruned to one column) and the anti-join
-    * ships batch-sized state, not corpus-sized.
+    * ships batch-sized state, not corpus-sized. The oracle uses NOT
+    * EXISTS, not NOT IN: only the former matches left_anti's per-row
+    * NULL-key semantics (one NULL digest in a NOT IN subquery empties
+    * the whole result under three-valued logic).
     */
   def pipelineDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -143,8 +146,9 @@ object Pipeline3 {
         |idx AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 <> 0),
         |batch AS (SELECT h, min(doc_id) AS doc_id FROM d
         |  WHERE doc_id % 5 = 0 GROUP BY h)
-        |SELECT doc_id, h FROM batch
-        |WHERE h NOT IN (SELECT h FROM idx) ORDER BY doc_id""".stripMargin),
+        |SELECT doc_id, h FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.h = b.h)
+        |ORDER BY doc_id""".stripMargin),
     QueryDef("text_entropy", textEntropy _,
       """WITH tc AS (
         |  SELECT doc_id, w, count(*) AS c FROM (

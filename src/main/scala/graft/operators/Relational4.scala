@@ -18,10 +18,11 @@ import graft.{QueryDef, Tables}
 object Relational4 {
 
   /** Ordered-set aggregates: mode + PERCENTILE_CONT ... WITHIN GROUP.
-    * mode() ties are engine-nondeterministic and l_linenumber is uniform
-    * 1..7 in this data, so the argument is capped at 3: the 3-bin
-    * absorbs lines 3..7 (5/7 of the mass) and dominates STRICTLY at any
-    * scale factor — the dominance is by construction, not data luck.
+    * mode() ties are engine-nondeterministic, so the argument is capped
+    * at 3: the 3-bin absorbs lines 3..7 and dominates STRICTLY under
+    * both plausible l_linenumber distributions — 5/7 of the mass if
+    * uniform 1..7 (this synthetic data), 15/28 vs 7/28 if TPC-H
+    * triangular (freq ∝ 8−k). Dominance by construction, not data luck.
     */
   def q65OrderedSet(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem_os")

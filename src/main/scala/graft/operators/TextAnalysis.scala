@@ -84,7 +84,11 @@ object TextAnalysis {
   private val langidUdf = udf { text: String =>
     if (text == null || text.isEmpty) "und"
     else {
-      val ts = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      // Locale.ROOT: match Spark's locale-independent lower() (the SQL
+      // oracle replays this udf) — default-locale toLowerCase turns 'I'
+      // into dotless 'ı' on tr-TR JVMs and breaks stopword hits
+      val ts = text.toLowerCase(java.util.Locale.ROOT)
+        .split(" ", -1).filter(_.nonEmpty)
       if (ts.isEmpty) "und"
       else {
         val scores = langStopwords.view.mapValues(sw => ts.count(sw)).toMap

@@ -102,7 +102,7 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestBase {
       .select(col("text"), VectorExpressions.wordShingles3(docsToks).as("sh"))
       .collect()
     sample.foreach { r =>
-      val toks = r.getString(0).toLowerCase.split(" ", -1)
+      val toks = r.getString(0).toLowerCase(java.util.Locale.ROOT).split(" ", -1)
       val naive = toks.sliding(3).filter(_.length == 3)
         .map(_.mkString(" ")).toSeq.distinct
       assert(r.getSeq[String](1) === naive)

@@ -250,7 +250,8 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val wins: Map[Long, Set[String]] = docs.map { case (id, text) =>
-      id -> text.toLowerCase.split(" ", -1).sliding(Dedup.SpanTokens)
+      id -> text.toLowerCase(java.util.Locale.ROOT)
+        .split(" ", -1).sliding(Dedup.SpanTokens)
         .filter(_.length == Dedup.SpanTokens).map(_.mkString(" ")).toSet
     }.toMap
     val docFreq = wins.values.flatten.toSeq.groupBy(identity)

@@ -10,7 +10,7 @@ object ReferenceUdfs extends Serializable {
   import scala.util.Try
   def mapF(value: String): List[(String, String)] =
     value.split(" ", -1).toList
-      .map(w => (w.toLowerCase.replaceAll("""[^\w]""", ""), "1"))
+      .map(w => (w.toLowerCase(java.util.Locale.ROOT).replaceAll("""[^\w]""", ""), "1"))
       .filter(_._1.nonEmpty)
   def reduceF(key: String, values: Iterator[String]): String =
     values.map(v => Try(v.toInt).getOrElse(0)).sum.toString

@@ -80,7 +80,8 @@ class Pipeline3Spec extends AnyFunSuite with SparkTestBase {
 
   test("q65 mode is the absorbing 3-bin (dominance by construction) and q68 nations are sorted") {
     Relational4.q65OrderedSet(spark, sf0001).collect().foreach { r =>
-      assert(r.getLong(1) === 3L, "least(l_linenumber,3)=3 holds 5/7 of the mass")
+      assert(r.getLong(1) === 3L,
+        "least(l_linenumber,3)=3 strictly dominates (5/7 uniform, 15/28 triangular)")
     }
     Relational4.q68Listagg(spark, sf0001).collect().foreach { r =>
       val nations = r.getString(1).split(",").toSeq

@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object PropertySpec extends Properties("graft") {
 
   private def normalize(s: String): String =
-    s.toLowerCase.replaceAll("""[^\w]""", "")
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("""[^\w]""", "")
 
   private val asciiText: Gen[String] =
     Gen.listOf(Gen.frequency(

@@ -42,6 +42,20 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("word_ngrams SQL surface rejects bad arity/window with a clear error") {
+    graft.functions.VectorExpressions.register(spark)
+    val oneArg = intercept[Exception] {
+      spark.sql("SELECT word_ngrams(array('a','b'))").collect()
+    }
+    assert(oneArg.getMessage.contains("expects 2 arguments"),
+      s"arity error must name the contract, got: ${oneArg.getMessage}")
+    val nonLit = intercept[Exception] {
+      spark.sql("SELECT word_ngrams(array('a','b'), length('xy'))").collect()
+    }
+    assert(nonLit.getMessage.contains("integer literal"),
+      s"non-literal window must name the contract, got: ${nonLit.getMessage}")
+  }
+
   test("missing map key → NULL under ANSI (Spark 4), array OOB → error") {
     import spark.implicits._
     assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
