@@ -133,6 +133,48 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The same per-user accumulator through Spark 4's transformWithState
+    * — the successor API to flatMapGroupsWithState: named state
+    * variables with per-variable TTL on a handle, timers, and
+    * RocksDB-only state (enforced by Spark — the scale backend is not
+    * optional here). State is one (n, cents, last_ts) triple per user;
+    * the spend sum is exact integer cents, so the oracle comparison has
+    * no float-summation hazard. Scale: identical eviction story to
+    * [[streamStateful]], plus TTLConfig is where per-user state expiry
+    * lives in production.
+    */
+  def streamTransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventsStream(spark, dir)
+        .select(col("user_id"),
+          col("value").cast(DecimalType(12, 2)).*(100).cast("long").as("cents"),
+          unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long, Long)]
+      val updated = ds.groupByKey(_._1)
+        .transformWithState(new UserSpendProcessor,
+          TimeMode.None(), OutputMode.Append())
+      val out = runToMemory(spark,
+        updated.toDF("user_id", "n_events", "cents", "l_us"),
+        "stream_tws", "append")
+      out.select(col("user_id"), col("n_events"), col("cents"),
+          date_format(timestamp_micros(col("l_us")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+        .orderBy(col("user_id"))
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Stream-stream inner join with event-time bounds: purchases within
     * 5 minutes after a signup by the same user — the streaming twin of
     * the batch range join (q17), sharing its oracle shape. Watermarks on
@@ -198,6 +240,11 @@ object StreamingQueries {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    QueryDef("stream_tws", streamTransformWithState _,
+      """SELECT user_id, count(*) AS n_events,
+        |  cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     QueryDef("stream_tumbling", streamTumbling _,
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,
@@ -215,4 +262,34 @@ object StreamingQueries {
         |ORDER BY user_id, event_type""".stripMargin)
   )
 
+}
+
+/** Per-user spend accumulator for [[StreamingQueries.streamTransformWithState]]:
+  * ValueState[(n, cents, last_ts_us)] keyed by user. Top-level class (not a
+  * closure) so the checkpointed processor never captures a test suite or
+  * session. Order-free merges ⇒ deterministic under any arrival order.
+  */
+class UserSpendProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var acc: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    acc = getHandle.getValueState[(Long, Long, Long)]("acc", enc, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    var (n, cents, last) = Option(acc.get()).getOrElse((0L, 0L, Long.MinValue))
+    rows.foreach { case (_, c, ts) =>
+      n += 1; cents += c; if (ts > last) last = ts
+    }
+    acc.update((n, cents, last))
+    Iterator((key, n, cents, last))
+  }
 }

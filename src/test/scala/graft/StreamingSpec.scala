@@ -205,6 +205,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stream_tws: transformWithState matches the batch aggregate, conf restored") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val rows = StreamingQueries.streamTransformWithState(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spark.conf.getOption(key) === before,
+      "RocksDB provider override must not leak into the session")
+    val batch = Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2)).*(100))
+          .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.toSet === batch, "stateful accumulator must equal batch aggregate")
+    assert(rows.map(_._1).distinct.length === rows.length, "one row per user")
+  }
+
   test("stream_session: session count and event conservation") {
     val sessions = StreamingQueries.streamSession(spark, sf0001).collect()
     val totalEvents = sessions.map(_.getLong(2)).sum
