@@ -88,6 +88,19 @@ object Relational4 {
       GROUP BY r_name ORDER BY r_name""")
   }
 
+  /** GROUP BY ALL / ORDER BY ALL (DuckDB-originated sugar, in Spark
+    * since 3.4/4.0): grouping keys inferred from the non-aggregate
+    * select items, ordering over the full select list. Same physical
+    * plan as the explicit form — this query pins the parser surface.
+    */
+  def q69GroupByAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_gba")
+    spark.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        cast(sum(cast(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM v_orders_gba GROUP BY ALL ORDER BY ALL""")
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q65_ordered_set", q65OrderedSet _,
       """SELECT l_returnflag,
@@ -118,6 +131,10 @@ object Relational4 {
         |  bool_and(o_totalprice > 0) AS all_pos,
         |  bool_or(o_orderstatus = 'F') AS any_f
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    QueryDef("q69_group_by_all", q69GroupByAll _,
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  cast(sum(cast(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin),
     QueryDef("q68_listagg", q68Listagg _,
       """SELECT r_name,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,

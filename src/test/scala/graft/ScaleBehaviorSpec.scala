@@ -114,6 +114,29 @@ class ScaleBehaviorSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cache(): second action reads InMemoryTableScan, not parquet; results identical") {
+    // the cross-query reuse primitive (localCheckpoint's cousin): a
+    // cached frame must serve later actions from columnar memory — at
+    // scale this is what makes iterate-over-one-scan workflows viable
+    def frame = Tables.lineitem(spark, sf0001)
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .count()
+    val uncached = frame.collect()
+    val cached = frame.cache()
+    try {
+      cached.count() // materialize the cache
+      // cache substitution happens at PLANNING time: a Dataset memoizes
+      // its pre-cache QueryExecution, so the in-memory scan is only
+      // visible on a FRESHLY planned frame with the same logical plan
+      val again = frame
+      val plan = { again.collect(); again.queryExecution.executedPlan.toString }
+      assert(plan.contains("InMemoryTableScan"),
+        s"fresh plan over a cached frame must scan the in-memory relation, got:\n$plan")
+      assert(again.collect().toSeq.sortBy(_.getString(0)) ===
+        uncached.toSeq.sortBy(_.getString(0)))
+    } finally cached.unpersist()
+  }
+
   test("AQE splits a skewed shuffle partition (skew=true in final SMJ)") {
     import spark.implicits._
     // 95% of rows share one key — the classic straggler shape
