@@ -78,6 +78,22 @@ class Pipeline3Spec extends AnyFunSuite with SparkTestBase {
     assert(ext(2L) === 2.0, "4 distinct tokens = 2 bits")
   }
 
+  test("observe(): corpus accounting piggybacks on the job, no second scan") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    // at 100 TB an extra .count() for accounting is an extra full scan;
+    // observe() attaches the metrics to the job that runs anyway
+    val obs = Observation("corpus_account")
+    val docs = Tables.documents(spark, sf0001)
+      .observe(obs, count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val written = docs.select("doc_id").collect().length
+    val row = obs.get
+    assert(row("n_docs") === written.toLong)
+    val expectChars = Tables.documents(spark, sf0001)
+      .agg(sum(col("n_chars"))).head().getLong(0)
+    assert(row("n_chars") === expectChars)
+  }
+
   test("q65 mode is the absorbing 3-bin (dominance by construction) and q68 nations are sorted") {
     Relational4.q65OrderedSet(spark, sf0001).collect().foreach { r =>
       assert(r.getLong(1) === 3L,
