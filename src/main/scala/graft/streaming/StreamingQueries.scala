@@ -264,6 +264,50 @@ object StreamingQueries {
 
 }
 
+/** Event-time-timer session closer: the transformWithState feature the
+  * older flatMapGroupsWithState timeouts only approximated. One live
+  * timer per user at last_event + gap (previous deadline deleted on
+  * every update); when the WATERMARK passes the deadline,
+  * handleExpiredTimer emits the closed session and clears state. At
+  * scale this is how per-key state is bounded by inactivity, not by
+  * table size — eviction driven by event time, robust to replay.
+  * Spec-pinned in StreamingSpec over a two-batch replay.
+  */
+class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var sess: ValueState[(Long, Long)] = _ // (n, last_ms)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    sess = getHandle.getValueState[(Long, Long)]("sess", enc, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, last) = Option(sess.get()).getOrElse((0L, Long.MinValue))
+    rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.registerTimer(last + gapMs)
+    sess.update((n, last))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    val out = Option(sess.get()) match {
+      case Some((n, _)) => Iterator((key, n, expired.getExpiryTimeInMs))
+      case None => Iterator.empty
+    }
+    sess.clear()
+    out
+  }
+}
+
 /** Per-user spend accumulator for [[StreamingQueries.streamTransformWithState]]:
   * ValueState[(n, cents, last_ts_us)] keyed by user. Top-level class (not a
   * closure) so the checkpointed processor never captures a test suite or

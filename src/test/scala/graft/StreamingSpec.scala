@@ -225,6 +225,58 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._1).distinct.length === rows.length, "one row per user")
   }
 
+  test("event-time timers close sessions when the watermark passes the deadline") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = java.nio.file.Files.createTempDirectory("timers").toString
+    try {
+      // batch 1 = oldest half, batch 2 = newest half: batch 2's watermark
+      // sweeps past batch-1 session deadlines and fires their timers
+      val ev = Tables.events(spark, sf0001).select(col("user_id"), col("ts"))
+      val cut = ev.selectExpr("percentile(cast(ts AS DOUBLE), 0.5)").head().getDouble(0)
+      ev.filter(col("ts").cast("double") <= cut).coalesce(1).write.parquet(s"$dir/in/b1")
+      Thread.sleep(1100)
+      ev.filter(col("ts").cast("double") > cut).coalesce(1).write.parquet(s"$dir/in/b2")
+
+      val perUser = ev.groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*/")
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .as[(Long, Long)]
+      val closed = stream.groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.SessionTimerProcessor(30L * 60 * 1000),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "n_events", "closed_at_ms")
+      val q = closed.writeStream.format("memory").queryName("timer_sessions")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+
+      val rows = spark.table("timer_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.nonEmpty, "batch-2 watermark must fire batch-1 timers")
+      rows.foreach { case (uid, n, _) =>
+        assert(n > 0 && n <= perUser(uid),
+          s"user $uid closed with $n events, has ${perUser(uid)} total")
+      }
+      // one live timer per key ⇒ at most one close per user per sweep
+      val closesPerUser = rows.groupBy(_._1).values.map(_.length)
+      assert(closesPerUser.max <= 2, "timer replacement must bound closes")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream_session: session count and event conservation") {
     val sessions = StreamingQueries.streamSession(spark, sf0001).collect()
     val totalEvents = sessions.map(_.getLong(2)).sum
