@@ -76,4 +76,27 @@ object PropertySpec extends Properties("graft") {
       val out = graft.functions.ShingleUtil.wordShingles3(arr)
       out.numElements() <= math.max(xs.length - 2, 0)
     }
+
+  private val windowGen: Gen[Int] = Gen.choose(1, 9)
+
+  property("wordNgrams matches naive sliding-distinct for any window") =
+    forAll(Gen.listOf(Gen.identifier), windowGen) { (xs, w) =>
+      val arr = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.ShingleUtil.wordNgrams(arr, w)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val want = xs.sliding(w).filter(_.length == w)
+        .map(_.mkString(" ")).toSeq.distinct
+      got == want // same grams, same first-occurrence order
+    }
+
+  property("wordNgrams(_, 3) ≡ wordShingles3 (shared kernel contract)") =
+    forAll(Gen.listOf(Gen.identifier)) { xs =>
+      val a1 = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+      val a2 = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+      graft.functions.ShingleUtil.wordNgrams(a1, 3).toSeq(
+          org.apache.spark.sql.types.StringType) ==
+        graft.functions.ShingleUtil.wordShingles3(a2).toSeq(
+          org.apache.spark.sql.types.StringType)
+    }
 }
