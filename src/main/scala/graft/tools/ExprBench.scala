@@ -87,10 +87,21 @@ object ExprBench {
           .otherwise(0).cast("long").as("n_saturated"))
     }
 
+    // 5. 8-token windows (substring-dedup kernel) vs the same
+    //    transform+concat_ws+array_distinct chain at window 8
+    val ngramExpr = timeMedian(
+      docs.select(VectorExpressions.wordNgrams(toks, 8).as("w")))
+    val ngramHof = timeMedian(docs.select(
+      array_distinct(when(size(toks) >= 8,
+        transform(sequence(lit(1), size(toks) - 7),
+          i => concat_ws(" ", (0 until 8).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))).as("w")))
+
     println(f"[exprbench] shingles: codegen=$shingleExpr%.2fs hof=$shingleHof%.2fs speedup=${shingleHof / shingleExpr}%.1fx")
     println(f"[exprbench] minhash32: codegen=$mhExpr%.2fs hof=$mhHof%.2fs speedup=${mhHof / mhExpr}%.1fx")
     println(f"[exprbench] cosine: codegen=$cosExpr%.2fs hof=$cosHof%.2fs speedup=${cosHof / cosExpr}%.1fx")
     println(f"[exprbench] int8quant: codegen=$quantExpr%.2fs hof=$quantHof%.2fs speedup=${quantHof / quantExpr}%.1fx")
+    println(f"[exprbench] ngrams8: codegen=$ngramExpr%.2fs hof=$ngramHof%.2fs speedup=${ngramHof / ngramExpr}%.1fx")
     spark.stop()
   }
 }

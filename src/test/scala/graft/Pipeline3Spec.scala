@@ -78,6 +78,21 @@ class Pipeline3Spec extends AnyFunSuite with SparkTestBase {
     assert(ext(2L) === 2.0, "4 distinct tokens = 2 bits")
   }
 
+  test("empty corpus: shuffle/mixture/incremental/entropy/substring return empty, never crash") {
+    // the r2 review found empty-corpus NPEs in clusters/packing; pin the
+    // same guarantee for every new operator up front
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("empty_corpus").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Pipeline3.pipelineShuffle(spark, dir).count() === 0L)
+    assert(Pipeline3.pipelineMixture(spark, dir).count() === 0L)
+    assert(Pipeline3.pipelineDedupIncremental(spark, dir).count() === 0L)
+    assert(Pipeline3.textEntropy(spark, dir).count() === 0L)
+    assert(graft.operators.Dedup.dedupSubstring(spark, dir).count() === 0L)
+  }
+
   test("observe(): corpus accounting piggybacks on the job, no second scan") {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit, sum}
