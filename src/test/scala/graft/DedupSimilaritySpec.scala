@@ -245,6 +245,26 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedup_substring: boilerplate windows are capped out, rare shared spans survive") {
+    import spark.implicits._
+    // 40 docs share a license-header span (window freq 40 > cap 32 ⇒
+    // dropped BEFORE pair generation: zero pairs from boilerplate, not
+    // 780); docs 100/101 share a rare span ⇒ exactly one pair
+    val header = (1 to Dedup.SpanTokens).map(i => s"lic$i").mkString(" ")
+    val rare = (1 to Dedup.SpanTokens).map(i => s"quote$i").mkString(" ")
+    val docs =
+      (0 until 40).map(i => (i.toLong, s"$header unique$i", "en", "s", 0L)) ++
+      Seq((100L, s"intro $rare", "en", "s", 0L),
+          (101L, s"$rare outro", "en", "s", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("span_cap").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupSubstring(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((100L, 101L, 1L)),
+      s"only the rare span may pair, got: ${got.toSeq}")
+  }
+
   test("dedup_substring matches a driver-side recompute (8-token windows + cap)") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()

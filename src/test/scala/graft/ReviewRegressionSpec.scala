@@ -42,6 +42,14 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("registry names are unique (Map construction would drop collisions silently)") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.length === names.length,
+      s"duplicate query names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    assert(SparkEntry.queries.size === names.length)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("word_ngrams SQL surface rejects bad arity/window with a clear error") {
     graft.functions.VectorExpressions.register(spark)
     val oneArg = intercept[Exception] {
