@@ -120,6 +120,35 @@ object Pipeline3 {
       .orderBy(col("doc_id"))
   }
 
+  /** Filter-cascade quality gate (the FineWeb-style shape): every doc
+    * gets a verdict with the FIRST failing rule as its reason code —
+    * too_short (< 10 tokens), low_entropy (< 2 bits), top_heavy (most
+    * frequent token > 25% of mass) — so drops are auditable per rule,
+    * not just counted. One token-explode feeds all three signals (one
+    * doc×token agg + one doc agg); the rule thresholds compare
+    * bit-identical doubles on both engines (entropy via the shared r4
+    * idiom, share as an exact integer-ratio comparison c*4 > n).
+    */
+  def pipelineQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val ln2 = log(lit(2.0))
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"), max(col("c")).as("max_c"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("doc_id"), col("n_toks"), col("max_c"),
+        Tables.r4((log(col("n_toks").cast("double"))
+          - col("clnc") / col("n_toks").cast("double")) / ln2).as("entropy"))
+    perDoc.select(col("doc_id"), col("n_toks"), col("entropy"),
+        when(col("n_toks") < 10, "too_short")
+          .when(col("entropy") < 2.0, "low_entropy")
+          .when(col("max_c") * 4 > col("n_toks"), "top_heavy")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_shuffle", pipelineShuffle _,
       """WITH h AS (
@@ -149,6 +178,27 @@ object Pipeline3 {
         |SELECT doc_id, h FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.h = b.h)
         |ORDER BY doc_id""".stripMargin),
+    QueryDef("pipeline_quality_gate", pipelineQualityGate _,
+      """WITH tc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, cast(sum(c) AS BIGINT) AS n_toks,
+        |    cast(max(c) AS BIGINT) AS max_c,
+        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+        |  FROM tc GROUP BY doc_id),
+        |scored AS (
+        |  SELECT doc_id, n_toks, max_c,
+        |    floor((ln(n_toks::DOUBLE) - clnc / n_toks::DOUBLE) / ln(2.0)
+        |      * 10000 + 0.5) / 10000 AS entropy
+        |  FROM agg)
+        |SELECT doc_id, n_toks, entropy,
+        |  CASE WHEN n_toks < 10 THEN 'too_short'
+        |       WHEN entropy < 2.0 THEN 'low_entropy'
+        |       WHEN max_c * 4 > n_toks THEN 'top_heavy'
+        |       ELSE 'keep' END AS verdict
+        |FROM scored ORDER BY doc_id""".stripMargin),
     QueryDef("text_entropy", textEntropy _,
       """WITH tc AS (
         |  SELECT doc_id, w, count(*) AS c FROM (

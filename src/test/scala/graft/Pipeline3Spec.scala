@@ -78,6 +78,30 @@ class Pipeline3Spec extends AnyFunSuite with SparkTestBase {
     assert(ext(2L) === 2.0, "4 distinct tokens = 2 bits")
   }
 
+  test("quality gate: every verdict branch witnessed; real corpus keeps a majority") {
+    import spark.implicits._
+    val many = (1 to 40).map(i => s"w$i").mkString(" ")
+    val lowEnt = (("a " * 30) + ("b " * 5) + ("c " * 5)).trim // H≈1.15 bits
+    val topHeavy = (("z " * 15) + (1 to 25).map(i => s"t$i").mkString(" ")).trim
+    val docs = Seq(
+      (1L, "just five short tokens here", "en", "s", 0L), // too_short
+      (2L, lowEnt, "en", "s", 0L),                        // low_entropy
+      (3L, topHeavy, "en", "s", 0L),                      // z=15/40 > 1/4
+      (4L, many, "en", "s", 0L))                          // keep
+    val dir = java.nio.file.Files.createTempDirectory("gate").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val verdicts = Pipeline3.pipelineQualityGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(verdicts === Map(1L -> "too_short", 2L -> "low_entropy",
+      3L -> "top_heavy", 4L -> "keep"))
+    // the generated corpus is mostly natural-ish text: gate keeps most
+    val real = Pipeline3.pipelineQualityGate(spark, sf0001).collect()
+      .map(_.getString(3))
+    assert(real.count(_ == "keep") * 2 > real.length,
+      s"gate too aggressive: ${real.groupBy(identity).view.mapValues(_.length).toMap}")
+  }
+
   test("empty corpus: shuffle/mixture/incremental/entropy/substring return empty, never crash") {
     // the r2 review found empty-corpus NPEs in clusters/packing; pin the
     // same guarantee for every new operator up front
