@@ -99,55 +99,78 @@ object Pipeline3 {
       .orderBy(col("doc_id"))
   }
 
-  /** Token Shannon entropy (bits) per document — the repetition-aware
-    * quality signal: low entropy = keyboard-mash or template spam even
-    * when TTR looks fine. H = log2 n − (Σ c·ln c)/(n·ln 2) over token
-    * counts c; two hash-agg shuffles (doc×token, then doc), both
-    * map-side combinable.
+  /** Per-doc token statistics — ONE explode + two map-side-combinable
+    * hash aggs, the shared substrate for [[textEntropy]] and
+    * [[pipelineQualityGate]] (Catalyst prunes the columns a caller
+    * doesn't use). Docs with zero non-empty tokens have NO row here;
+    * callers that promise per-doc coverage must left-join documents.
     */
-  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val ln2 = log(lit(2.0))
+  private def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_toks"),
-        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
-      .select(col("doc_id"), col("n_toks"),
-        Tables.r4((log(col("n_toks").cast("double"))
-          - col("clnc") / col("n_toks").cast("double")) / ln2).as("entropy"))
-      .orderBy(col("doc_id"))
-  }
-
-  /** Filter-cascade quality gate (the FineWeb-style shape): every doc
-    * gets a verdict with the FIRST failing rule as its reason code —
-    * too_short (< 10 tokens), low_entropy (< 2 bits), top_heavy (most
-    * frequent token > 25% of mass) — so drops are auditable per rule,
-    * not just counted. One token-explode feeds all three signals (one
-    * doc×token agg + one doc agg); the rule thresholds compare
-    * bit-identical doubles on both engines (entropy via the shared r4
-    * idiom, share as an exact integer-ratio comparison c*4 > n).
-    */
-  def pipelineQualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val ln2 = log(lit(2.0))
-    val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_toks"), max(col("c")).as("max_c"),
+        sum(col("c") * col("c")).as("sum_c2"),
         sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
-      .select(col("doc_id"), col("n_toks"), col("max_c"),
-        Tables.r4((log(col("n_toks").cast("double"))
-          - col("clnc") / col("n_toks").cast("double")) / ln2).as("entropy"))
-    perDoc.select(col("doc_id"), col("n_toks"), col("entropy"),
+
+  /** H = log2 n − (Σ c·ln c)/(n·ln 2) over [[tokenStats]] columns. */
+  private def shannonBits: Column =
+    Tables.r4((log(col("n_toks").cast("double"))
+      - col("clnc") / col("n_toks").cast("double")) / log(lit(2.0)))
+
+  /** The matching DuckDB CTEs for [[tokenStats]] — single source shared
+    * by the text_entropy and pipeline_quality_gate oracles so the two
+    * entropy definitions cannot drift apart.
+    */
+  private val TokenStatsSql =
+    """tc AS (
+      |  SELECT doc_id, w, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
+      |agg AS (
+      |  SELECT doc_id, cast(sum(c) AS BIGINT) AS n_toks,
+      |    cast(max(c) AS BIGINT) AS max_c,
+      |    cast(sum(c * c) AS BIGINT) AS sum_c2,
+      |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
+      |  FROM tc GROUP BY doc_id)""".stripMargin
+
+  /** Token Shannon entropy (bits) per document — the repetition-aware
+    * quality signal: low entropy = keyboard-mash or template spam even
+    * when TTR looks fine.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    tokenStats(spark, dir)
+      .select(col("doc_id"), col("n_toks"), shannonBits.as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** Filter-cascade quality gate (the FineWeb-style shape): EVERY doc
+    * gets a verdict — zero-token docs included via a left join from the
+    * corpus (an unauditable silent drop is the failure mode a cascade
+    * exists to prevent) — with the FIRST failing rule as the reason
+    * code: too_short (< 10 tokens), low_entropy, top_heavy (most
+    * frequent token > 25% of mass). The drop rules compare EXACT
+    * integers only, so a verdict can never flip on cross-engine float
+    * drift: low_entropy is the Rényi-2 collision form Σc²·4 > n²
+    * (⇔ H₂ < 2 bits), top_heavy is max_c·4 > n. The reported Shannon
+    * `entropy` column keeps text_entropy's documented r4 drift budget;
+    * the verdict does not depend on it.
+    */
+  def pipelineQualityGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(tokenStats(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("max_c"), lit(0L)).as("max_c"),
+        coalesce(col("sum_c2"), lit(0L)).as("sum_c2"),
+        coalesce(shannonBits, lit(0.0)).as("entropy"))
+      .select(col("doc_id"), col("n_toks"), col("entropy"),
         when(col("n_toks") < 10, "too_short")
-          .when(col("entropy") < 2.0, "low_entropy")
+          .when(col("sum_c2") * 4 > col("n_toks") * col("n_toks"), "low_entropy")
           .when(col("max_c") * 4 > col("n_toks"), "top_heavy")
           .otherwise("keep").as("verdict"))
       .orderBy(col("doc_id"))
-  }
 
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_shuffle", pipelineShuffle _,
@@ -179,35 +202,22 @@ object Pipeline3 {
         |WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.h = b.h)
         |ORDER BY doc_id""".stripMargin),
     QueryDef("pipeline_quality_gate", pipelineQualityGate _,
-      """WITH tc AS (
-        |  SELECT doc_id, w, count(*) AS c FROM (
-        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-        |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
-        |agg AS (
-        |  SELECT doc_id, cast(sum(c) AS BIGINT) AS n_toks,
-        |    cast(max(c) AS BIGINT) AS max_c,
-        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
-        |  FROM tc GROUP BY doc_id),
+      s"""WITH $TokenStatsSql,
         |scored AS (
-        |  SELECT doc_id, n_toks, max_c,
-        |    floor((ln(n_toks::DOUBLE) - clnc / n_toks::DOUBLE) / ln(2.0)
-        |      * 10000 + 0.5) / 10000 AS entropy
-        |  FROM agg)
+        |  SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks,
+        |    coalesce(a.max_c, 0) AS max_c,
+        |    coalesce(a.sum_c2, 0) AS sum_c2,
+        |    coalesce(floor((ln(a.n_toks::DOUBLE) - a.clnc / a.n_toks::DOUBLE)
+        |      / ln(2.0) * 10000 + 0.5) / 10000, 0.0) AS entropy
+        |  FROM documents d LEFT JOIN agg a USING (doc_id))
         |SELECT doc_id, n_toks, entropy,
         |  CASE WHEN n_toks < 10 THEN 'too_short'
-        |       WHEN entropy < 2.0 THEN 'low_entropy'
+        |       WHEN sum_c2 * 4 > n_toks * n_toks THEN 'low_entropy'
         |       WHEN max_c * 4 > n_toks THEN 'top_heavy'
         |       ELSE 'keep' END AS verdict
         |FROM scored ORDER BY doc_id""".stripMargin),
     QueryDef("text_entropy", textEntropy _,
-      """WITH tc AS (
-        |  SELECT doc_id, w, count(*) AS c FROM (
-        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-        |    FROM documents) WHERE w <> '' GROUP BY doc_id, w),
-        |agg AS (
-        |  SELECT doc_id, cast(sum(c) AS BIGINT) AS n_toks,
-        |    sum(c::DOUBLE * ln(c::DOUBLE)) AS clnc
-        |  FROM tc GROUP BY doc_id)
+      s"""WITH $TokenStatsSql
         |SELECT doc_id, n_toks,
         |  floor((ln(n_toks::DOUBLE) - clnc / n_toks::DOUBLE) / ln(2.0)
         |    * 10000 + 0.5) / 10000 AS entropy

@@ -143,15 +143,26 @@ object StreamingQueries {
     * [[streamStateful]], plus TTLConfig is where per-user state expiry
     * lives in production.
     */
+  /** Run `f` with the RocksDB state store provider (required by
+    * transformWithState), restoring the previous provider — set or
+    * unset — afterwards so the override never leaks into the session.
+    */
+  private[graft] def withRocksDB[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def streamTransformWithState(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import org.apache.spark.sql.types.DecimalType
     import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val oldProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDB(spark) {
       val ds = eventsStream(spark, dir)
         .select(col("user_id"),
           col("value").cast(DecimalType(12, 2)).*(100).cast("long").as("cents"),
@@ -167,11 +178,6 @@ object StreamingQueries {
           date_format(timestamp_micros(col("l_us")),
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
         .orderBy(col("user_id"))
-    } finally {
-      oldProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
-      }
     }
   }
 

@@ -81,20 +81,23 @@ class Pipeline3Spec extends AnyFunSuite with SparkTestBase {
   test("quality gate: every verdict branch witnessed; real corpus keeps a majority") {
     import spark.implicits._
     val many = (1 to 40).map(i => s"w$i").mkString(" ")
-    val lowEnt = (("a " * 30) + ("b " * 5) + ("c " * 5)).trim // H≈1.15 bits
+    // Σc²·4 > n²: (900+25+25)·4 = 3800 > 1600 ⇒ low_entropy (H₂ < 2 bits)
+    val lowEnt = (("a " * 30) + ("b " * 5) + ("c " * 5)).trim
+    // Σc²·4 = (225+25)·4 = 1000 ≤ 1600, but max_c·4 = 60 > 40 ⇒ top_heavy
     val topHeavy = (("z " * 15) + (1 to 25).map(i => s"t$i").mkString(" ")).trim
     val docs = Seq(
       (1L, "just five short tokens here", "en", "s", 0L), // too_short
-      (2L, lowEnt, "en", "s", 0L),                        // low_entropy
-      (3L, topHeavy, "en", "s", 0L),                      // z=15/40 > 1/4
-      (4L, many, "en", "s", 0L))                          // keep
+      (2L, lowEnt, "en", "s", 0L),
+      (3L, topHeavy, "en", "s", 0L),
+      (4L, many, "en", "s", 0L),                          // keep
+      (5L, "", "en", "s", 0L))     // zero tokens — must NOT vanish
     val dir = java.nio.file.Files.createTempDirectory("gate").toString
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val verdicts = Pipeline3.pipelineQualityGate(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(verdicts === Map(1L -> "too_short", 2L -> "low_entropy",
-      3L -> "top_heavy", 4L -> "keep"))
+      3L -> "top_heavy", 4L -> "keep", 5L -> "too_short"))
     // the generated corpus is mostly natural-ish text: gate keeps most
     val real = Pipeline3.pipelineQualityGate(spark, sf0001).collect()
       .map(_.getString(3))
@@ -114,6 +117,7 @@ class Pipeline3Spec extends AnyFunSuite with SparkTestBase {
     assert(Pipeline3.pipelineMixture(spark, dir).count() === 0L)
     assert(Pipeline3.pipelineDedupIncremental(spark, dir).count() === 0L)
     assert(Pipeline3.textEntropy(spark, dir).count() === 0L)
+    assert(Pipeline3.pipelineQualityGate(spark, dir).count() === 0L)
     assert(graft.operators.Dedup.dedupSubstring(spark, dir).count() === 0L)
   }
 

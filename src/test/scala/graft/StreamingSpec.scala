@@ -228,12 +228,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
   test("event-time timers close sessions when the watermark passes the deadline") {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import spark.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val oldProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val dir = java.nio.file.Files.createTempDirectory("timers").toString
-    try {
+    try StreamingQueries.withRocksDB(spark) {
       // batch 1 = oldest half, batch 2 = newest half: batch 2's watermark
       // sweeps past batch-1 session deadlines and fires their timers
       val ev = Tables.events(spark, sf0001).select(col("user_id"), col("ts"))
@@ -270,10 +266,6 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(closesPerUser.max <= 2, "timer replacement must bound closes")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-      oldProvider match {
-        case Some(v) => spark.conf.set(providerKey, v)
-        case None    => spark.conf.unset(providerKey)
-      }
     }
   }
 
