@@ -172,6 +172,72 @@ object Pipeline3 {
           .otherwise("keep").as("verdict"))
       .orderBy(col("doc_id"))
 
+  val VocabSize = 256
+
+  /** Tokenizer vocabulary build: corpus token counts → top-N by
+    * (count desc, token asc) → rank + cumulative coverage. The heavy
+    * stage is one map-side-combinable token count; the top-N is
+    * TakeOrderedAndProject (each partition ships ≤ N rows, no global
+    * sort), and the rank/coverage window runs over the N surviving rows
+    * only. Coverage is integer basis points via long `div` — exact at
+    * any corpus size, where `floor(double)` would lose precision once
+    * cum·10⁴ crosses 2⁵³ (~10¹³ tokens, i.e. exactly the 100 TB regime).
+    * The one-row totals frame rides a broadcast cross join — the scalar
+    * attach pattern, not a data-sized cartesian.
+    */
+  def pipelineVocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val order = Window.orderBy(col("c").desc, col("w"))
+    counts.orderBy(col("c").desc, col("w")).limit(VocabSize)
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(order).cast("long"))
+      .withColumn("cum", sum(col("c"))
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rnk"), col("w"), col("c"),
+        expr("cum * 10000 div total").as("cov_bps"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Add-one-smoothed bigram language-model scoring — the KenLM-style
+    * fluency proxy: score(doc) = mean over its bigrams of
+    * ln((c(w1,w2)+1)/(c(w1)+V)), with V the context-vocabulary size.
+    * Bigrams are built with multiplicity from `arrays_zip(slice, slice)`
+    * (plain codegen expressions — no interpreted lambda in the hot
+    * path, rule 7) and every count is an exact integer on both engines;
+    * only the final ln/avg carries the documented r4 drift budget
+    * (NOTES rule 14, same as text_entropy's clnc). Counts and probe all
+    * hash-partition on token keys (map-side combine everywhere); the
+    * scalar V rides a one-row broadcast cross join. A production build
+    * would persist the tokenized frame once instead of re-deriving it
+    * per aggregate — at bench scale Catalyst's triple scan is cheaper
+    * than a materialization. Docs with fewer than two tokens have no
+    * bigrams and no row, mirroring text_entropy's contract.
+    */
+  def pipelineLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("z"))
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.w2").as("w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cctx"))
+    val v = cc.agg(count(lit(1)).as("v"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(cc, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("cb") + 1).cast("double")
+          / (col("cctx") + col("v")).cast("double")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), Tables.r4(avg(col("lp"))).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_shuffle", pipelineShuffle _,
       """WITH h AS (
@@ -216,6 +282,33 @@ object Pipeline3 {
         |       WHEN max_c * 4 > n_toks THEN 'top_heavy'
         |       ELSE 'keep' END AS verdict
         |FROM scored ORDER BY doc_id""".stripMargin),
+    QueryDef("pipeline_vocab", pipelineVocab _,
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w),
+        |top AS (SELECT w, c FROM c ORDER BY c DESC, w LIMIT 256)
+        |SELECT cast(row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS rnk,
+        |  w, cast(c AS BIGINT) AS c,
+        |  cast(sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING)
+        |    * 10000 // (SELECT sum(c) FROM c) AS BIGINT) AS cov_bps
+        |FROM top ORDER BY rnk""".stripMargin),
+    QueryDef("pipeline_lm_score", pipelineLmScore _,
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg FROM t),
+        |b AS (SELECT doc_id, split_part(bg, ' ', 1) AS w1,
+        |  split_part(bg, ' ', 2) AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY w1, w2),
+        |cc AS (SELECT w1, count(*) AS cctx FROM b GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM cc),
+        |s AS (SELECT b.doc_id,
+        |  ln((cb + 1)::DOUBLE / (cctx + v.v)::DOUBLE) AS lp
+        |  FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v)
+        |SELECT doc_id, cast(count(*) AS BIGINT) AS n_bigrams,
+        |  floor(avg(lp) * 10000 + 0.5) / 10000 AS lm_score
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     QueryDef("text_entropy", textEntropy _,
       s"""WITH $TokenStatsSql
         |SELECT doc_id, n_toks,

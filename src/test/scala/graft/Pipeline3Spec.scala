@@ -105,6 +105,60 @@ class Pipeline3Spec extends AnyFunSuite with SparkTestBase {
       s"gate too aggressive: ${real.groupBy(identity).view.mapValues(_.length).toMap}")
   }
 
+  test("vocab: tiny corpus pins exact ranks and integer coverage; real corpus is monotone") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=1, total=6 → coverage 5000 / 8333 / 10000 bps
+    val tiny = Seq((1L, "a a a b", "en", "s", 7L), (2L, "b c", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("vocab").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline3.pipelineVocab(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((1L, "a", 3L, 5000L), (2L, "b", 2L, 8333L),
+      (3L, "c", 1L, 10000L)))
+    val real = Pipeline3.pipelineVocab(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(real.length <= Pipeline3.VocabSize)
+    assert(real.map(_._1).toSeq === (1L to real.length).toSeq, "ranks contiguous")
+    real.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2, "counts non-increasing down the ranks")
+        assert(b._3 >= a._3, "coverage non-decreasing down the ranks")
+      case _ =>
+    }
+    assert(real.last._3 <= 10000L)
+    // the top-N must ship ≤ N rows per partition, never globally sort
+    // the vocabulary: TakeOrderedAndProject, with the only Sorts the
+    // trivial ones over the N surviving rows (window + output order)
+    val plan = Pipeline3.pipelineVocab(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-N must be TakeOrderedAndProject:\n$plan")
+  }
+
+  test("lm score: tiny corpus matches the hand model; real scores are strictly negative log-probs") {
+    import spark.implicits._
+    // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b); c(a,b)=3, c(b,a)=1,
+    // contexts a=3 b=1, V=2 → lp(a,b)=ln(4/5), lp(b,a)=ln(2/3)
+    val tiny = Seq((1L, "a b a b", "en", "s", 7L), (2L, "a b", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("lmscore").toString
+    tiny.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val out = Pipeline3.pipelineLmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 3L && out(2L)._1 === 1L)
+    assert(out(1L)._2 === r4((2 * math.log(4.0 / 5) + math.log(2.0 / 3)) / 3))
+    assert(out(2L)._2 === r4(math.log(4.0 / 5)))
+    assert(out(2L)._2 > out(1L)._2,
+      "the doc made only of the corpus-frequent bigram must score higher")
+    // real corpus: smoothing keeps every probability strictly below 1
+    val real = Pipeline3.pipelineLmScore(spark, sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(2) < 0.0,
+      s"doc ${r.getLong(0)} lm_score must be a negative mean log-prob"))
+  }
+
   test("empty corpus: shuffle/mixture/incremental/entropy/substring return empty, never crash") {
     // the r2 review found empty-corpus NPEs in clusters/packing; pin the
     // same guarantee for every new operator up front
@@ -118,6 +172,8 @@ class Pipeline3Spec extends AnyFunSuite with SparkTestBase {
     assert(Pipeline3.pipelineDedupIncremental(spark, dir).count() === 0L)
     assert(Pipeline3.textEntropy(spark, dir).count() === 0L)
     assert(Pipeline3.pipelineQualityGate(spark, dir).count() === 0L)
+    assert(Pipeline3.pipelineVocab(spark, dir).count() === 0L)
+    assert(Pipeline3.pipelineLmScore(spark, dir).count() === 0L)
     assert(graft.operators.Dedup.dedupSubstring(spark, dir).count() === 0L)
   }
 
