@@ -21,9 +21,13 @@ import org.apache.spark.sql.SparkSession
   *     would masquerade as a fast run and deflate the totals); it is
   *     listed in the errors arrays and counted in n_failed, and totals
   *     are sums over successes only;
-  *   - the JSON line goes to stdout AND to the file named by
-  *     SPARK_GRAFT_BENCH_OUT (default bench_out.json in the cwd), so
-  *     consumers don't have to scrape it out of the sbt log tail.
+  *   - the FULL JSON (every query, both lanes) goes to the file named by
+  *     SPARK_GRAFT_BENCH_OUT (default bench_out.json in the cwd);
+  *     stdout gets a COMPACT one-line JSON — totals for both lanes plus
+  *     a fixed headline-query subset — because the driver captures only
+  *     the tail of the sbt log and a 110-query line overflows that
+  *     window (BENCH_r03 "parsed": null was exactly this: the line's
+  *     head was cut off, so it never parsed).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -91,22 +95,35 @@ object Bench {
         if (samples.length == warmPasses) Some(name -> median(samples)) else None
       }.toMap
 
-    def fmt(m: Map[String, Double]) =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(m: Map[String, Double], keys: Iterable[String]) =
+      keys.flatMap(k => m.get(k).map(v => "\"" + k + "\":" + r3(v)))
+        .mkString("{", ",", "}")
     def fmtE(e: Seq[String]) = e.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = (errCold ++ errWarm).distinct.toSeq
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"total_warm":$totalWarm,"queries_warm":${fmt(warm)},"warm_passes":$warmPasses,"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"sf":"$sfDir"}"""
-    println(json)
+    // full detail (every query, both lanes) — file only
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, results.keys)},"total_warm":$totalWarm,"queries_warm":${fmt(warm, warm.keys)},"warm_passes":$warmPasses,"n_queries":${SparkEntry.queries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes("UTF-8"))
+        (fullJson + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] wrote $outPath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // compact headline line — the only stdout JSON, sized to survive the
+    // driver's log-tail capture (full detail lives in `outPath`)
+    val headline = Seq(
+      "q1_agg", "q3_star_join", "q18_asof_join", "q28_window_analytic",
+      "wordcount_reference", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_survivors", "sim_topk_bruteforce", "pipeline_corpus_build",
+      "pipeline_pack_sequences", "stream_stream_join")
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"warm_passes":$warmPasses,"n_queries":${SparkEntry.queries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"detail":"$outPath","sf":"$sfDir"}"""
+    println(json)
     spark.stop()
   }
 }

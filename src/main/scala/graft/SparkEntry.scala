@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Embeddings, Multimodal, Pipeline, Pipeline2, Pipeline3, Relational, Relational2, Relational3, Relational4, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Dedup, Embeddings, Multimodal, Pipeline, Pipeline2, Pipeline3, Pipeline4, Relational, Relational2, Relational3, Relational4, Relational5, Similarity, TextAnalysis, WordCount}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -67,10 +67,11 @@ object SparkEntry {
     */
   val registry: Seq[QueryDef] =
     core ++ Relational.registry ++ Relational2.registry ++
-      Relational3.registry ++ Relational4.registry ++
+      Relational3.registry ++ Relational4.registry ++ Relational5.registry ++
       Similarity.registry ++ Dedup.registry ++ TextAnalysis.registry ++
       Multimodal.registry ++ StreamingQueries.registry ++ Pipeline.registry ++
-      Pipeline2.registry ++ Pipeline3.registry ++ Embeddings.registry
+      Pipeline2.registry ++ Pipeline3.registry ++ Pipeline4.registry ++
+      Embeddings.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

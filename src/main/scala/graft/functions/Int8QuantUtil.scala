@@ -14,9 +14,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * q_i = floor(x_i · scale + 0.5) as long, q_sum = Σ q_i,
   * n_saturated = #{i : |q_i| = 127}. A zero or empty vector has no
   * scale: (NULL, NULL, 0). NULL and NaN elements are SKIPPED in every
-  * aggregate — the SQL-aggregate convention DuckDB's list_max/list_sum
-  * follow — so the SQL-registered function is total over any
-  * array<float>, not just the clean embeddings table.
+  * aggregate, so the SQL-registered function is total over any
+  * array<float>, not just the clean embeddings table. DuckDB does NOT
+  * skip NaN on its own — it orders NaN as the greatest float, so a bare
+  * list_max would yield scale = NaN — which is why the oracle filters
+  * NULL/NaN elements out with list_filter BEFORE every fold, keeping
+  * the two engines in lockstep on dirty vectors too.
   */
 object Int8QuantUtil {
 

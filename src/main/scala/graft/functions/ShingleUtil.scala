@@ -18,6 +18,13 @@ object ShingleUtil {
   /** Distinct word n-grams in first-occurrence order (matches the
     * array_distinct(transform(…)) built-in formulation and DuckDB's
     * list_distinct ordering), one pass, no intermediate arrays.
+    *
+    * Windows containing a NULL token are skipped entirely: concatWs
+    * would silently drop the null and emit a shorter-than-w gram that
+    * collides with genuine (w−1)-grams, so a null token simply breaks
+    * the shingle stream — the defined semantics for the SQL-registered
+    * function over arbitrary array<string> input, and what keeps the
+    * declared `containsNull = false` output type truthful.
     */
   def wordNgrams(tokens: ArrayData, w: Int): ArrayData = {
     val n = tokens.numElements()
@@ -27,8 +34,13 @@ object ShingleUtil {
     var i = 0
     while (i <= n - w) {
       var j = 0
-      while (j < w) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(Space, parts: _*))
+      var hasNull = false
+      while (j < w) {
+        if (tokens.isNullAt(i + j)) hasNull = true
+        else parts(j) = tokens.getUTF8String(i + j)
+        j += 1
+      }
+      if (!hasNull) seen.add(UTF8String.concatWs(Space, parts: _*))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])

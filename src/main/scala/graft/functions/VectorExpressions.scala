@@ -193,7 +193,8 @@ object VectorExpressions {
     * 3-grams in first-occurrence order. Same output as
     * `array_distinct(transform(sequence(…), i ⇒ concat_ws(" ", …)))` but
     * one codegen pass — the built-in higher-order chain is interpreted
-    * per element and measured ~6 s / 5 000 docs.
+    * per element and measured ~6 s / 5 000 docs. NULL-token windows are
+    * skipped by the shared kernel ([[ShingleUtil.wordNgrams]]).
     */
   case class WordShingles3(child: Expression)
       extends UnaryExpression {
@@ -221,7 +222,10 @@ object VectorExpressions {
     * n-grams in first-occurrence order — the generalized
     * [[WordShingles3]] (shared kernel), used with n=8 by the exact
     * substring-dedup tier where 3-gram shingles are too short to mean
-    * "copied span".
+    * "copied span". Windows containing a NULL token are skipped by the
+    * kernel (see [[ShingleUtil.wordNgrams]]), so `containsNull = true`
+    * inputs have defined semantics and the declared null-free output
+    * type holds for arbitrary arrays, not just `split()` results.
     */
   case class WordNgrams(child: Expression, n: Int)
       extends UnaryExpression {

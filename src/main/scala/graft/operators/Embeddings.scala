@@ -71,19 +71,28 @@ object Embeddings {
         |  len(embedding) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin),
     QueryDef("emb_quantize", embQuantize _,
-      """WITH s AS (
-        |  SELECT vec_id, embedding,
-        |    127.0 / list_max(list_transform(embedding,
+      // `f` mirrors the kernel's NULL/NaN skip (Int8QuantUtil.usable):
+      // DuckDB orders NaN as the GREATEST float, so without the filter a
+      // NaN element would make list_max return NaN (scale = NaN) where
+      // the Spark kernel skips it — the filter keeps the two engines in
+      // lockstep on dirty vectors, not just the clean embeddings table.
+      """WITH f AS (
+        |  SELECT vec_id, list_filter(embedding,
+        |    x -> x IS NOT NULL AND NOT isnan(x)) AS e
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    127.0 / list_max(list_transform(e,
         |      x -> abs(cast(x AS DOUBLE)))) AS scale
-        |  FROM embeddings)
+        |  FROM f)
         |SELECT vec_id,
         |  floor(scale * 10000 + 0.5) / 10000 AS scale,
         |  CASE WHEN scale IS NULL THEN NULL
-        |    ELSE cast(list_sum(list_transform(embedding,
+        |    ELSE cast(list_sum(list_transform(e,
         |      x -> cast(floor(cast(x AS DOUBLE) * scale + 0.5) AS BIGINT)))
         |      AS BIGINT) END AS q_sum,
         |  CASE WHEN scale IS NULL THEN 0
-        |    ELSE cast(len(list_filter(embedding,
+        |    ELSE cast(len(list_filter(e,
         |      x -> abs(floor(cast(x AS DOUBLE) * scale + 0.5)) = 127))
         |      AS BIGINT) END AS n_saturated
         |FROM s ORDER BY vec_id""".stripMargin)

@@ -31,10 +31,15 @@ object Pipeline3 {
 
   /** Deterministic global shuffle into training shards: shard by hash,
     * order within shard by the same hash. Replaces the usual
-    * `orderBy(rand())` anti-pattern — reproducible AND scalable: one
-    * hash projection, one shuffle on shard, an in-shard sort; never a
-    * global sort. At 100 TB each shard sorts independently (32-bit key),
-    * and re-running the build yields byte-identical shard files.
+    * `orderBy(rand())` anti-pattern — reproducible AND scalable: the
+    * shard/pos COMPUTATION is one hash projection, one shuffle on
+    * shard, and an in-shard sort — never a global sort. At 100 TB each
+    * shard sorts independently (32-bit key), and re-running the build
+    * yields byte-identical shard files. The trailing
+    * `orderBy(shard, pos)` here is harness determinism only (the
+    * oracle comparator needs a total order); a production shard writer
+    * drops it — `partitionBy(shard)` + `sortWithinPartitions(pos)` —
+    * so no global sort ever runs at scale.
     */
   def pipelineShuffle(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))

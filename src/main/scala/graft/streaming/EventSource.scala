@@ -21,14 +21,20 @@ trait EventSource {
   * for a broker (none is installed). `ts` arrives as parquet
   * TIMESTAMP(NANOS), which the vectorized reader rejects; read it as raw
   * nanos and truncate to µs exactly as the batch loader does.
+  *
+  * `maxFilesPerTrigger` throttles replay into multiple micro-batches —
+  * how the specs prove the stateful queries are batching-independent
+  * (a broker would never deliver everything in one batch).
   */
-final case class FileEventSource(dir: String) extends EventSource {
+final case class FileEventSource(dir: String,
+    maxFilesPerTrigger: Option[Int] = None) extends EventSource {
   def stream(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val schema = spark.read.parquet(path).schema
-    spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader
       // FileStreamSource wants a directory; a glob keeps the parent as
       // basePath while matching the single parquet file
       .parquet(s"$dir/events*.parquet")

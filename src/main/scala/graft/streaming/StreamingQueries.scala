@@ -103,15 +103,24 @@ object StreamingQueries {
 
   /** Custom stateful operator via flatMapGroupsWithState: per-user
     * accumulator (count, first ts, last ts). Order-free aggregation ⇒
-    * deterministic under any arrival order; emitted per batch in append
-    * mode (one replay batch here). At scale: state is 3 longs per user,
-    * evictable via a timeout — the shape of sessionization/feature-
-    * extraction state machines the built-in windows can't express.
+    * deterministic under any arrival order. Append mode emits one
+    * CUMULATIVE row per user per micro-batch that touches the user, so
+    * the sink table is collapsed to the FINAL emission per user
+    * (max_by on n_events, which strictly increases across a user's
+    * emissions) — the result is replay-batching-independent: one batch,
+    * maxFilesPerTrigger=1, or AvailableNow splits all agree. At scale:
+    * state is 3 longs per user, evictable via a timeout — the shape of
+    * sessionization/feature-extraction state machines the built-in
+    * windows can't express.
     */
-  def streamStateful(spark: SparkSession, dir: String): DataFrame = {
+  def streamStateful(spark: SparkSession, dir: String): DataFrame =
+    streamStatefulFrom(spark, FileEventSource(dir), "stream_stateful")
+
+  private[graft] def streamStatefulFrom(spark: SparkSession, src: EventSource,
+      name: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val ds = eventsStream(spark, dir)
+    val ds = src.stream(spark)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[(Long, Long)]
     val updated = ds.groupByKey(_._1)
@@ -126,8 +135,13 @@ object StreamingQueries {
           Iterator((uid, n, f, l))
       }
     val out = runToMemory(spark, updated.toDF("user_id", "n_events", "f_us", "l_us"),
-      "stream_stateful", "append")
-    out.select(col("user_id"), col("n_events"),
+      name, "append")
+    // collapse to the final (highest-count) emission per user — see scaladoc
+    out.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max_by(col("f_us"), col("n_events")).as("f_us"),
+        max_by(col("l_us"), col("n_events")).as("l_us"))
+      .select(col("user_id"), col("n_events"),
         date_format(timestamp_micros(col("f_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"),
         date_format(timestamp_micros(col("l_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
       .orderBy(col("user_id"))
@@ -158,12 +172,16 @@ object StreamingQueries {
     }
   }
 
-  def streamTransformWithState(spark: SparkSession, dir: String): DataFrame = {
+  def streamTransformWithState(spark: SparkSession, dir: String): DataFrame =
+    streamTransformWithStateFrom(spark, FileEventSource(dir), "stream_tws")
+
+  private[graft] def streamTransformWithStateFrom(spark: SparkSession,
+      src: EventSource, name: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import org.apache.spark.sql.types.DecimalType
     import spark.implicits._
     withRocksDB(spark) {
-      val ds = eventsStream(spark, dir)
+      val ds = src.stream(spark)
         .select(col("user_id"),
           col("value").cast(DecimalType(12, 2)).*(100).cast("long").as("cents"),
           unix_micros(col("ts")).as("ts_us"))
@@ -173,12 +191,37 @@ object StreamingQueries {
           TimeMode.None(), OutputMode.Append())
       val out = runToMemory(spark,
         updated.toDF("user_id", "n_events", "cents", "l_us"),
-        "stream_tws", "append")
-      out.select(col("user_id"), col("n_events"), col("cents"),
+        name, "append")
+      // like streamStateful: emissions are cumulative, one per touching
+      // micro-batch — keep only the final one per user so the result is
+      // independent of how the replay was batched
+      out.groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          max_by(col("cents"), col("n_events")).as("cents"),
+          max_by(col("l_us"), col("n_events")).as("l_us"))
+        .select(col("user_id"), col("n_events"), col("cents"),
           date_format(timestamp_micros(col("l_us")),
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
         .orderBy(col("user_id"))
     }
+  }
+
+  /** Stream-static join: the live event feed enriched against a STATIC
+    * dimension table — the other join class a streaming engine needs
+    * besides stream-stream (q.v.). The static side is a batch DataFrame
+    * re-resolved per micro-batch; broadcast keeps it a map-side hash
+    * join, so the stream is never shuffled and needs no watermark (no
+    * join state to evict — the dimension is not a stream).
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val joined = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .join(broadcast(dim), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+    val out = runToMemory(spark, joined, "stream_static_join", "append")
+    out.orderBy(col("event_id"))
   }
 
   /** Stream-stream inner join with event-time bounds: purchases within
@@ -262,6 +305,11 @@ object StreamingQueries {
         |  event_type, count(*) AS n
         |FROM events, unnest([0, 1, 2]) AS t(k)
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+    QueryDef("stream_static_join", streamStaticJoin _,
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin),
     QueryDef("stream_session", streamSession _, SessionOracleSql),
     QueryDef("stream_dedup", streamDedup _,
       """SELECT DISTINCT user_id, event_type FROM events
@@ -306,7 +354,7 @@ class SessionTimerProcessor(gapMs: Long)
   override def handleExpiredTimer(key: Long, timers: TimerValues,
       expired: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
     val out = Option(sess.get()) match {
-      case Some((n, _)) => Iterator((key, n, expired.getExpiryTimeInMs))
+      case Some((n, _)) => Iterator((key, n, expired.getExpiryTimeInMs()))
       case None => Iterator.empty
     }
     sess.clear()

@@ -50,6 +50,26 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkTestBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("word_ngrams/word_shingles3 skip windows containing null tokens") {
+    // concatWs would silently DROP a null and emit a shorter gram that
+    // collides with genuine (n-1)-grams; the kernel instead breaks the
+    // shingle stream at nulls — defined semantics for the SQL surface
+    // over arbitrary array<string>, keeping containsNull=false truthful
+    val g = spark.sql(
+      "SELECT word_ngrams(array('a', CAST(NULL AS STRING), 'b', 'c'), 2) AS g")
+      .head().getSeq[String](0)
+    assert(g === Seq("b c"))
+    val s = spark.sql(
+      "SELECT word_shingles3(array('a', CAST(NULL AS STRING), 'b', 'c', 'd')) AS g")
+      .head().getSeq[String](0)
+    assert(s === Seq("b c d"))
+    // all-null windows → empty array, not a crash or a null row
+    val e = spark.sql(
+      "SELECT word_ngrams(array(CAST(NULL AS STRING), NULL), 2) AS g")
+      .head().getSeq[String](0)
+    assert(e === Seq.empty)
+  }
+
   test("word_ngrams SQL surface rejects bad arity/window with a clear error") {
     graft.functions.VectorExpressions.register(spark)
     val oneArg = intercept[Exception] {

@@ -269,6 +269,62 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("stateful queries are replay-batching-independent (multi-batch, maxFilesPerTrigger=1)") {
+    // append-mode flatMapGroupsWithState/transformWithState emit one
+    // CUMULATIVE row per user per touching micro-batch; the queries
+    // collapse to the final emission, so a 2-file replay at one file per
+    // trigger must equal the single-batch replay exactly
+    import graft.streaming.FileEventSource
+    val dir = java.nio.file.Files.createTempDirectory("multi_batch").toString
+
+    // split the raw events (ts still raw nanos — the halves must round-trip
+    // bit-identically through FileEventSource's own decode) into two plain
+    // parquet FILES matching the source's events*.parquet glob
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("one_file").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      // split on event_id parity so (almost) every USER has rows in BOTH
+      // micro-batches — i.e. two cumulative emissions that the queries
+      // must collapse; a user_id split would sidestep the hazard
+      writeOneFile(raw.filter(pmod(col("event_id"), lit(2)) === 0), s"$dir/events.parquet")
+      writeOneFile(raw.filter(pmod(col("event_id"), lit(2)) =!= 0), s"$dir/events_b.parquet")
+
+      val multiStateful = StreamingQueries.streamStatefulFrom(
+        spark, FileEventSource(dir, maxFilesPerTrigger = Some(1)), "stateful_mb").collect()
+      val oneStateful = StreamingQueries.streamStateful(spark, sf0001).collect()
+      assert(multiStateful.toSeq === oneStateful.toSeq,
+        "stream_stateful must not depend on replay batching")
+
+      val multiTws = StreamingQueries.streamTransformWithStateFrom(
+        spark, FileEventSource(dir, maxFilesPerTrigger = Some(1)), "tws_mb").collect()
+      val oneTws = StreamingQueries.streamTransformWithState(spark, sf0001).collect()
+      assert(multiTws.toSeq === oneTws.toSeq,
+        "stream_tws must not depend on replay batching")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("stream_static_join equals the batch join and broadcasts the dim") {
+    val streamed = StreamingQueries.streamStaticJoin(spark, sf0001)
+    val got = streamed.collect().map(_.toSeq)
+    val batch = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(spark, sf0001)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")), Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+      .orderBy(col("event_id")).collect().map(_.toSeq)
+    assert(got.toSeq === batch.toSeq)
+  }
+
   test("stream_session: session count and event conservation") {
     val sessions = StreamingQueries.streamSession(spark, sf0001).collect()
     val totalEvents = sessions.map(_.getLong(2)).sum
