@@ -33,9 +33,12 @@ object Pipeline4 {
     * space-joined tokens, so the oracle verifies CONTENTS, not just
     * counts, without shipping token arrays through the comparator.
     *
-    * Scale: one projection + posexplode per document — no shuffle, no
-    * window, embarrassingly parallel; the natural physical plan is a
-    * single WholeStageCodegen span over the scan.
+    * Scale: one projection + posexplode per document — no hash shuffle,
+    * no window, embarrassingly parallel (plan-pinned in PLANS.md:
+    * hx=0). The trailing orderBy adds one range exchange for
+    * harness-determinism only; a production chunk writer would drop it
+    * (or sortWithinPartitions) and keep the single codegen span over
+    * the scan.
     */
   def pipelineChunk(spark: SparkSession, dir: String): DataFrame = {
     val t = toks(col("text"))

@@ -159,10 +159,10 @@ object Relational5 {
         |    sum(cents * cents) AS s2
         |  FROM c GROUP BY event_type)
         |SELECT event_type, max(n) AS n,
-        |  sum(CASE WHEN (cast(n AS HUGEINT) * cents - s)
+        |  cast(sum(CASE WHEN (cast(n AS HUGEINT) * cents - s)
         |             * (cast(n AS HUGEINT) * cents - s)
         |           > 9 * (cast(n AS HUGEINT) * s2 - cast(s AS HUGEINT) * s)
-        |      THEN 1 ELSE 0 END) AS n_anomalies
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
         |FROM c JOIN m USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
     QueryDef("q73_pipe_sql", q73PipeSql _,

@@ -32,6 +32,16 @@ object StreamingQueries {
   private def eventsStream(spark: SparkSession, dir: String): DataFrame =
     FileEventSource(dir).stream(spark)
 
+  /** When true (set only by `graft.tools.PlanAudit`), [[runToMemory]]
+    * captures the last micro-batch's physical plan into
+    * [[lastMicroBatchPlan]] so the plan audit can inspect the STREAMING
+    * execution (state operators, join strategy on the static side) —
+    * the returned memory table's own plan is just a local scan. Off by
+    * default: bench/verify pay nothing.
+    */
+  @volatile private[graft] var capturePlans: Boolean = false
+  @volatile private[graft] var lastMicroBatchPlan: String = ""
+
   /** Run a streaming DF to a memory sink, drain, return the table. */
   private[graft] def runToMemory(spark: SparkSession, streamed: DataFrame,
       name: String, mode: String): DataFrame = {
@@ -39,7 +49,18 @@ object StreamingQueries {
       .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    try {
+      q.processAllAvailable()
+      if (capturePlans) {
+        // StreamingQuery.explain() prints the last executed micro-batch
+        // plan via Console.out — redirect to grab it as a string
+        val bos = new java.io.ByteArrayOutputStream()
+        try Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        } catch { case _: Throwable => () }
+        lastMicroBatchPlan = bos.toString("UTF-8")
+      }
+    } finally q.stop()
     spark.table(name)
   }
 

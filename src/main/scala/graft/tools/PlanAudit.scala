@@ -3,10 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-/** Prints the EXECUTED-plan audit for representative queries: scan
-  * pushdown, join strategies, aggregation phases, codegen coverage.
+import graft.streaming.StreamingQueries
+
+/** Prints the EXECUTED-plan audit for EVERY registered query: scan
+  * pushdown, join strategies, exchange counts, codegen coverage.
   *
-  * Each query is executed through its own QueryExecution
+  * Batch queries are executed through their own QueryExecution
   * (`executedPlan.executeCollect()`), so the audited string is the
   * FINAL adaptive plan — after AQE re-planning, exchange reuse, and
   * codegen — not the pre-execution guess (round-2 audits printed
@@ -14,12 +16,28 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * showed wholeStage=0). The `== Initial Plan ==` section AQE appends
   * is stripped before counting.
   *
-  * Run: sbt "runMain graft.tools.PlanAudit [sfDir] [--full]"
+  * Streaming queries (`stream_*`) return a drained memory-sink table
+  * whose own plan is a local scan — auditing that would say nothing.
+  * For those, `StreamingQueries.capturePlans` makes the runner record
+  * the last MICRO-BATCH physical plan (via `StreamingQuery.explain()`),
+  * and the audit counts nodes in that instead (`final=stream` rows).
+  *
+  * A small assertion table pins the scale-critical shapes (e.g.
+  * `pipeline_chunk` is shuffle-free, `q70_scd2` reuses ONE exchange for
+  * both window passes, the funnel/anomaly small sides broadcast, the
+  * custom-node lowerings of q49/q64 keep their one-shuffle / group-limit
+  * shapes); every row is additionally checked for cart=0 and bnlj=0.
+  * Any violation prints `ASSERT-FAIL` and the run exits nonzero, so a
+  * plan regression cannot produce a quietly-wrong PLANS.md.
+  *
+  * Run: sbt "runMain graft.tools.PlanAudit [sfDir] [--full] [--only=a,b]"
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.01")
+    val only: Option[Set[String]] = args.find(_.startsWith("--only="))
+      .map(_.stripPrefix("--only=").split(",").map(_.trim).toSet)
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,50 +46,128 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val interesting = Seq(
-      "q1_agg", "q2_filter_project", "q3_star_join", "q6_topk_per_group",
-      "q17_range_join", "q21_global_topk", "wordcount_documents",
-      "sim_topk_bruteforce", "dedup_minhash_lsh", "q39_subqueries",
-      "q29_percentiles", "q25_outer_join", "q23_salted_agg",
-      "sim_ann_ivf", "mm_scene_cuts",
-      "q44_supplier_revenue", "q46_range_frame", "q47_salted_join",
-      "pipeline_contamination", "pipeline_pack_sequences",
-      "pipeline_redact", "text_repetition",
-      "emb_quantize", "dedup_survivors", "q55_lateral_topk",
-      "q56_recursive_cte", "q57_width_bucket", "q64_topk_custom_op",
-      "dedup_substring", "pipeline_shuffle", "pipeline_mixture",
-      "pipeline_dedup_incremental", "text_entropy", "q66_regr_aggs",
-      "q68_listagg")
+    // shape assertions: name -> (label, metrics => ok). `ex` = exchanges
+    // excluding broadcast+reused (true shuffles), split into `hx` (hash —
+    // real data movement for joins/aggs/windows) and `rx` (range — the
+    // deterministic output orderBy every oracle-compared query carries;
+    // a production writer would drop it or sortWithinPartitions).
+    val asserts: Map[String, Seq[(String, Map[String, Int] => Boolean)]] = Map(
+      // chunking is pure posexplode over the scan — zero HASH shuffles;
+      // the single range exchange is the harness-determinism output sort
+      "pipeline_chunk" -> Seq(("no-hash-shuffle", m => m("hx") == 0)),
+      // both window passes partition by o_custkey: ONE hash exchange
+      // feeds BOTH Window operators (the second reuses the first's
+      // sort/partitioning); +1 range exchange for the output sort
+      "q70_scd2" -> Seq(("one-hash-exchange", m => m("hx") == 1)),
+      // moments/signup sides are tiny aggregates: broadcast, never SMJ,
+      // so the big events table is not shuffled for the join
+      "q71_funnel" -> Seq(("broadcast-not-smj", m => m("bhj") >= 1 && m("smj") == 0)),
+      "q72_anomaly" -> Seq(("broadcast-not-smj", m => m("bhj") >= 1 && m("smj") == 0)),
+      // custom-node lowerings: the analyzer rules cannot be skipped
+      // (the nodes never resolve without them) — these pin the lowered
+      // SHAPE: as-of = union + ONE hash shuffle, no join; top-k = the
+      // WindowGroupLimit physical pushdown actually firing
+      "q49_asof_custom_op" -> Seq(
+        ("one-hash-shuffle-no-join", m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
+      "q18_asof_join" -> Seq(
+        ("one-hash-shuffle-no-join", m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
+      "q64_topk_custom_op" -> Seq(("window-group-limit", m => m("wgl") >= 1)),
+      // static dim broadcast: the stream side is never shuffled
+      "stream_static_join" -> Seq(
+        ("broadcast-static-side", m => m("bex") >= 1 && m("ex") == 0)),
+      // global top-k must stay a 0-shuffle TakeOrderedAndProject
+      "q21_global_topk" -> Seq(
+        ("take-ordered-0-shuffle", m => m("takeOrdered") >= 1 && m("ex") == 0))
+    )
 
-    interesting.foreach { name =>
+    // BroadcastNestedLoopJoin is allowed ONLY where one side is provably
+    // tiny and the cross is the point: the cross-join surface query
+    // itself, the one-row scalar attaches (corpus N / total counts), and
+    // the two documented bounded ground-truth slices that verify the
+    // approximate dedup tiers (VERDICT r4 anti-pattern audit). Each may
+    // carry at most one bounded BNLJ; everything else must have none,
+    // and CartesianProduct is banned everywhere.
+    val boundedBnlj = Set("q26_cross_join", "text_tfidf", "pipeline_lm_score",
+      "pipeline_vocab", "q71_funnel", "dedup_embedding_cosine",
+      "dedup_ngram_jaccard")
+
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+
+    StreamingQueries.capturePlans = true
+    names.foreach { name =>
+      val streaming = name.startsWith("stream_")
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      val qe = df.queryExecution
-      // execute through THIS QueryExecution so AQE finalizes in place;
-      // df.write would build a separate QueryExecution and leave this
-      // one at its initial plan
-      qe.executedPlan.executeCollect()
-      val isFinal = qe.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.isFinalPlan
-        case _ => true // non-adaptive plans are what they are
+      val (plan, finalTag) = if (streaming) {
+        // the query already ran (drained to the memory sink); audit the
+        // captured micro-batch plan, not the sink table's local scan
+        (StreamingQueries.lastMicroBatchPlan, "stream")
+      } else {
+        val qe = df.queryExecution
+        // execute through THIS QueryExecution so AQE finalizes in place;
+        // df.write would build a separate QueryExecution and leave this
+        // one at its initial plan
+        qe.executedPlan.executeCollect()
+        val isFinal = qe.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.isFinalPlan
+          case _ => true // non-adaptive plans are what they are
+        }
+        (qe.executedPlan.toString.split("== Initial Plan ==")(0), isFinal.toString)
       }
-      val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
       def count(s: String) = s.r.findAllIn(plan).length
       // codegen spans print as "*(n)" operator prefixes in toString
       // (the literal WholeStageCodegen node only appears in formatted
       // explain); distinct span ids = number of fused pipelines
       val codegenSpans = """\*\((\d+)\)""".r.findAllMatchIn(plan)
         .map(_.group(1)).toSet.size
+      val m = Map(
+        "scans" -> count("Scan parquet"),
+        "bhj" -> count("BroadcastHashJoin"),
+        "smj" -> count("SortMergeJoin"),
+        "bnlj" -> count("BroadcastNestedLoopJoin"),
+        "cart" -> count("CartesianProduct"),
+        // total Exchange nodes minus reused (historical metric), plus the
+        // broadcast/true-shuffle split the assertions need
+        "shuffles" -> count("(?<!Reused)Exchange"),
+        "bex" -> count("BroadcastExchange"),
+        "ex" -> count("(?<!Broadcast)(?<!Reused)Exchange"),
+        "hx" -> count("Exchange hashpartitioning"),
+        "rx" -> count("Exchange rangepartitioning"),
+        "reused" -> count("ReusedExchange"),
+        "aqeRead" -> count("AQEShuffleRead"),
+        "wholeStage" -> codegenSpans,
+        "takeOrdered" -> count("TakeOrderedAndProject"),
+        "wgl" -> count("WindowGroupLimit"),
+        "stateOps" -> count("StateStore|SessionWindowStateStore|StreamingDeduplicate|TransformWithState|FlatMapGroupsWithState|StreamingSymmetricHashJoin"))
       println(s"== $name")
-      println(s"   final=$isFinal scans=${count("Scan parquet")} " +
+      println(s"   final=$finalTag scans=${m("scans")} " +
         s"pushedFilters=${plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []")} " +
-        s"bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} " +
-        s"bnlj=${count("BroadcastNestedLoopJoin")} cart=${count("CartesianProduct")} " +
-        s"shuffles=${count("(?<!Reused)Exchange")} reused=${count("ReusedExchange")} " +
-        s"aqeRead=${count("AQEShuffleRead")} wholeStage=$codegenSpans " +
-        s"takeOrdered=${count("TakeOrderedAndProject")} " +
-        s"wgl=${count("WindowGroupLimit")}")
+        s"bhj=${m("bhj")} smj=${m("smj")} " +
+        s"bnlj=${m("bnlj")} cart=${m("cart")} " +
+        s"shuffles=${m("shuffles")} ex=${m("ex")} hx=${m("hx")} rx=${m("rx")} bex=${m("bex")} reused=${m("reused")} " +
+        s"aqeRead=${m("aqeRead")} wholeStage=${m("wholeStage")} " +
+        s"takeOrdered=${m("takeOrdered")} wgl=${m("wgl")}" +
+        (if (streaming) s" stateOps=${m("stateOps")}" else ""))
+      val bnljCheck: (String, Map[String, Int] => Boolean) =
+        if (boundedBnlj.contains(name))
+          ("bounded-bnlj", mm => mm("cart") == 0 && mm("bnlj") <= 1)
+        else ("no-cartesian", mm => mm("cart") == 0 && mm("bnlj") == 0)
+      val checks = asserts.getOrElse(name, Nil) :+ bnljCheck
+      checks.foreach { case (label, ok) =>
+        if (!ok(m)) {
+          println(s"   ASSERT-FAIL $label")
+          failures += s"$name:$label"
+        } else if (asserts.contains(name)) println(s"   assert-ok $label")
+      }
       if (args.contains("--full")) println(plan)
     }
+    StreamingQueries.capturePlans = false
+    if (failures.nonEmpty) {
+      println(s"ASSERT-FAILURES: ${failures.mkString(", ")}")
+      spark.stop()
+      sys.exit(1)
+    } else println(s"ASSERT: all plan assertions passed (${names.length} queries)")
     spark.stop()
   }
 }
