@@ -40,6 +40,18 @@ object Bench {
         None
       }).map(math.max(1, _)).getOrElse(3)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // optional comma-separated subset (prefix match with a trailing '*'),
+    // e.g. SPARK_GRAFT_ONLY='stream_*' to time the streaming family in
+    // isolation — used to adjudicate whether a cross-round delta is a
+    // plan regression or machine-load noise from the other ~120 lanes
+    val onlyFilter: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(spec) =>
+        val pats = spec.split(",").map(_.trim).filter(_.nonEmpty)
+        name => pats.exists(p =>
+          if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p)
+      case None => _ => true
+    }
+    val benchQueries = SparkEntry.queries.filter { case (n, _) => onlyFilter(n) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,7 +75,7 @@ object Bench {
     // go to `errors` (tagged with the pass) and contribute no timing
     def pass(tag: String,
         errors: scala.collection.mutable.ListBuffer[String])
-        : Map[String, Double] = SparkEntry.queries.flatMap { case (name, fn) =>
+        : Map[String, Double] = benchQueries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         force(fn(spark, sfDir))
@@ -89,7 +101,7 @@ object Bench {
     }
     // a query only gets a warm median if it succeeded in EVERY warm pass
     // (partial samples would mix real timings with rethrow latencies)
-    val warm: Map[String, Double] = SparkEntry.queries.keys.toSeq
+    val warm: Map[String, Double] = benchQueries.keys.toSeq
       .flatMap { name =>
         val samples = warmSamples.flatMap(_.get(name))
         if (samples.length == warmPasses) Some(name -> median(samples)) else None
@@ -138,7 +150,7 @@ object Bench {
     val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
     // full detail (every query, both lanes) — file only
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, results.keys)},"total_warm":$totalWarm,"queries_warm":${fmt(warm, warm.keys)},"warm_passes":$warmPasses,"n_queries":${SparkEntry.queries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, results.keys)},"total_warm":$totalWarm,"queries_warm":${fmt(warm, warm.keys)},"warm_passes":$warmPasses,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"regressions":$regJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -159,7 +171,7 @@ object Bench {
       s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)}}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"warm_passes":$warmPasses,"n_queries":${SparkEntry.queries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"regressions":$regJsonCompact,"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"warm_passes":$warmPasses,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"regressions":$regJsonCompact,"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }
