@@ -16,7 +16,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset (same spec as Bench's SPARK_GRAFT_ONLY): lets a
+    // local iteration dump one new query in seconds instead of all 125;
+    // the driver sets no filter and always gets the full dump
+    val onlyFilter: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(spec) =>
+        val pats = spec.split(",").map(_.trim).filter(_.nonEmpty)
+        name => pats.exists(p =>
+          if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p)
+      case None => _ => true
+    }
+    SparkEntry.queries.filter(kv => onlyFilter(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

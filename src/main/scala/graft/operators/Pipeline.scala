@@ -76,18 +76,42 @@ object Pipeline {
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
 
-  /** Stratified sampling per language (sampleBy, fixed seed) — the
-    * corpus-rebalancing primitive. Sampling is partitioning-dependent,
-    * so rows-only; the spec pins per-language fractions and in-session
-    * determinism.
+  /** Per-language keep thresholds for the stratified sampler, in
+    * 65536ths (integer, floor) — shared between the Spark rule and the
+    * DuckDB oracle so the two can never round differently.
+    */
+  private[graft] val StratRates: Seq[(String, Long)] =
+    Seq("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.1, "zh" -> 0.1)
+      .map { case (l, r) => l -> (r * 65536).toLong }
+
+  /** Stratified sampling per language — the corpus-rebalancing
+    * primitive, as a deterministic salted-hash keep rule rather than an
+    * RNG: keep a document iff the first 4 hex digits of
+    * md5("strat:" ++ doc_id) fall below the stratum's threshold in
+    * 65536ths. `stat.sampleBy` draws per-partition XORShift, so its
+    * sampled set silently changes with cluster layout; this rule keeps
+    * or drops the same document on any partitioning, any day — which is
+    * what makes a rebalanced 100 TB corpus reproducible — and, being
+    * plain SQL, it is oracle-verified instead of rows-only.
     */
   def pipelineSampleStratified(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .stat.sampleBy("lang",
-        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.3, "es" -> 0.1, "zh" -> 0.1),
-        42L)
+    stratKeep(Tables.documents(spark, dir))
+
+  /** The keep rule alone, over any frame with (doc_id, lang) — split out
+    * so the spec can prove the sampled set is a pure function of the
+    * rows (identical under any input partitioning).
+    */
+  private[graft] def stratKeep(docs: DataFrame): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    val thr = StratRates.foldLeft(lit(0L)) { case (acc, (lang, t)) =>
+      when(col("lang") === lang, lit(t)).otherwise(acc)
+    }
+    docs.filter(h < thr)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
+  }
 
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_train_split", pipelineTrainSplit _,
@@ -95,7 +119,13 @@ object Pipeline {
         |  CASE WHEN ('0x' || substring(md5(cast(doc_id AS VARCHAR)), 1, 2))::int < 230
         |    THEN 'train' ELSE 'valid' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin),
-    QueryDef.noOracle("pipeline_sample_stratified", pipelineSampleStratified _),
+    QueryDef("pipeline_sample_stratified", pipelineSampleStratified _,
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substring(md5('strat:' || cast(doc_id AS VARCHAR)), 1, 4))::int
+        |  < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 19660
+        |      WHEN 'fr' THEN 19660 WHEN 'es' THEN 6553 WHEN 'zh' THEN 6553
+        |      ELSE 0 END
+        |ORDER BY doc_id""".stripMargin),
     QueryDef("pipeline_quality_filter", pipelineQualityFilter _,
       """WITH scored AS (
         |  SELECT doc_id, source, lang,

@@ -233,16 +233,48 @@ object StreamingQueries {
     * re-resolved per micro-batch; broadcast keeps it a map-side hash
     * join, so the stream is never shuffled and needs no watermark (no
     * join state to evict — the dimension is not a stream).
+    *
+    * Runs over the RATE-LIMITED multi-batch replay
+    * ([[MultiBatchFileSource]], maxFilesPerTrigger=1): four triggers,
+    * each joining one time slice — so the bench times a real micro-batch
+    * cadence (per-trigger planning + broadcast re-resolve), not a
+    * single-batch degenerate run. The row-level append output is
+    * batching-independent by construction, so the oracle is the plain
+    * batch join either way.
     */
   def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
     val dim = graft.Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
-    val joined = eventsStream(spark, dir)
+    val joined = MultiBatchFileSource(dir).stream(spark)
       .filter(col("event_type") === "purchase")
       .join(broadcast(dim), Seq("user_id"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"))
     val out = runToMemory(spark, joined, "stream_static_join", "append")
     out.orderBy(col("event_id"))
+  }
+
+  /** Append-mode windowed aggregation — the emission semantics COMPLETE
+    * mode sidesteps (see the module scaladoc). Under the multi-batch
+    * replay the watermark genuinely advances between triggers, so
+    * windows are emitted exactly when the watermark passes their end,
+    * and the final watermark (max event time − 10 min) withholds the
+    * tail windows — which is correct streaming behavior, not data loss:
+    * they are awaiting potential late data. The oracle states that
+    * emission rule in batch SQL: tumbling counts for windows whose end
+    * is ≤ the final watermark. At scale this is THE production shape —
+    * complete mode re-emits the whole result every trigger and cannot
+    * bound its sink; append emits each window once, immutably.
+    */
+  def streamAppendWindows(spark: SparkSession, dir: String): DataFrame = {
+    val agg = MultiBatchFileSource(dir).stream(spark)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val out = runToMemory(spark, agg, "stream_append_windows", "append")
+    out.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
   }
 
   /** Stream-stream inner join with event-time bounds: purchases within
@@ -331,6 +363,15 @@ object StreamingQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin),
+    QueryDef("stream_append_windows", streamAppendWindows _,
+      // the append-mode emission rule in batch SQL: a window is emitted
+      // iff the final watermark (max event time − 10 min) passed its end
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events, wm
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.w
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
     QueryDef("stream_session", streamSession _, SessionOracleSql),
     QueryDef("stream_dedup", streamDedup _,
       """SELECT DISTINCT user_id, event_type FROM events

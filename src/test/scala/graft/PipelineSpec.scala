@@ -16,7 +16,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.toSeq === again.toSeq)
   }
 
-  test("stratified sample respects per-language fractions (±0.15) and seed") {
+  test("stratified sample respects per-language fractions (±0.15) and is partition-invariant") {
     val base = Tables.documents(spark, sf001)
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -33,7 +33,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
     val again = Pipeline.pipelineSampleStratified(spark, sf001).collect()
       .map(_.getLong(0))
-    assert(sample.toSeq === again.toSeq, "sampleBy must be seed-deterministic in-session")
+    assert(sample.toSeq === again.toSeq, "hash keep rule must be deterministic")
+    // the property stat.sampleBy could NOT give: the sampled set is a
+    // pure function of (doc_id, lang), so any physical layout agrees
+    val reshuffled = Pipeline.stratKeep(
+        Tables.documents(spark, sf001).repartition(7))
+      .collect().map(_.getLong(0))
+    assert(sample.toSeq === reshuffled.toSeq,
+      "sampled set must not depend on partitioning")
   }
 
   test("pretrain corpus accounting conserves documents") {

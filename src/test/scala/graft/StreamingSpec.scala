@@ -325,6 +325,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("multi-batch replay: time-ordered slices conserve events; append " +
+      "windows follow the watermark emission rule") {
+    import graft.streaming.MultiBatchFileSource
+    val replay = MultiBatchFileSource.prepare(spark, sf0001, 4)
+    val files = new java.io.File(replay).listFiles()
+      .filter(_.getName.startsWith("slice-")).sortBy(_.getName)
+    assert(files.length === 4)
+    assert(files.map(_.lastModified).toSeq ===
+      files.map(_.lastModified).sorted.toSeq,
+      "slice mtimes must increase so FileStreamSource replays in order")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val union = spark.read.parquet(files.map(_.getPath).toIndexedSeq: _*)
+    assert(union.count() === raw.count(), "slices must conserve every event")
+    // contiguous event-time slices: no slice overlaps the next
+    val bounds = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("ts")), max(col("ts"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    bounds.toSeq.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, "slices must be time-ordered")
+      case _ => ()
+    }
+
+    // append-mode emission: exactly the windows whose end the FINAL
+    // watermark (max event time − 10 min) passed; the tail is withheld
+    val got = StreamingQueries.streamAppendWindows(spark, sf0001)
+      .collect().map(_.toSeq)
+    val ev = Tables.events(spark, sf0001)
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val expect = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("window.end") <= lit(maxTs) - expr("INTERVAL 10 MINUTES"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect().map(_.toSeq)
+    assert(got.toSeq === expect.toSeq)
+    val full = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count().count()
+    assert(got.length < full,
+      "final watermark must withhold the tail windows (append ≠ complete)")
+  }
+
   test("stream_session: session count and event conservation") {
     val sessions = StreamingQueries.streamSession(spark, sf0001).collect()
     val totalEvents = sessions.map(_.getLong(2)).sum
