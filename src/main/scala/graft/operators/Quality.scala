@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Data-quality, change-data-capture, and graph operators — the
+  * engine-side tooling a production data platform runs beside its
+  * analytics (the reference has none of this; SURVEY.md §2b mandates the
+  * superset). Everything here is exact-integer/string arithmetic, so
+  * every query is oracle-verified.
+  */
+object Quality {
+
+  /** Columns profiled by [[dqProfile]]: name → needs-timestamp-format.
+    * Shared with the oracle construction below so the two lists can
+    * never drift.
+    */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    "l_partkey" -> false, "l_quantity" -> false, "l_returnflag" -> false,
+    "l_linestatus" -> false, "l_shipdate" -> true)
+
+  /** Per-column table profile (row count, nulls, exact distinct, min,
+    * max as strings) over `lineitem` — the schema-discovery primitive a
+    * data platform runs before anything else (Deequ/Great-Expectations
+    * shape). ONE scan: every column's aggregates are computed in a
+    * single multi-distinct aggregate (Catalyst expands it into one
+    * shuffle), then unpivoted with `stack` — never one pass per column.
+    * At 100 TB the exact `count(distinct)` per column is the one
+    * scale-sensitive term (the Expand multiplies rows by #distinct-aggs
+    * before the shuffle); the production flip is
+    * `approx_count_distinct` (the HLL surface this engine exposes in
+    * q32/q61), trading the oracle's exactness for a single-row sketch.
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def asStr(c: Column, isTs: Boolean): Column =
+      if (isTs) date_format(c, "yyyy-MM-dd HH:mm:ss") else c.cast("string")
+    val aggs = ProfileCols.flatMap { case (c, isTs) =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        asStr(min(col(c)), isTs).as(s"mn_$c"),
+        asStr(max(col(c)), isTs).as(s"mx_$c"))
+    }
+    val row = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = s"stack(${ProfileCols.length}, " + ProfileCols.map {
+      case (c, _) => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c"
+    }.mkString(", ") + ") AS (column_name, n_nonnull, n_distinct, min_value, max_value)"
+    row.select(col("n_rows"), expr(stackExpr))
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+      .orderBy(col("column_name"))
+  }
+
+  private val DqProfileOracle: String = ProfileCols.map { case (c, isTs) =>
+    val mn = if (isTs) s"strftime(min($c), '%Y-%m-%d %H:%M:%S')"
+             else s"cast(min($c) AS VARCHAR)"
+    val mx = if (isTs) s"strftime(max($c), '%Y-%m-%d %H:%M:%S')"
+             else s"cast(max($c) AS VARCHAR)"
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  $mn AS min_value, $mx AS max_value FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
+  /** Constraint-validation suite (check_name, n_violations, pass) —
+    * uniqueness, referential integrity, and range checks with one row
+    * per rule, the output a quality gate alerts on. Scan discipline:
+    * all per-row rules on the same table FUSE into one conditional
+    * aggregate (one scan for the four lineitem rules, one for the two
+    * orders rules — not one scan per rule); the two FK rules are
+    * anti-joins against broadcast key sets, so the fact tables are
+    * never shuffled. At 100 TB the FK build sides outgrow broadcast and
+    * become shuffle joins or bloom-filter probes — the pattern this
+    * repo pins in ScaleBehaviorSpec — but the fused-scan rule count per
+    * table stays the invariant that matters.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    // one scan, four rules
+    val liAgg = li.agg(
+      viol(!(col("l_quantity") >= 1 && col("l_quantity") <= 50))
+        .as("v_lineitem_qty_range"),
+      viol(col("l_extendedprice") <= 0).as("v_lineitem_price_positive"),
+      viol(col("l_shipdate").isNull).as("v_lineitem_shipdate_complete"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .as("v_lineitem_pk_unique"))
+    // one scan, two rules
+    val ordAgg = ord.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_orders_pk_unique"),
+      viol(col("o_totalprice") <= 0).as("v_orders_price_positive"))
+    val ordersFk = ord.join(
+        cust.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_orders_custkey_fk"))
+    val lineitemFk = li.join(
+        ord.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_lineitem_orderkey_fk"))
+
+    def unpivot(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      val stackExpr = s"stack(${cols.length}, " + cols.map { c =>
+        s"'${c.stripPrefix("v_")}', $c"
+      }.mkString(", ") + ") AS (check_name, n_violations)"
+      df.select(expr(stackExpr))
+    }
+    unpivot(liAgg).union(unpivot(ordAgg))
+      .union(unpivot(ordersFk)).union(unpivot(lineitemFk))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  private val DqChecksOracle: String =
+    """WITH checks AS (
+      |  SELECT 'lineitem_qty_range' AS check_name,
+      |    sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+      |      THEN 1 ELSE 0 END) AS n_violations FROM lineitem
+      |  UNION ALL SELECT 'lineitem_price_positive',
+      |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL SELECT 'lineitem_shipdate_complete',
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL SELECT 'lineitem_pk_unique',
+      |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+      |  UNION ALL SELECT 'orders_pk_unique',
+      |    count(*) - count(DISTINCT o_orderkey) FROM orders
+      |  UNION ALL SELECT 'orders_price_positive',
+      |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL SELECT 'orders_custkey_fk',
+      |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL SELECT 'lineitem_orderkey_fk',
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
+      |SELECT check_name, cast(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS pass
+      |FROM checks ORDER BY check_name""".stripMargin
+
+  /** Event-time snapshot cutoffs for [[stateDiff]] (events span
+    * 2024-01-01..2024-01-30; see FIXTURES.md).
+    */
+  private val T1 = "2024-01-10 00:00:00"
+  private val T2 = "2024-01-20 00:00:00"
+
+  /** Change-data-capture between two event-time snapshots: each user's
+    * STATE is their latest event_type as of the cutoff (deterministic
+    * tie-break on event_id); the diff full-outer-joins the two
+    * snapshots and labels every user added / changed / unchanged —
+    * the row-level CDC feed a downstream consumer ingests. ("removed"
+    * cannot occur: the event log is append-only, so any user in the T1
+    * snapshot is in the T2 snapshot.) Each snapshot is one window pass
+    * partitioned by user (one hash shuffle over the filtered slice);
+    * the diff join keys on user_id, which both sides are already
+    * keyed by. At scale, snapshots are incrementally maintained state
+    * tables (the SCD-2 surface, q70) and this same diff runs over two
+    * SMALL state tables, not two raw-log scans.
+    */
+  def stateDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def stateAt(cutoff: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.filter(col("ts") <= lit(cutoff).cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("state"))
+    }
+    val old = stateAt(T1).withColumnRenamed("state", "old_state")
+    val neu = stateAt(T2).withColumnRenamed("state", "new_state")
+    old.join(neu, Seq("user_id"), "full_outer")
+      .select(col("user_id"), col("old_state"), col("new_state"),
+        when(col("old_state").isNull, "added")
+          .when(col("old_state") =!= col("new_state"), "changed")
+          .otherwise("unchanged").as("change_type"))
+      .orderBy(col("user_id"))
+  }
+
+  private val StateDiffOracle: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, event_type AS old_state FROM (
+       |    SELECT user_id, event_type, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '$T1') WHERE rn = 1),
+       |s2 AS (
+       |  SELECT user_id, event_type AS new_state FROM (
+       |    SELECT user_id, event_type, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE ts <= TIMESTAMP '$T2') WHERE rn = 1)
+       |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+       |  s1.old_state, s2.new_state,
+       |  CASE WHEN s1.old_state IS NULL THEN 'added'
+       |       WHEN s1.old_state <> s2.new_state THEN 'changed'
+       |       ELSE 'unchanged' END AS change_type
+       |FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+       |ORDER BY user_id""".stripMargin
+
+  /** Triangle counting on the co-purchase graph (parts are nodes; an
+    * edge joins two parts appearing in the same order) — the canonical
+    * multi-way self-join a relational engine must plan well. Edges are
+    * generated with the `u < v` orientation and deduplicated ONCE, so
+    * each triangle is counted exactly once as an ordered triple
+    * u < v < w — the classic "compact-forward" orientation that caps
+    * the wedge-join fan-out by directing every edge from lower to
+    * higher id (at 100 TB you orient by DEGREE instead of id, which
+    * provably bounds wedges by O(m^1.5); same plan, different order
+    * key). Three hash joins, no cartesian anywhere.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok")
+        && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"), col("e1.u") === col("e3.u")
+        && col("e2.v") === col("e3.v"))
+    // the three scalar stats are unioned as (k, v) rows and folded into
+    // one output row — a 3-row shuffle instead of scalar-attach
+    // crossJoins (which would plan as BroadcastNestedLoopJoins and trip
+    // the repo-wide no-BNLJ plan audit)
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("k"), col(df.columns.head).cast("long").as("v"))
+    val nodes = edges.select(col("u").as("p"))
+      .union(edges.select(col("v").as("p")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    one("n_nodes", nodes)
+      .union(one("n_edges", edges.agg(count(lit(1)).as("n_edges"))))
+      .union(one("n_triangles", tri.agg(count(lit(1)).as("n_triangles"))))
+      .groupBy()
+      .agg(max(when(col("k") === "n_nodes", col("v"))).as("n_nodes"),
+        max(when(col("k") === "n_edges", col("v"))).as("n_edges"),
+        max(when(col("k") === "n_triangles", col("v"))).as("n_triangles"))
+  }
+
+  private val TriangleOracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey)
+      |SELECT
+      |  (SELECT count(DISTINCT p) FROM (
+      |     SELECT u AS p FROM edges UNION ALL SELECT v FROM edges)) AS n_nodes,
+      |  (SELECT count(*) FROM edges) AS n_edges,
+      |  (SELECT count(*) FROM edges e1
+      |     JOIN edges e2 ON e1.v = e2.u
+      |     JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("q74_dq_profile", dqProfile _, DqProfileOracle),
+    QueryDef("q75_dq_checks", dqChecks _, DqChecksOracle),
+    QueryDef("q76_state_diff", stateDiff _, StateDiffOracle),
+    QueryDef("q77_triangle_count", triangleCount _, TriangleOracle)
+  )
+}

@@ -75,6 +75,22 @@ object PlanAudit {
       // static dim broadcast: the stream side is never shuffled
       "stream_static_join" -> Seq(
         ("broadcast-static-side", m => m("bex") >= 1 && m("ex") == 0)),
+      // append-mode windowed agg: real stateful operator in the
+      // micro-batch plan (StateStoreSave), no join machinery
+      "stream_append_windows" -> Seq(
+        ("stateful-agg", m => m("stateOps") >= 1 && m("smj") == 0)),
+      // all profile aggregates fuse into ONE scan (multi-distinct
+      // Expand), not one pass per column
+      "q74_dq_profile" -> Seq(("single-scan", m => m("scans") == 1)),
+      // FK rules are anti-joins against broadcast key sets; the fact
+      // tables are never SMJ-shuffled for the checks
+      "q75_dq_checks" -> Seq(
+        ("broadcast-fk-antijoins", m => m("bhj") >= 2 && m("smj") == 0)),
+      // triangle counting: three HASH joins, never cartesian/BNLJ on
+      // the data path (the 1x1 scalar-attach crossJoins are BNLJ-free
+      // single-row broadcasts)
+      "q77_triangle_count" -> Seq(
+        ("hash-joins-only", m => m("cart") == 0)),
       // global top-k must stay a 0-shuffle TakeOrderedAndProject
       "q21_global_topk" -> Seq(
         ("take-ordered-0-shuffle", m => m("takeOrdered") >= 1 && m("ex") == 0))
