@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Embeddings, Multimodal, Pipeline, Pipeline2, Pipeline3, Pipeline4, Quality, Relational, Relational2, Relational3, Relational4, Relational5, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Analytics, Dedup, Embeddings, Multimodal, Pipeline, Pipeline2, Pipeline3, Pipeline4, Quality, Relational, Relational2, Relational3, Relational4, Relational5, Similarity, TextAnalysis, TextAnalysis2, WordCount}
+import graft.sources.SyntheticEvents
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
@@ -71,7 +72,8 @@ object SparkEntry {
       Similarity.registry ++ Dedup.registry ++ TextAnalysis.registry ++
       Multimodal.registry ++ StreamingQueries.registry ++ Pipeline.registry ++
       Pipeline2.registry ++ Pipeline3.registry ++ Pipeline4.registry ++
-      Embeddings.registry ++ Quality.registry
+      Embeddings.registry ++ Quality.registry ++ Analytics.registry ++
+      TextAnalysis2.registry ++ SyntheticEvents.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Graph and advanced-analytics operators: iterative PageRank,
+  * gaps-and-islands streaks, batch MERGE/upsert, market-basket
+  * association mining, and sequential EWMA smoothing. Everything is
+  * either exact integer/string arithmetic or uses the repo's
+  * engine-stable float idioms (floor-scaling, single correctly-rounded
+  * divisions of exact integers), so every query is oracle-verified.
+  */
+object Analytics {
+
+  /** Damping factor and iteration count for [[pagerank]] — small fixed
+    * unroll so the oracle can state the same three iterations as CTEs.
+    */
+  private val Damping = 0.85
+  private val Iters = 3
+
+  /** PageRank over the part co-purchase graph (parts are nodes, an edge
+    * joins parts sharing an order), 3 synchronous iterations at
+    * d = 0.85. The directed edge list is the undirected co-purchase
+    * set materialized BOTH ways once (`localCheckpoint`), so each
+    * iteration is one hash join rank⋈edges + one groupBy — the
+    * standard message-passing shape that scales linearly in |E|.
+    * Per NOTES.md #10 each iteration's output is checkpointed: the
+    * lineage stays one-join deep instead of growing per round. The
+    * only driver-side state is `n` (one long — the node count) used to
+    * fold the teleport term into a literal. Ranks are floor-scaled to
+    * 8 decimals on both engines: the per-term `rank/deg` divisions are
+    * correctly rounded (identical), and only the summation order
+    * differs, whose ~1e-17 drift cannot reach a 0.5e-8 boundary.
+    */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val und = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    val edges = und
+      .union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count() // bounded driver state: one long (node count)
+
+    var rank = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to Iters) {
+      rank = edges
+        .join(rank.withColumnRenamed("node", "u"), Seq("u"))
+        .join(deg, Seq("u"))
+        .groupBy(col("v"))
+        .agg((lit(0.15 / n) + lit(Damping) * sum(col("rank") / col("deg")))
+          .as("rank"))
+        .select(col("v").as("node"), col("rank"))
+        .localCheckpoint()
+    }
+    rank
+      .select(col("node"), (floor(col("rank") * 1e8 + 0.5) / 1e8).as("rank_r8"))
+      .orderBy(col("node"))
+  }
+
+  private val PagerankOracle: String =
+    """WITH und AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+      |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      |nn AS (SELECT count(*) AS n FROM deg),
+      |r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+      |r1 AS (SELECT e.v AS node,
+      |    0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg) AS rank
+      |  FROM edges e JOIN r0 r ON r.node = e.u JOIN deg d ON d.u = e.u
+      |  GROUP BY e.v),
+      |r2 AS (SELECT e.v AS node,
+      |    0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg) AS rank
+      |  FROM edges e JOIN r1 r ON r.node = e.u JOIN deg d ON d.u = e.u
+      |  GROUP BY e.v),
+      |r3 AS (SELECT e.v AS node,
+      |    0.15 / (SELECT n FROM nn) + 0.85 * sum(r.rank / d.deg) AS rank
+      |  FROM edges e JOIN r2 r ON r.node = e.u JOIN deg d ON d.u = e.u
+      |  GROUP BY e.v)
+      |SELECT node, floor(rank * 1e8 + 0.5) / 1e8 AS rank_r8
+      |FROM r3 ORDER BY node""".stripMargin
+
+  /** Gaps-and-islands: each user's streaks of CONSECUTIVE active days
+    * (calendar dates with ≥1 event). The classic trick — group key =
+    * day − row_number() days, constant exactly while days are
+    * consecutive — needs one window pass and one aggregate, both
+    * partitioned by user: two stages on the same key, no self-join
+    * (the naive LAG-then-conditional-sum variant needs the same two
+    * passes; a correlated-subquery formulation would be quadratic).
+    * All integer/date arithmetic — exact on both engines.
+    */
+  def activityIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).cast("string").as("streak_start"),
+        max(col("day")).cast("string").as("streak_end"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("streak_start"), col("streak_end"),
+        col("n_days"))
+      .orderBy(col("user_id"), col("streak_start"))
+  }
+
+  private val IslandsOracle: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, cast(ts AS DATE) AS day FROM events),
+      |grps AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER (
+      |      PARTITION BY user_id ORDER BY day) * INTERVAL 1 DAY AS grp
+      |  FROM days)
+      |SELECT user_id,
+      |  cast(min(day) AS VARCHAR) AS streak_start,
+      |  cast(max(day) AS VARCHAR) AS streak_end,
+      |  count(*) AS n_days
+      |FROM grps GROUP BY user_id, grp
+      |ORDER BY user_id, streak_start""".stripMargin
+
+  /** Batch MERGE (upsert): a deterministic delta batch — every 5th
+    * customer gets a balance adjustment (update branch), every 7th
+    * spawns a shifted-key new account (insert branch) — merged into the
+    * customer snapshot with WHEN MATCHED / NOT MATCHED / NOT MATCHED BY
+    * SOURCE semantics, each row labeled with the action taken. One
+    * full-outer hash join on the merge key; at 100 TB both sides
+    * arrive bucketed by key and the join is exchange-free (the layout
+    * SourcesSinksSpec pins). The balance update `+ 100.0` is a single
+    * IEEE add of the same operands on both engines — exact, no
+    * rounding idiom needed.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val updates = target.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("key"),
+        (col("c_acctbal") + lit(100.0)).as("s_bal"),
+        col("c_name").as("s_name"), col("c_mktsegment").as("s_seg"))
+    val inserts = target.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + lit(1000000L)).as("key"),
+        lit(0.0).as("s_bal"),
+        concat(lit("NEW_"), col("c_custkey").cast("string")).as("s_name"),
+        lit("NEW").as("s_seg"))
+    val source = updates.union(inserts)
+    target.join(source, col("c_custkey") === col("key"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+        coalesce(col("c_name"), col("s_name")).as("c_name"),
+        coalesce(col("c_mktsegment"), col("s_seg")).as("c_mktsegment"),
+        when(col("c_custkey").isNull, col("s_bal"))
+          .when(col("key").isNull, col("c_acctbal"))
+          .otherwise(col("s_bal")).as("acctbal"),
+        when(col("c_custkey").isNull, "insert")
+          .when(col("key").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val MergeOracle: String =
+    """WITH target AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+      |source AS (
+      |  SELECT c_custkey AS key, c_acctbal + 100.0 AS s_bal,
+      |    c_name AS s_name, c_mktsegment AS s_seg
+      |  FROM target WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS key, 0.0 AS s_bal,
+      |    'NEW_' || cast(c_custkey AS VARCHAR) AS s_name, 'NEW' AS s_seg
+      |  FROM target WHERE c_custkey % 7 = 0)
+      |SELECT
+      |  coalesce(t.c_custkey, s.key) AS c_custkey,
+      |  coalesce(t.c_name, s.s_name) AS c_name,
+      |  coalesce(t.c_mktsegment, s.s_seg) AS c_mktsegment,
+      |  CASE WHEN t.c_custkey IS NULL THEN s.s_bal
+      |       WHEN s.key IS NULL THEN t.c_acctbal
+      |       ELSE s.s_bal END AS acctbal,
+      |  CASE WHEN t.c_custkey IS NULL THEN 'insert'
+      |       WHEN s.key IS NULL THEN 'keep'
+      |       ELSE 'update' END AS action
+      |FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.key
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Market-basket association mining: part pairs co-purchased in ≥2
+    * orders, with exact support counts and lift. Pair generation uses
+    * the `u < v` orientation off the DISTINCT (order, part) slice, so
+    * the fan-out is bounded by basket size — never all-pairs over the
+    * catalog. Lift = (n_baskets · co) / (cnt_u · cnt_v) is computed as
+    * ONE division of two exact int64 products (each ≪ 2⁵³), which IEEE
+    * rounds identically on both engines — no float-rounding idiom
+    * needed. `n_baskets` is a bounded driver scalar (one long),
+    * folded in as a literal.
+    */
+  def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint() // reused 3× (pairs ×2 sides share it, counts)
+    val nBaskets = lp.select(col("ok")).distinct().count()
+    val co = lp.as("a").join(lp.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_u"), col("b.pk").as("part_v"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    val cnt = lp.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+    co
+      .join(cnt.select(col("pk").as("part_u"), col("cnt").as("cnt_u")), Seq("part_u"))
+      .join(cnt.select(col("pk").as("part_v"), col("cnt").as("cnt_v")), Seq("part_v"))
+      .select(col("part_u"), col("part_v"), col("co"),
+        ((col("co") * lit(nBaskets)).cast("double")
+          / (col("cnt_u") * col("cnt_v")).cast("double")).as("lift"))
+      .orderBy(col("part_u"), col("part_v"))
+  }
+
+  private val BasketOracle: String =
+    """WITH lp AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |nb AS (SELECT count(DISTINCT ok) AS n FROM lp),
+      |co AS (
+      |  SELECT a.pk AS part_u, b.pk AS part_v, count(*) AS co
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+      |cnt AS (SELECT pk, count(*) AS cnt FROM lp GROUP BY pk)
+      |SELECT co.part_u, co.part_v, co.co,
+      |  cast(co.co * (SELECT n FROM nb) AS DOUBLE)
+      |    / cast(cu.cnt * cv.cnt AS DOUBLE) AS lift
+      |FROM co JOIN cnt cu ON cu.pk = co.part_u
+      |        JOIN cnt cv ON cv.pk = co.part_v
+      |ORDER BY part_u, part_v""".stripMargin
+
+  /** Per-user EWMA (α = 0.3) over event values in strict (ts, event_id)
+    * order — the time-series smoothing primitive. A sequential fold
+    * cannot be a window function without quadratic re-evaluation, so
+    * each user's series is collected into ONE ordered array and folded
+    * with `aggregate` — state per user is a single double, and groups
+    * are bounded by per-user event counts (at 100 TB you'd
+    * re-partition by user and feed a bounded time range, same shape).
+    * Bit-stable across engines WITHOUT rounding: the fold applies the
+    * identical IEEE op sequence (0.3·x + 0.7·s, seeded with the first
+    * element) in the identical total order on both sides — there is no
+    * reordered summation anywhere. DuckDB's 2-arg list_reduce seeds
+    * with the first element; Spark mirrors via aggregate(slice(.., 2,
+    * n−1), first, ..) (NOTES.md #8: no 3-arg list_reduce in DuckDB).
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))).as("series"))
+      .withColumn("vals", expr("transform(series, s -> s.value)"))
+      .withColumn("ewma", expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), vals[0]," +
+          " (s, x) -> 0.3 * x + 0.7 * s)"))
+      .select(col("user_id"), col("n_events"), col("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  private val EwmaOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  list_reduce(list(value ORDER BY ts, event_id),
+      |    (s, x) -> 0.3 * x + 0.7 * s) AS ewma
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("q78_pagerank", pagerank _, PagerankOracle),
+    QueryDef("q79_islands", activityIslands _, IslandsOracle),
+    QueryDef("q80_merge_upsert", mergeUpsert _, MergeOracle),
+    QueryDef("q81_market_basket", marketBasket _, BasketOracle),
+    QueryDef("q82_ewma", ewma _, EwmaOracle)
+  )
+}

@@ -93,7 +93,17 @@ object PlanAudit {
         ("hash-joins-only", m => m("cart") == 0)),
       // global top-k must stay a 0-shuffle TakeOrderedAndProject
       "q21_global_topk" -> Seq(
-        ("take-ordered-0-shuffle", m => m("takeOrdered") >= 1 && m("ex") == 0))
+        ("take-ordered-0-shuffle", m => m("takeOrdered") >= 1 && m("ex") == 0)),
+      // skip-gram pairs are a pure per-row expansion: the ONLY hash
+      // shuffle is the final count groupBy (partial agg before it)
+      "text_skipgram" -> Seq(("single-hash-shuffle", m => m("hx") == 1)),
+      // the DSv2 connector query reads NO parquet — its BatchScan is the
+      // synthetic source with the id-range absorbed (spec-pinned in
+      // SyntheticSourceSpec); no post-scan re-filter of pushed ranges
+      "q83_custom_source" -> Seq(("v2-source-not-parquet", m => m("scans") == 0)),
+      // merge = ONE full-outer join on the merge key, no extra shuffle
+      // of either side beyond the join's own partitioning
+      "q80_merge_upsert" -> Seq(("single-join", m => m("smj") + m("bhj") + m("shj") == 1))
     )
 
     // BroadcastNestedLoopJoin is allowed ONLY where one side is provably
@@ -105,7 +115,7 @@ object PlanAudit {
     // and CartesianProduct is banned everywhere.
     val boundedBnlj = Set("q26_cross_join", "text_tfidf", "pipeline_lm_score",
       "pipeline_vocab", "q71_funnel", "dedup_embedding_cosine",
-      "dedup_ngram_jaccard")
+      "dedup_ngram_jaccard", "text_pmi")
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
@@ -141,6 +151,7 @@ object PlanAudit {
         "scans" -> count("Scan parquet"),
         "bhj" -> count("BroadcastHashJoin"),
         "smj" -> count("SortMergeJoin"),
+        "shj" -> count("ShuffledHashJoin"),
         "bnlj" -> count("BroadcastNestedLoopJoin"),
         "cart" -> count("CartesianProduct"),
         // total Exchange nodes minus reused (historical metric), plus the
