@@ -97,6 +97,21 @@ object PlanAudit {
       // skip-gram pairs are a pure per-row expansion: the ONLY hash
       // shuffle is the final count groupBy (partial agg before it)
       "text_skipgram" -> Seq(("single-hash-shuffle", m => m("hx") == 1)),
+      // attribution is one window pass on user_id + the tiny post-filter
+      // groupBy — the event table is hash-shuffled exactly once, and
+      // there is no self-join (smj=bhj=0)
+      "q84_attribution" -> Seq(
+        ("window-pass-no-join", m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0)),
+      // skew profile: per-key counts reused (checkpointed) for both the
+      // top-10 (TakeOrderedAndProject) and the one-row totals; the only
+      // BNLJ is the single-row broadcast scalar-attach
+      "q86_skew_profile" -> Seq(
+        ("take-ordered-scalar-attach", m => m("takeOrdered") >= 1 && m("cart") == 0)),
+      // TWAP: daily agg, lead() window, and final agg all partition by
+      // l_suppkey — two hash exchanges total (agg + window share one),
+      // never a join
+      "q87_twap" -> Seq(
+        ("supplier-partitioned-no-join", m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0)),
       // the DSv2 connector query reads NO parquet — its BatchScan is the
       // synthetic source with the id-range absorbed (spec-pinned in
       // SyntheticSourceSpec); no post-scan re-filter of pushed ranges
@@ -115,7 +130,7 @@ object PlanAudit {
     // and CartesianProduct is banned everywhere.
     val boundedBnlj = Set("q26_cross_join", "text_tfidf", "pipeline_lm_score",
       "pipeline_vocab", "q71_funnel", "dedup_embedding_cosine",
-      "dedup_ngram_jaccard", "text_pmi")
+      "dedup_ngram_jaccard", "text_pmi", "q86_skew_profile")
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
