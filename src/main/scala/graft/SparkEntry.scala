@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Analytics2, Dedup, Embeddings, Multimodal, Pipeline, Pipeline2, Pipeline3, Pipeline4, Quality, Relational, Relational2, Relational3, Relational4, Relational5, Similarity, TextAnalysis, TextAnalysis2, WordCount}
+import graft.operators.{Analytics, Analytics2, Dedup, Embeddings, Layout, Multimodal, Pipeline, Pipeline2, Pipeline3, Pipeline4, Quality, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Similarity, Sketches, TextAnalysis, TextAnalysis2, WordCount}
 import graft.sources.SyntheticEvents
 import graft.streaming.StreamingQueries
 
@@ -73,7 +73,9 @@ object SparkEntry {
       Multimodal.registry ++ StreamingQueries.registry ++ Pipeline.registry ++
       Pipeline2.registry ++ Pipeline3.registry ++ Pipeline4.registry ++
       Embeddings.registry ++ Quality.registry ++ Analytics.registry ++
-      Analytics2.registry ++ TextAnalysis2.registry ++ SyntheticEvents.registry
+      Analytics2.registry ++ TextAnalysis2.registry ++
+      SyntheticEvents.registry ++ Layout.registry ++ Relational6.registry ++
+      Sketches.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -315,6 +315,8 @@ object VectorExpressions {
     */
   val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "interleave_bits16" -> (exprs =>
+      BitInterleave.InterleaveBits16(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs.head)),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
     "word_shingles3" -> (exprs => WordShingles3(exprs.head)),

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.BitInterleave
+
+/** Physical data-layout tooling: z-order clustering diagnostics and a
+  * small-file compaction planner. Neither exists in the reference (its
+  * only layout decision is one CSV file per first-letter partition,
+  * reference: `worker/services/WorkerServiceImpl.scala:144-152`); both
+  * are what keeps a 100 TB parquet lake scannable — file-level min/max
+  * pruning only works when the layout gives each file a tight key range,
+  * and metadata traffic only stays sane when file counts stay bounded.
+  */
+object Layout {
+
+  /** Z-value bucket count (top 5 bits of the 32-bit Morton key). */
+  private val ZBuckets = 32
+
+  /** Z-order clustering diagnostics over (l_partkey, l_suppkey): each
+    * key is first normalized to the full 16-bit domain by EXACT integer
+    * scaling against its column max — `(key · 65535) div max` — so the
+    * Morton key (via the codegen `interleave_bits16` expression) spreads
+    * over all 32 bits at ANY scale factor; rows are then bucketed by the
+    * key's top 5 bits — the 32 "files" a z-ordered writer would cut.
+    * Per bucket: row count and the min/max of BOTH dims, i.e. exactly
+    * the column statistics a parquet footer would carry. The point the
+    * output makes: every bucket's (part × supp) bounding rectangle is a
+    * bounded fraction of the full range on EACH axis (top 5 z-bits =
+    * 2 part-bits + 3 supp-bits → ≤¼ and ≤⅛ respectively, spec-pinned),
+    * so a predicate on EITHER column prunes most buckets — a
+    * single-column sort gives tight bounds on that column only.
+    * Plan: scan → one-row max-stats broadcast (the skew-profile
+    * scalar-attach idiom) → codegen projection (the z-key never leaves
+    * whole-stage) → one hash aggregate. The final output sort is 32 rows.
+    *
+    * The oracle replays the interleave as a 32-term bitwise-OR — the
+    * normalization and interleave are pure int64 arithmetic, so
+    * z-values (and hence buckets and all stats) are exact on both
+    * engines.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val stats = li.agg(max(col("l_partkey")).as("mp"),
+      max(col("l_suppkey")).as("ms"))
+    val z = BitInterleave.interleaveBits16(
+      expr("l_partkey * 65535 div mp"),
+      expr("l_suppkey * 65535 div ms"))
+    li.crossJoin(broadcast(stats))
+      .select(col("l_partkey"), col("l_suppkey"),
+        shiftright(z, 27).as("z_bucket"))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("z_bucket"))
+  }
+
+  /** The 16-bits-per-dim Morton key as ANSI SQL: OR of 32 single-bit
+    * placements. Shared by the oracle and by ZOrderSpec's SQL parity
+    * check.
+    */
+  private[graft] def zExprSql(x: String, y: String): String =
+    ((0 until 16).map(i => s"((($x >> $i) & 1) << ${2 * i})") ++
+      (0 until 16).map(i => s"((($y >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" | ")
+
+  private val ZorderOracle: String =
+    s"""WITH stats AS (
+       |  SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+       |keyed AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    (${zExprSql("(l_partkey * 65535 // mp)", "(l_suppkey * 65535 // ms)")})
+       |      >> 27 AS z_bucket
+       |  FROM lineitem, stats)
+       |SELECT z_bucket, count(*) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM keyed GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+
+  /** Rows per compacted output file for [[compactionPlan]] — small
+    * enough that the plan actually splits the sf0.01 fixtures.
+    */
+  private val TargetRows = 50000L
+
+  /** Small-file compaction plan over every parquet file in the dataset
+    * directory (the 10 table files stand in for one table's fragment
+    * pile): per input file its row count — read from Spark's
+    * `_metadata.file_path` hidden column, no data columns touched — then
+    * a greedy in-order packer assigns each file's FIRST output bin as
+    * `floor(cumulative_rows_before / TargetRows)` (files larger than the
+    * target span bins and are split by the rewriter; `n_bins` says how
+    * many). This is the planning half of an OPTIMIZE/compaction job: at
+    * 100 TB the count(*) per file comes from footer metadata only, the
+    * window is over one row PER FILE (thousands, not billions), and the
+    * rewrite itself is an ordinary partitioned write. All arithmetic is
+    * int64 → oracle replays it with per-table counts UNION ALL'd.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) — same legacy-long read
+    // mode Tables.events uses (we never touch the column, but schema
+    // conversion happens at open)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val perFile = tables.map { t =>
+      spark.read.parquet(s"$dir/$t.parquet")
+        .select(col("_metadata.file_path").as("path"))
+        .groupBy(regexp_extract(col("path"), "([^/]+)$", 1).as("file"))
+        .agg(count(lit(1)).as("n_rows"))
+    }.reduce(_ union _)
+    val w = Window.orderBy(col("file"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perFile
+      .withColumn("rows_before", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .select(col("file"), col("n_rows"),
+        expr(s"rows_before div $TargetRows").as("first_bin"),
+        expr(s"(rows_before + n_rows - 1) div $TargetRows" +
+          s" - rows_before div $TargetRows + 1").as("n_bins"))
+      .orderBy(col("file"))
+  }
+
+  private val CompactionOracle: String = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val union = tables
+      .map(t => s"SELECT '$t.parquet' AS file, count(*) AS n_rows FROM $t")
+      .mkString(" UNION ALL ")
+    s"""WITH per_file AS ($union),
+       |cum AS (
+       |  SELECT file, n_rows,
+       |    coalesce(sum(n_rows) OVER (ORDER BY file
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rows_before
+       |  FROM per_file)
+       |SELECT file, n_rows,
+       |  rows_before // ${TargetRows} AS first_bin,
+       |  (rows_before + n_rows - 1) // ${TargetRows}
+       |    - rows_before // ${TargetRows} + 1 AS n_bins
+       |FROM cum ORDER BY file""".stripMargin
+  }
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("q88_zorder_layout", zorderLayout _, ZorderOracle),
+    QueryDef("q90_compaction_plan", compactionPlan _, CompactionOracle)
+  )
+}

@@ -306,6 +306,49 @@ object StreamingQueries {
     out.orderBy(col("signup_id"), col("purchase_at"))
   }
 
+  /** Stream-stream LEFT OUTER join — the semantics layer above the
+    * inner join (q.v.): signups emit their within-5-minute purchases as
+    * they match, and a signup with NO match emits ONE null-extended row
+    * — but only when the global watermark passes its eviction point
+    * (s_ts + 5 min), because until then a matching purchase could still
+    * arrive. Over the multi-batch replay the watermark genuinely
+    * advances (plus the trailing no-data micro-batch flushes evictions
+    * due at the FINAL watermark), so the null rows are emitted by
+    * event-time progress exactly as a broker deployment would see —
+    * and the tail signups (eviction point past the final watermark)
+    * are correctly withheld, awaiting late data. The oracle states that
+    * emission rule in batch SQL: matched pairs unconditionally, plus
+    * unmatched signups with `s_ts + 5 min < final watermark`, where the
+    * final watermark is `least(max signup ts, max purchase ts) − 10
+    * min` (Spark's global watermark is the MIN across both sides'
+    * watermark nodes). Batching-independence: the matched set is
+    * append-only and the null set depends only on the final watermark —
+    * monotone in replay progress, so any slicing agrees. At scale the
+    * same watermark bounds the join state on both sides; without it a
+    * left-outer stream join can never emit a null row at all (and its
+    * state never shrinks).
+    */
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = MultiBatchFileSource(dir).stream(spark)
+    val signups = ev
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = signups.join(purchases,
+        col("user_id") === col("p_user")
+          && col("p_ts") > col("s_ts")
+          && col("p_ts") <= col("s_ts") + expr("INTERVAL 5 MINUTES"),
+        "leftOuter")
+      .select(col("signup_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_at"))
+    val out = runToMemory(spark, joined, "stream_outer_join", "append")
+    out.orderBy(col("signup_id"), col("purchase_at"))
+  }
+
   /** The sessionization oracle, shared verbatim with the batch twin
     * (`Relational3.q59SessionizeBatch`) — ONE definition so the
     * batch/stream parity guarantee can't silently drift.
@@ -336,6 +379,31 @@ object StreamingQueries {
         |FROM events s JOIN events p ON s.user_id = p.user_id
         |  AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE
         |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        |ORDER BY signup_id, purchase_at""".stripMargin),
+    QueryDef("stream_outer_join", streamOuterJoin _,
+      // emission rule in batch SQL: every matched pair, plus each
+      // unmatched signup whose eviction point (s_ts + 5 min) the final
+      // watermark — least(max s_ts, max p_ts) − 10 min — has passed
+      """WITH s AS (
+        |  SELECT event_id AS signup_id, user_id, ts AS s_ts
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(s_ts) FROM s), (SELECT max(p_ts) FROM p))
+        |    - INTERVAL 10 MINUTE AS w)
+        |SELECT s.signup_id,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_at
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |  AND p.p_ts > s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 5 MINUTE
+        |UNION ALL
+        |SELECT s.signup_id, CAST(NULL AS VARCHAR) AS purchase_at
+        |FROM s, wm
+        |WHERE NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = s.user_id
+        |      AND p.p_ts > s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 5 MINUTE)
+        |  AND s.s_ts + INTERVAL 5 MINUTE < wm.w
         |ORDER BY signup_id, purchase_at""".stripMargin),
     QueryDef("stream_stateful", streamStateful _,
       """SELECT user_id, count(*) AS n_events,

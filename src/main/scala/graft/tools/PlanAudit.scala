@@ -86,11 +86,26 @@ object PlanAudit {
       // tables are never SMJ-shuffled for the checks
       "q75_dq_checks" -> Seq(
         ("broadcast-fk-antijoins", m => m("bhj") >= 2 && m("smj") == 0)),
-      // triangle counting: three HASH joins, never cartesian/BNLJ on
-      // the data path (the 1x1 scalar-attach crossJoins are BNLJ-free
-      // single-row broadcasts)
+      // triangle counting via adjacency intersection: the per-edge
+      // array_intersect joins must broadcast the |V|-row adjacency
+      // sides — the edge table is never reshuffled after its build, and
+      // the ~100M-row wedge intermediate of the naive e1⋈e2⋈e3 form
+      // never exists (that form measured 58 s at sf0.1; this one ~5 s)
       "q77_triangle_count" -> Seq(
-        ("hash-joins-only", m => m("cart") == 0)),
+        ("adjacency-broadcast", m => m("bhj") >= 2 && m("smj") == 0 && m("cart") == 0)),
+      // z-order layout: the main scan plus the 2-column max-stats pass
+      // (its one-row result scalar-attaches via broadcast); the Morton
+      // projection stays inside whole-stage codegen — never a real join
+      "q88_zorder_layout" -> Seq(
+        ("two-scans-no-join", m => m("scans") == 2 && m("smj") == 0)),
+      // heavy hitters verify scan: candidates arrive as an IN filter,
+      // not a join — no join machinery at all
+      "sketch_heavy_hitters" -> Seq(
+        ("no-joins", m => m("smj") + m("bhj") + m("shj") == 0)),
+      // stream-stream LEFT OUTER join: real symmetric-hash join state
+      // in the micro-batch plan
+      "stream_outer_join" -> Seq(
+        ("symmetric-hash-state", m => m("stateOps") >= 1)),
       // global top-k must stay a 0-shuffle TakeOrderedAndProject
       "q21_global_topk" -> Seq(
         ("take-ordered-0-shuffle", m => m("takeOrdered") >= 1 && m("ex") == 0)),
@@ -130,7 +145,8 @@ object PlanAudit {
     // and CartesianProduct is banned everywhere.
     val boundedBnlj = Set("q26_cross_join", "text_tfidf", "pipeline_lm_score",
       "pipeline_vocab", "q71_funnel", "dedup_embedding_cosine",
-      "dedup_ngram_jaccard", "text_pmi", "q86_skew_profile")
+      "dedup_ngram_jaccard", "text_pmi", "q86_skew_profile",
+      "q88_zorder_layout")
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+
+/** Misra–Gries sketch laws (error bound, heavy-hitter superset, merge
+  * associativity under random splits) + exact recompute of the
+  * verified heavy-hitters query at sf0.001.
+  */
+class SketchesSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Zipf-ish synthetic stream with known exact counts. */
+  private def stream(seed: Int, n: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val r = rnd.nextDouble()
+      if (r < 0.3) "the"
+      else if (r < 0.45) "of"
+      else if (r < 0.55) "and"
+      else s"w${rnd.nextInt(5000)}"
+    }
+  }
+
+  test("MG bounds: est <= true and true - est <= n/k, any merge split") {
+    val xs = stream(11, 60000)
+    val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rnd = new scala.util.Random(13)
+    // fold in random-sized chunks, merging pairwise in shuffled order —
+    // the distributed partial-aggregation shape
+    val chunks = xs.grouped(1 + rnd.nextInt(7000)).toSeq
+    val partials = chunks.map(_.foldLeft(Map.empty[String, Long])(Sketches.mgAdd))
+    val sketch = rnd.shuffle(partials).reduce(Sketches.mgMerge)
+    assert(sketch.size <= Sketches.K)
+    val bound = xs.size.toLong / Sketches.K
+    sketch.foreach { case (t, est) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(est <= tru, s"$t overestimated: $est > $tru")
+      assert(tru - est <= bound, s"$t error past n/k: $tru - $est > $bound")
+    }
+    // superset guarantee: anything with true count > n/k survives
+    exact.filter(_._2 > bound).keys.foreach { t =>
+      assert(sketch.contains(t), s"true heavy hitter $t evicted")
+    }
+  }
+
+  test("heavy_hitters query equals the exact HAVING recompute") {
+    val got = Sketches.heavyHitters(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), " ", -1)).as("raw"))
+      .select(regexp_replace(col("raw"), "[^\\w]", "").as("tok"))
+      .filter(col("tok") =!= "")
+      .collect().map(_.getString(0))
+    val n = toks.length.toLong
+    val expect = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter { case (_, c) => c * Sketches.ThetaDen > n }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+    assert(got.toSeq === expect)
+    assert(expect.nonEmpty, "fixture must actually have heavy hitters")
+  }
+}

@@ -325,6 +325,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("stream_outer_join: matches = batch inner join; null rows follow " +
+      "the watermark eviction rule; tail withheld") {
+    val got = StreamingQueries.streamOuterJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    val (matched, nulls) = got.partition(_._2.isDefined)
+
+    val ev = Tables.events(spark, sf0001)
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val inner = s.join(p, col("user_id") === col("p_user")
+        && col("p_ts") > col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("signup_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_at"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(matched.sorted.toSeq === inner.sorted.toSeq,
+      "matched pairs must equal the batch inner join")
+
+    // final watermark = least(max signup ts, max purchase ts) - 10 min;
+    // an unmatched signup emits a null row iff s_ts + 5 min < watermark
+    val wmUs = math.min(
+      s.agg(max(unix_micros(col("s_ts")))).head().getLong(0),
+      p.agg(max(unix_micros(col("p_ts")))).head().getLong(0)) - 10L * 60 * 1000000
+    val matchedIds = inner.map(_._1).toSet
+    val expectNulls = s.select(col("signup_id"), unix_micros(col("s_ts")).as("us"))
+      .collect()
+      .filter(r => !matchedIds.contains(r.getLong(0))
+        && r.getLong(1) + 5L * 60 * 1000000 < wmUs)
+      .map(_.getLong(0)).sorted
+    assert(nulls.map(_._1).sorted.toSeq === expectNulls.toSeq,
+      "null-extended rows must be exactly the evicted unmatched signups")
+    // the emission rule genuinely bites: some unmatched signups are
+    // withheld (their eviction point is past the final watermark)
+    val allUnmatched = s.collect().map(_.getLong(0)).count(!matchedIds.contains(_))
+    assert(expectNulls.length < allUnmatched,
+      "fixture must leave a withheld tail, or the rule is vacuous")
+  }
+
   test("multi-batch replay: time-ordered slices conserve events; append " +
       "windows follow the watermark emission rule") {
     import graft.streaming.MultiBatchFileSource
