@@ -88,7 +88,50 @@ object Pipeline4 {
       .orderBy(col("doc_id"), col("w"))
   }
 
+  /** Sample size for [[sampleWeighted]]. */
+  private val WK = 64
+
+  /** Weighted sampling without replacement via PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup): each doc gets priority w/u where w is its
+    * weight (char length — the "how much training signal" proxy) and u
+    * a deterministic salted-md5 uniform in [1, 2²⁸]; the sample is the
+    * top-K priorities. Inclusion probability is ∝ w (large docs
+    * overrepresented by design — weighted corpus subsampling), yet the
+    * whole draw is a PURE FUNCTION of the rows: reproducible on any
+    * cluster layout, any day, exactly like the stratified sampler's
+    * integer-bps rule. Plan: scan → codegen projection →
+    * TakeOrderedAndProject (0 shuffles). Float discipline: priority is
+    * ONE division of two exact-int-valued doubles — correctly rounded,
+    * bit-identical on both engines — and doc_id breaks any residual
+    * tie deterministically.
+    */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedKeep(Tables.documents(spark, dir))
+
+  /** The priority rule alone, over any frame with (doc_id, text) —
+    * split out so the spec can prove the draw is a pure function of the
+    * rows (identical under any input partitioning).
+    */
+  private[graft] def weightedKeep(docs: DataFrame): DataFrame = {
+    val w = greatest(length(col("text")), lit(1)).cast("long")
+    val u = conv(substring(
+      md5(concat(lit("wps:"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+      .cast("long") + 1
+    docs
+      .select(col("doc_id"), w.as("w"),
+        (w.cast("double") / u.cast("double")).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(WK)
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_sample_weighted", sampleWeighted _,
+      s"""SELECT doc_id, w, w * 1.0 / u AS priority FROM (
+         |  SELECT doc_id, greatest(length(text), 1) AS w,
+         |    ('0x' || substring(md5('wps:' || cast(doc_id AS VARCHAR)), 1, 7))::BIGINT
+         |      + 1 AS u
+         |  FROM documents)
+         |ORDER BY priority DESC, doc_id LIMIT $WK""".stripMargin),
     QueryDef("pipeline_chunk", pipelineChunk _,
       // range(0, n, S) = Spark's sequence(0, n-1, S) for n ≥ 1 (both are
       // the starts < n); list_slice's inclusive end = start + W matches

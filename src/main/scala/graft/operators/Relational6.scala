@@ -57,7 +57,46 @@ object Relational6 {
       |GROUP BY o.o_orderpriority
       |ORDER BY o.o_orderpriority""".stripMargin
 
+  /** The TABLE half of the SQL-function surface: a parameterized SQL
+    * table function (`RETURNS TABLE`) applied via LATERAL to a row of
+    * price buckets — the declarative UDTF. Catalyst inlines the body as
+    * a correlated lateral subquery (no closure, no serialization), so
+    * the rewritten plan is an ordinary aggregate under a lateral join —
+    * the oracle states the same computation with the function inlined
+    * as a CTE joined on the bucket bounds.
+    */
+  def sqlTableUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION order_bucket_stats(
+        |  lo DOUBLE, hi DOUBLE)
+        |RETURNS TABLE(o_orderpriority STRING, n BIGINT, total DOUBLE)
+        |RETURN SELECT o_orderpriority, count(*) AS n,
+        |  cast(sum(cast(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders_v
+        |WHERE o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY o_orderpriority
+        |""".stripMargin)
+    spark.sql(
+      """SELECT b.lo, s.o_orderpriority, s.n, s.total
+        |FROM VALUES (0.0D, 100000.0D), (100000.0D, 200000.0D),
+        |  (200000.0D, 600000.0D) AS b(lo, hi),
+        |  LATERAL order_bucket_stats(b.lo, b.hi) AS s
+        |ORDER BY b.lo, s.o_orderpriority""".stripMargin)
+  }
+
+  private val SqlTableUdfOracle: String =
+    """WITH buckets(lo, hi) AS (VALUES (0.0, 100000.0), (100000.0, 200000.0),
+      |  (200000.0, 600000.0))
+      |SELECT cast(b.lo AS DOUBLE) AS lo, o.o_orderpriority, count(*) AS n,
+      |  cast(sum(cast(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM buckets b JOIN orders o
+      |  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+      |GROUP BY cast(b.lo AS DOUBLE), o.o_orderpriority
+      |ORDER BY lo, o_orderpriority""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
-    QueryDef("q89_sql_udf", sqlUdf _, SqlUdfOracle)
+    QueryDef("q89_sql_udf", sqlUdf _, SqlUdfOracle),
+    QueryDef("q91_sql_table_udf", sqlTableUdf _, SqlTableUdfOracle)
   )
 }

@@ -109,6 +109,57 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** Session windows with a DYNAMIC, per-event inactivity gap —
+    * purchases hold a session open for 60 minutes, everything else 30
+    * (the "checkout grace period" shape). `session_window(ts, gapCol)`
+    * merges the per-event intervals [ts, ts+gap); the batch-SQL oracle
+    * states the same merge rule directly: an event opens a NEW session
+    * iff its ts is ≥ the running max of all previous events' interval
+    * ends (a constant gap degenerates to the lag() rule stream_session
+    * uses — with variable gaps the running max is required, since a
+    * long-gap event can outlive several short-gap successors). State
+    * and eviction story identical to stream_session: O(active
+    * sessions), watermark-driven.
+    */
+  def streamSessionDynamic(spark: SparkSession, dir: String): DataFrame = {
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val out = runToMemory(spark, agg, "stream_session_dynamic", "complete")
+    out.select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private[graft] val SessionDynamicOracleSql: String =
+    """WITH ends AS (
+      |  SELECT user_id, ts,
+      |    ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+      |         ELSE INTERVAL 30 MINUTE END AS iv_end
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN max(iv_end) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR ts >= max(iv_end) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM ends),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  count(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Streaming dedup on (user_id, event_type) within the watermark;
     * output reduced to the distinct key set so the result is independent
     * of which physical row survived.
@@ -441,6 +492,7 @@ object StreamingQueries {
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.w
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
     QueryDef("stream_session", streamSession _, SessionOracleSql),
+    QueryDef("stream_session_dynamic", streamSessionDynamic _, SessionDynamicOracleSql),
     QueryDef("stream_dedup", streamDedup _,
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin)

@@ -106,6 +106,13 @@ object PlanAudit {
       // in the micro-batch plan
       "stream_outer_join" -> Seq(
         ("symmetric-hash-state", m => m("stateOps") >= 1)),
+      // dynamic-gap session windows: real session-window state operator
+      "stream_session_dynamic" -> Seq(
+        ("session-state", m => m("stateOps") >= 1)),
+      // weighted priority sample: global top-k stays a 0-shuffle
+      // TakeOrderedAndProject over the codegen priority projection
+      "pipeline_sample_weighted" -> Seq(
+        ("take-ordered-0-shuffle", m => m("takeOrdered") >= 1 && m("ex") == 0)),
       // global top-k must stay a 0-shuffle TakeOrderedAndProject
       "q21_global_topk" -> Seq(
         ("take-ordered-0-shuffle", m => m("takeOrdered") >= 1 && m("ex") == 0)),
@@ -146,7 +153,10 @@ object PlanAudit {
     val boundedBnlj = Set("q26_cross_join", "text_tfidf", "pipeline_lm_score",
       "pipeline_vocab", "q71_funnel", "dedup_embedding_cosine",
       "dedup_ngram_jaccard", "text_pmi", "q86_skew_profile",
-      "q88_zorder_layout")
+      "q88_zorder_layout",
+      // the lateral table-UDF applies a 3-row VALUES bucket frame via a
+      // non-equi (range) condition — a 3-row broadcast BNLJ by design
+      "q91_sql_table_udf")
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))

@@ -108,4 +108,20 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestBase {
       assert(r.getSeq[String](1) === naive)
     }
   }
+
+  test("interleave_bits16: codegen == interpreted == Scala kernel on real keys") {
+    def run: Array[Long] =
+      Tables.lineitem(spark, sf0001)
+        .select(graft.functions.BitInterleave.interleaveBits16(
+          pmod(col("l_partkey"), lit(65536L)),
+          pmod(col("l_suppkey"), lit(65536L))).as("z"))
+        .collect().map(_.getLong(0))
+    val (gen, interp) = inBothModes(run)
+    assert(gen.toSeq === interp.toSeq)
+    val keys = Tables.lineitem(spark, sf0001)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => graft.functions.BitInterleave.interleave16(
+        r.getLong(0) % 65536, r.getLong(1) % 65536))
+    assert(gen.toSeq === keys.toSeq)
+  }
 }

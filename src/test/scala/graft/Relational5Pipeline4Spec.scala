@@ -130,4 +130,40 @@ class Relational5Pipeline4Spec extends AnyFunSuite with SparkTestBase {
     val c = classic.collect().map(_.toSeq)
     assert(p.toSeq === c.toSeq)
   }
+
+  test("pipeline_sample_weighted: pure function of rows, recomputes exactly") {
+    import graft.operators.Pipeline4
+    val got = Pipeline4.sampleWeighted(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // driver-side replay of the priority rule
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = docs.map { case (id, text) =>
+      val w = math.max(text.length, 1).toLong
+      val hex = md.digest(s"wps:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(7)
+      val u = java.lang.Long.parseLong(hex, 16) + 1
+      (id, w, w.toDouble / u.toDouble)
+    }.sortBy { case (id, _, p) => (-p, id) }.take(64)
+    assert(got.toSeq === expect.toSeq)
+    // weighting bites: the sampled docs skew long (chars per sampled doc
+    // above the corpus mean)
+    val meanAll = docs.map(_._2.length.toLong).sum.toDouble / docs.length
+    val meanGot = got.map(_._2).sum.toDouble / got.length
+    assert(meanGot > meanAll, "weighted draw must overrepresent long docs")
+  }
+
+  test("pipeline_sample_weighted: invariant under repartitioning") {
+    import graft.operators.Pipeline4
+    val docs = Tables.documents(spark, sf0001)
+    val a = Pipeline4.weightedKeep(docs).collect().map(_.getLong(0))
+    // same rows through different physical layouts → identical sample
+    val b = Pipeline4.weightedKeep(docs.repartition(7)).collect().map(_.getLong(0))
+    val c = Pipeline4.weightedKeep(docs.repartition(1).sortWithinPartitions(desc("doc_id")))
+      .collect().map(_.getLong(0))
+    assert(b.toSeq === a.toSeq)
+    assert(c.toSeq === a.toSeq)
+  }
 }

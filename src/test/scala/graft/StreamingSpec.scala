@@ -325,6 +325,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq === batch.toSeq)
   }
 
+  test("stream_session_dynamic: running-max merge rule recomputes; " +
+      "long purchase gaps merge sessions the constant gap splits") {
+    val got = StreamingQueries.streamSessionDynamic(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // driver-side replay: per user, an event opens a new session iff
+    // its ts >= running max of previous interval ends
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expect = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var maxEnd = Long.MinValue
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { case (_, us, typ) =>
+        val gapUs = (if (typ == "purchase") 60L else 30L) * 60 * 1000000
+        if (us >= maxEnd) sessions += ((us, 1L))
+        else sessions(sessions.length - 1) =
+          (sessions.last._1, sessions.last._2 + 1)
+        maxEnd = math.max(maxEnd, us + gapUs)
+      }
+      sessions.map { case (startUs, n) =>
+        val base = fmt.format(new java.util.Date(startUs / 1000))
+        (uid, base + "%03d".format(startUs % 1000), n)
+      }
+    }.toSeq.sortBy(s => (s._1, s._2))
+    assert(got.toSeq === expect)
+
+    // the dynamic gap must actually merge somewhere: strictly fewer
+    // sessions than the constant-30-minute session query
+    val constant = StreamingQueries.streamSession(spark, sf0001).count()
+    assert(got.length < constant,
+      "a 60-minute purchase hold must merge at least one session pair")
+  }
+
   test("stream_outer_join: matches = batch inner join; null rows follow " +
       "the watermark eviction rule; tail withheld") {
     val got = StreamingQueries.streamOuterJoin(spark, sf0001).collect()
