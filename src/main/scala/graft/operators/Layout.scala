@@ -103,9 +103,7 @@ object Layout {
     // mode Tables.events uses (we never touch the column, but schema
     // conversion happens at open)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    val perFile = tables.map { t =>
+    val perFile = Tables.names.map { t =>
       spark.read.parquet(s"$dir/$t.parquet")
         .select(col("_metadata.file_path").as("path"))
         .groupBy(regexp_extract(col("path"), "([^/]+)$", 1).as("file"))
@@ -123,9 +121,7 @@ object Layout {
   }
 
   private val CompactionOracle: String = {
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    val union = tables
+    val union = Tables.names
       .map(t => s"SELECT '$t.parquet' AS file, count(*) AS n_rows FROM $t")
       .mkString(" UNION ALL ")
     s"""WITH per_file AS ($union),

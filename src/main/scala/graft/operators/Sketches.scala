@@ -81,23 +81,27 @@ object Sketches {
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
-  /** Documents tokenized the corpus-standard way (space split, lower,
-    * strip non-word, drop empties) — matches the oracle's unnest.
+  /** Documents tokenized the corpus-standard way — the reference's own
+    * tokenize/normalize kernel ([[WordCount]]), so a change to the
+    * corpus tokenization propagates here instead of silently diverging.
     */
   private def tokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(split(lower(col("text")), " ", -1)).as("raw"))
-      .select(regexp_replace(col("raw"), "[^\\w]", "").as("tok"))
+      .select(WordCount.tokenize(col("text")).as("raw"))
+      .select(WordCount.normalize(col("raw")).as("tok"))
       .filter(col("tok") =!= "")
 
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(spark, dir).localCheckpoint() // scanned twice
-    // scan 1: the sketch (single group — partials merge per partition)
-    val candidates = toks.as[String](Encoders.STRING)
-      .select(new MisraGriesAgg().toColumn.name("cands"))
-      .head().split(" ").toSeq
+    // scan 1: the sketch AND the total count, one pass (the count rides
+    // the same aggregate — no extra action for n)
+    val firstPass = toks.as[String](Encoders.STRING)
+      .select(new MisraGriesAgg().toColumn.name("cands"),
+        count(lit(1)).as[Long](Encoders.scalaLong).name("n"))
+      .head()
+    val candidates = firstPass._1.split(" ").toSeq
+    val n = firstPass._2
     // scan 2: exact verification of the ≤k candidates
-    val n = toks.count()
     toks.filter(col("tok").isin(candidates: _*))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("cnt"))

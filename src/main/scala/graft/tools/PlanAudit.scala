@@ -90,18 +90,24 @@ object PlanAudit {
       // array_intersect joins must broadcast the |V|-row adjacency
       // sides — the edge table is never reshuffled after its build, and
       // the ~100M-row wedge intermediate of the naive e1⋈e2⋈e3 form
-      // never exists (that form measured 58 s at sf0.1; this one ~5 s)
+      // never exists (that form measured 58 s at sf0.1; this one ~5 s).
+      // The edge build itself (the lineitem self-join) must be VISIBLE
+      // in the audited plan (≥3 joins total) and reused, not hidden
+      // behind a checkpoint where cart=0/bnlj=0 couldn't see it
       "q77_triangle_count" -> Seq(
-        ("adjacency-broadcast", m => m("bhj") >= 2 && m("smj") == 0 && m("cart") == 0)),
+        ("adjacency-broadcast", m => m("bhj") >= 2 && m("cart") == 0),
+        ("edge-build-audited-and-reused",
+          m => m("bhj") + m("smj") + m("shj") >= 3 && m("reused") >= 1)),
       // z-order layout: the main scan plus the 2-column max-stats pass
       // (its one-row result scalar-attaches via broadcast); the Morton
       // projection stays inside whole-stage codegen — never a real join
       "q88_zorder_layout" -> Seq(
         ("two-scans-no-join", m => m("scans") == 2 && m("smj") == 0)),
-      // heavy hitters verify scan: candidates arrive as an IN filter,
-      // not a join — no join machinery at all
+      // heavy hitters verify scan: it must read the CHECKPOINTED token
+      // frame (scans=0 — re-tokenizing parquet would show a scan) and
+      // aggregate the IN-filtered candidates with one hash shuffle
       "sketch_heavy_hitters" -> Seq(
-        ("no-joins", m => m("smj") + m("bhj") + m("shj") == 0)),
+        ("verify-on-checkpoint", m => m("scans") == 0 && m("hx") == 1)),
       // stream-stream LEFT OUTER join: real symmetric-hash join state
       // in the micro-batch plan
       "stream_outer_join" -> Seq(

@@ -74,9 +74,7 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
   test("compaction plan: greedy row packing recomputes from table counts") {
     val got = Layout.compactionPlan(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val names = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    val counts = names.map(t =>
+    val counts = Tables.names.map(t =>
       s"$t.parquet" -> spark.read.parquet(s"$sf0001/$t.parquet").count()).sortBy(_._1)
     val target = 50000L
     var before = 0L
