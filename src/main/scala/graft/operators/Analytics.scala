@@ -34,16 +34,35 @@ object Analytics {
     * correctly rounded (identical), and only the summation order
     * differs, whose ~1e-17 drift cannot reach a 0.5e-8 boundary.
     */
-  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+  /** Undirected co-purchase edge set (parts sharing an order),
+    * materialized BOTH directions and checkpointed — ONE definition
+    * shared by [[pagerank]] and [[Analytics2.kHopReach]] so a tuning
+    * change (degree cap, checkpoint policy) cannot silently diverge
+    * between them. The matching oracle text is [[CoPurchaseEdgesCte]].
+    */
+  private[operators] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val und = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
-    val edges = und
-      .union(und.select(col("v").as("u"), col("u").as("v")))
+    und.union(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
+  }
+
+  /** The co-purchase edge set as oracle CTEs (`und`, `edges`) — the SQL
+    * twin of [[coPurchaseEdges]], shared by both oracles.
+    */
+  private[operators] val CoPurchaseEdgesCte: String =
+    """und AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey),
+      |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und)""".stripMargin
+
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir)
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val n = deg.count() // bounded driver state: one long (node count)
@@ -65,11 +84,7 @@ object Analytics {
   }
 
   private val PagerankOracle: String =
-    """WITH und AS (
-      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-      |    AND a.l_partkey < b.l_partkey),
-      |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    s"""WITH $CoPurchaseEdgesCte,
       |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
       |nn AS (SELECT count(*) AS n FROM deg),
       |r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
@@ -130,7 +145,7 @@ object Analytics {
 
   /** Batch MERGE (upsert): a deterministic delta batch — every 5th
     * customer gets a balance adjustment (update branch), every 7th
-    * spawns a shifted-key new account (insert branch) — merged into the
+    * spawns a negated-key new account (insert branch) — merged into the
     * customer snapshot with WHEN MATCHED / NOT MATCHED / NOT MATCHED BY
     * SOURCE semantics, each row labeled with the action taken. One
     * full-outer hash join on the merge key; at 100 TB both sides
@@ -147,8 +162,13 @@ object Analytics {
       .select(col("c_custkey").as("key"),
         (col("c_acctbal") + lit(100.0)).as("s_bal"),
         col("c_name").as("s_name"), col("c_mktsegment").as("s_seg"))
+    // insert keys are −(key+1): customer keys are non-negative at every
+    // scale factor (the generator ships key 0), so the strictly-negative
+    // synthetic namespace can never collide with a real key (an additive
+    // offset would collide once the table outgrows it, silently turning
+    // inserts into updates; bare negation would collide on key 0)
     val inserts = target.filter(col("c_custkey") % 7 === 0)
-      .select((col("c_custkey") + lit(1000000L)).as("key"),
+      .select((-(col("c_custkey") + 1)).as("key"),
         lit(0.0).as("s_bal"),
         concat(lit("NEW_"), col("c_custkey").cast("string")).as("s_name"),
         lit("NEW").as("s_seg"))
@@ -175,7 +195,7 @@ object Analytics {
       |    c_name AS s_name, c_mktsegment AS s_seg
       |  FROM target WHERE c_custkey % 5 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 1000000 AS key, 0.0 AS s_bal,
+      |  SELECT -(c_custkey + 1) AS key, 0.0 AS s_bal,
       |    'NEW_' || cast(c_custkey AS VARCHAR) AS s_name, 'NEW' AS s_seg
       |  FROM target WHERE c_custkey % 7 = 0)
       |SELECT

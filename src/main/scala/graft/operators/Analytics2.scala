@@ -66,15 +66,7 @@ object Analytics2 {
     * three frontiers as CTEs with EXCEPT (never NOT IN — NOTES.md #12).
     */
   def kHopReach(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct()
-    val edges = und
-      .union(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    val edges = Analytics.coPurchaseEdges(spark, dir)
 
     var frontier = edges.select(col("u").as("node")).distinct()
       .filter(col("node") % SeedMod === 0)
@@ -93,11 +85,7 @@ object Analytics2 {
   }
 
   private val KHopOracle: String =
-    s"""WITH und AS (
-       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-       |    AND a.l_partkey < b.l_partkey),
-       |edges AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    s"""WITH ${Analytics.CoPurchaseEdgesCte},
        |h0 AS (SELECT DISTINCT u AS node FROM edges WHERE u % $SeedMod = 0),
        |h1 AS (
        |  SELECT DISTINCT e.v AS node FROM edges e JOIN h0 ON h0.node = e.u

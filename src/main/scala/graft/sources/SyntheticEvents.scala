@@ -31,9 +31,12 @@ import graft.QueryDef
   *   mix         = (id * 2654435761) % 2^32          // Knuth multiplicative
   *   user_id     = mix % 997
   *   event_type  = ['view','click','purchase','signup','error'][mix % 5]
-  *   value_cents = (id * 1103515245 + 12345) % 100000
+  *   value_cents = ((id % 2^32) * 1103515245 + 12345) % 100000
   *   ts_s        = 1704067200 + id % 2592000
   * }}}
+  * All kernels are overflow-safe for any int64 id (exact-math mod 2³²
+  * via masking; pre-reduced multiplicands), so the formula above holds
+  * verbatim at any row count.
   */
 class SyntheticEventsSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -41,10 +44,18 @@ class SyntheticEventsSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticEvents.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new SyntheticEventsTable(
-      properties.getOrDefault("rows", "100000").toLong,
-      properties.getOrDefault("splits", "8").toInt)
+      properties: java.util.Map[String, String]): Table = {
+    // DSv2 reader options are conventionally case-insensitive; a raw
+    // Map lookup would silently ignore .option("ROWS", …)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val rows = opts.getLong("rows", 100000L)
+    val splits = opts.getInt("splits", 8)
+    require(rows >= 0, s"graft-events: rows must be >= 0, got $rows")
+    // a non-positive split count would silently plan ZERO partitions
+    // (empty table, no error) — fail loudly at table resolution instead
+    require(splits >= 1, s"graft-events: splits must be >= 1, got $splits")
+    new SyntheticEventsTable(rows, splits)
+  }
 }
 
 class SyntheticEventsTable(rows: Long, splits: Int)
@@ -145,8 +156,11 @@ class SyntheticEventsReader(range: SyntheticEventsRange,
 
   override def next(): Boolean = { id += 1; id <= range.hi }
   override def get(): InternalRow = {
-    val cur = id
-    InternalRow.fromSeq(gens.toIndexedSeq.map(g => g(cur)))
+    // hot loop: one values array per row, no collection wrappers
+    val values = new Array[Any](gens.length)
+    var i = 0
+    while (i < gens.length) { values(i) = gens(i)(id); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
   }
   override def close(): Unit = ()
 }
@@ -163,13 +177,24 @@ object SyntheticEvents {
     Array("view", "click", "purchase", "signup", "error")
       .map(UTF8String.fromString)
 
-  private def mix(id: Long): Long = (id * 2654435761L) % 4294967296L
+  /** (id · 2654435761) mod 2³² in EXACT mathematical terms: int64
+    * multiplication wraps mod 2⁶⁴, and 2⁶⁴ ≡ 0 (mod 2³²), so masking
+    * the wrapped product gives the true remainder for EVERY id — where
+    * `% 4294967296L` would go NEGATIVE once id·2654435761 overflows
+    * int64 (id ≥ ~3.5e9, well inside the 100 TB row range this
+    * connector advertises), crashing the event_type array index.
+    */
+  private def mix(id: Long): Long = (id * 2654435761L) & 0xFFFFFFFFL
 
   val generators: Map[String, Long => Any] = Map(
     "id" -> (id => id),
     "user_id" -> (id => mix(id) % 997L),
     "event_type" -> (id => EventTypes((mix(id) % 5L).toInt)),
-    "value_cents" -> (id => (id * 1103515245L + 12345L) % 100000L),
+    // reduce id mod 2³² BEFORE the multiply: the max product is then
+    // (2³²−1)·1103515245 ≈ 4.7e18 < 2⁶³, so the arithmetic never wraps
+    // (a raw id·1103515245 overflows at id ≈ 8.4e9 and Java % would go
+    // negative); unchanged for every id < 2³²
+    "value_cents" -> (id => ((id & 0xFFFFFFFFL) * 1103515245L + 12345L) % 100000L),
     "ts_s" -> (id => 1704067200L + id % 2592000L))
 
   /** The registered query: read through the connector with an id-range

@@ -53,7 +53,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(3) === cust(r.getLong(0)) + 100.0)
     }
     out.filter(_.getString(4) == "insert").foreach { r =>
-      assert(r.getLong(0) >= 1000000L && r.getDouble(3) === 0.0)
+      assert(r.getLong(0) < 0L && r.getDouble(3) === 0.0)
     }
   }
 

@@ -81,4 +81,38 @@ class SyntheticSourceSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(3) === g.map(_._3).distinct.length.toLong)
     }
   }
+
+  test("reader options are case-insensitive; bad splits fail loudly") {
+    val n = spark.read.format("graft-events")
+      .option("ROWS", "500").option("SPLITS", "2").load().count()
+    assert(n === 500L, "upper-cased options must not fall back to defaults")
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft-events")
+        .option("rows", "100").option("splits", "0").load().count()
+    }
+    assert(err.getMessage.contains("splits"),
+      "splits=0 must error, not plan an empty table")
+  }
+
+  test("generator kernels are overflow-safe at huge ids") {
+    import graft.sources.SyntheticEvents.generators
+    // past the id where id * 2654435761 wraps int64 — mix must stay a
+    // true mod-2^32 remainder (non-negative, < 2^32), event_type a
+    // valid index, value_cents in [0, 100000)
+    val hugeIds = Seq(3474169948L, 4294967296L, 8400000000L, Long.MaxValue)
+    hugeIds.foreach { id =>
+      val uid = generators("user_id")(id).asInstanceOf[Long]
+      assert(uid >= 0 && uid < 997, s"user_id out of range for id=$id")
+      val et = generators("event_type")(id)
+      assert(et != null, s"event_type must index validly for id=$id")
+      val vc = generators("value_cents")(id).asInstanceOf[Long]
+      assert(vc >= 0 && vc < 100000, s"value_cents out of range for id=$id")
+    }
+    // exact-math check at the first wrap point: BigInt replay agrees
+    hugeIds.foreach { id =>
+      val expect = ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toLong
+      val uid = generators("user_id")(id).asInstanceOf[Long]
+      assert(uid === expect % 997, s"mix diverged from exact math at id=$id")
+    }
+  }
 }
