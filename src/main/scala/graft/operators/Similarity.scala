@@ -227,6 +227,132 @@ object Similarity {
       |  FROM embeddings e)
       |ORDER BY sim_exact DESC, vec_id LIMIT 10""".stripMargin
 
+  /** PQ geometry: 8 subspaces × 8 dims, 16 codewords each — an 8-byte
+    * code per 256-byte vector (32× compression), the standard
+    * billion-vector memory budget.
+    */
+  private val PqM = 8
+  private val PqD = 8
+  private val PqK = 16
+
+  /** Squared L2 between a vector column slice and a literal codeword
+    * (double accumulation; interpreted HOF is fine — 16 codewords × 8
+    * dims per row, nowhere near a hot loop).
+    */
+  private def l2sq(v: Column, c: Array[Float]): Column =
+    aggregate(
+      zip_with(v, typedLit(c), (x, y) =>
+        (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** argmin over a subspace codebook: array_min of (dist, idx) structs
+    * — lexicographic ordering gives min-dist, tie→min idx.
+    */
+  private def nearestCodeIdx(book: Array[Array[Float]], sub: Column): Column =
+    array_min(array(book.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(l2sq(sub, c).as("d"), lit(i).as("idx"))
+    }: _*)).getField("idx")
+
+  /** L2-normalized embedding (zero vectors pass through unchanged) —
+    * PQ codebooks and codes live on the unit sphere so the asymmetric
+    * L2 distance is order-equivalent to cosine (‖a−b‖² = 2 − 2·cos).
+    */
+  private def normalized(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(n === 0.0, v).otherwise(transform(v, x => (x.cast("double") / n).cast("float")))
+  }
+
+  /** PQ codebooks: per subspace, the 16 seed codewords (vec_id 0..15's
+    * subvectors, normalized) refined by ONE fused Lloyd step — all 8
+    * subspaces assign + average in a single aggregate job (explode by
+    * subspace, then by dim). Components rounded to 6 decimals so the
+    * codebook is identical under any partitioning; driver state is
+    * 8×16×8 floats.
+    */
+  private[graft] def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), normalized(col("embedding")).as("embedding"))
+    val seeds: Array[Array[Array[Float]]] = {
+      val rows = emb.filter(col("vec_id") < PqK).orderBy(col("vec_id"))
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      Array.tabulate(PqM)(m => rows.map(_.slice(m * PqD, m * PqD + PqD)))
+    }
+    // one pass: per row and subspace, assign to the nearest seed, then
+    // per-(subspace, code, dim) mean
+    val subs = array((0 until PqM).map { m =>
+      val sub = slice(col("embedding"), m * PqD + 1, PqD)
+      struct(lit(m).as("m"), nearestCodeIdx(seeds(m), sub).as("code"),
+        sub.as("sub"))
+    }: _*)
+    val means = emb.select(explode(subs).as("s"))
+      .select(col("s.m"), col("s.code"), posexplode(col("s.sub")))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("v"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    Array.tabulate(PqM)(m => Array.tabulate(PqK)(k => Array.tabulate(PqD) { d =>
+      val v = means.getOrElse((m, k, d), seeds(m)(k)(d).toDouble)
+      (math.floor(v * 1e6 + 0.5) / 1e6).toFloat
+    }))
+  }
+
+  /** PQ ANN top-10 — the memory-bounded billion-vector scale path
+    * beside LSH (hash blocking) and IVF (partition pruning): every
+    * vector is ENCODED as 8 nibble codes (32× smaller than the raw
+    * floats; at 100 TB the codes table fits where the vectors cannot),
+    * and the query scans CODES ONLY via asymmetric distance — the
+    * query-to-codeword lookup table (8×16 doubles) is computed
+    * driver-side and folded in as a literal, so scoring is 8 array
+    * lookups + adds per row, no vector math. The ADC shortlist (top
+    * 50) is then re-ranked exactly against the raw vectors — the
+    * two-tier sketch-then-verify discipline every approximate family
+    * here follows. Rows-only (codebook training has no SQL twin);
+    * PqRecallSpec pins determinism and a recall@10 floor vs brute
+    * force across query vectors.
+    */
+  def simAnnPq(spark: SparkSession, dir: String): DataFrame =
+    simAnnPqFor(spark, dir, 0L)
+
+  private[graft] def simAnnPqFor(spark: SparkSession, dir: String,
+      qid: Long): DataFrame = {
+    val books = pqCodebooks(spark, dir)
+    val q = queryVector(spark, dir, qid)
+    val qn = {
+      val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+      if (n == 0) q.map(_.toDouble) else q.map(_ / n)
+    }
+    // asymmetric-distance lookup table: query subvector → each codeword
+    val lut: Array[Double] = Array.tabulate(PqM * PqK) { i =>
+      val m = i / PqK; val k = i % PqK
+      (0 until PqD).map { d =>
+        val diff = qn(m * PqD + d) - books(m)(k)(d)
+        diff * diff
+      }.sum
+    }
+    val lutCol = typedLit(lut)
+    val emb = Tables.embeddings(spark, dir)
+    val codes = array((0 until PqM).map { m =>
+      nearestCodeIdx(books(m),
+        slice(normalized(col("embedding")), m * PqD + 1, PqD))
+    }: _*)
+    val adc = aggregate(
+      transform(codes, (c, m) =>
+        element_at(lutCol, (m * PqK + c + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    val shortlist = emb
+      .select(col("vec_id"), col("embedding"), adc.as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(50)
+    shortlist
+      .withColumn("sim_exact", simTo(q))
+      .orderBy(col("sim_exact").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("sim_exact"), 4).as("sim"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_bruteforce", simTopkBruteforce _, simOracle),
     QueryDef("sim_topk_by_label", simTopkByLabel _,
@@ -245,6 +371,7 @@ object Similarity {
         |WHERE rn <= 3 ORDER BY label, rn""".stripMargin),
     QueryDef.noOracle("sim_ann_lsh", simAnnLsh _),
     QueryDef.noOracle("sim_ann_ivf", simAnnIvf _),
+    QueryDef.noOracle("sim_ann_pq", simAnnPq _),
     QueryDef.noOracle("cluster_kmeans", clusterKmeans _),
     QueryDef("dedup_embedding_cosine", dedupEmbeddingCosine _,
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -334,4 +334,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .agg(sum("n_copies")).head().getLong(0)
     assert(groups === docs)
   }
+
+  test("sim_ann_pq: recall@10 floor, determinism, and code geometry") {
+    // codebooks deterministic across invocations
+    val b1 = Similarity.pqCodebooks(spark, sf0001)
+    val b2 = Similarity.pqCodebooks(spark, sf0001)
+    assert(b1.length === 8 && b1.forall(_.length === 16)
+      && b1.forall(_.forall(_.length === 8)))
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq === b2.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // recall@10 vs brute force over the standard query sweep; the ADC
+    // shortlist re-ranks exactly, so every returned sim is exact
+    val qids = Seq(0L, 123L, 456L)
+    val recalls = qids.map { qid =>
+      val exact = Similarity.simTopkBruteforceFor(spark, sf0001, qid)
+        .collect().map(_.getLong(0)).toSet
+      val pq = Similarity.simAnnPqFor(spark, sf0001, qid).collect()
+      val sims = pq.map(_.getDouble(1))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      qid -> pq.map(_.getLong(0)).count(exact.contains) / 10.0
+    }
+    recalls.foreach { case (qid, r) =>
+      assert(r >= 0.3, s"PQ recall@10 for qid=$qid: $r (all: $recalls)")
+    }
+    assert(recalls.exists(_._2 >= 0.5), s"suspiciously flat: $recalls")
+    // the query vector itself must survive both tiers (its code equals
+    // its own nearest codewords; ADC distance is minimal among exact dups)
+    val self = Similarity.simAnnPq(spark, sf0001).collect()
+    assert(self.head.getLong(0) === 0L
+      && math.abs(self.head.getDouble(1) - 1.0) < 1e-9)
+  }
 }
