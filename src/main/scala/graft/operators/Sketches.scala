@@ -122,7 +122,25 @@ object Sketches {
        |HAVING count(*) * $ThetaDen > total.n
        |ORDER BY cnt DESC, tok""".stripMargin
 
+  /** Spark 4's built-in `approx_top_k` (DataSketches frequent-items)
+    * over the same token stream — the engine-native twin of the
+    * hand-built Misra–Gries pipeline above, kept beside it the way
+    * `q37_approx_percentile` sits beside its exact percentiles. The
+    * sketch's counts are merge-order-dependent estimates, so the query
+    * is rows-only by contract; SketchesSpec pins it against exact
+    * counts (every true heavy hitter present, estimates within the
+    * sketch's documented error of the truth).
+    */
+  def approxTopK(spark: SparkSession, dir: String): DataFrame = {
+    tokens(spark, dir).createOrReplaceTempView("hh_toks")
+    spark.sql(
+      """SELECT t.item AS tok, t.count AS est
+        |FROM (SELECT explode(approx_top_k(tok, 20, 4096)) AS t FROM hh_toks)
+        |ORDER BY est DESC, tok""".stripMargin)
+  }
+
   val registry: Seq[QueryDef] = Seq(
-    QueryDef("sketch_heavy_hitters", heavyHitters _, HeavyHittersOracle)
+    QueryDef("sketch_heavy_hitters", heavyHitters _, HeavyHittersOracle),
+    QueryDef.noOracle("sketch_approx_topk", approxTopK _)
   )
 }

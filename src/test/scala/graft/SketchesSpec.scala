@@ -59,4 +59,28 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq === expect)
     assert(expect.nonEmpty, "fixture must actually have heavy hitters")
   }
+
+  test("approx_top_k agrees with exact counts within sketch error") {
+    val est = Sketches.approxTopK(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size === 20)
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), " ", -1)).as("raw"))
+      .select(regexp_replace(col("raw"), "[^\\w]", "").as("tok"))
+      .filter(col("tok") =!= "")
+      .collect().map(_.getString(0))
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // with 4096 tracked items over a corpus with fewer distinct tokens
+    // than that, counts are exact and the top-20 is the true top-20
+    if (exact.size <= 4096) {
+      val trueTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      trueTop.foreach { case (t, c) =>
+        assert(est.contains(t), s"true top token $t missing")
+        assert(est(t) === c, s"count drift for $t: ${est(t)} vs $c")
+      }
+    } else {
+      // oversubscribed sketch: estimates may overcount, never undercount
+      est.foreach { case (t, c) => assert(c >= exact.getOrElse(t, 0L)) }
+    }
+  }
 }
