@@ -235,28 +235,11 @@ object Similarity {
   private val PqD = 8
   private val PqK = 16
 
-  /** Squared L2 between a vector column slice and a literal codeword
-    * (double accumulation; interpreted HOF is fine — 16 codewords × 8
-    * dims per row, nowhere near a hot loop).
-    */
-  private def l2sq(v: Column, c: Array[Float]): Column =
-    aggregate(
-      zip_with(v, typedLit(c), (x, y) =>
-        (x.cast("double") - y.cast("double"))
-          * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** argmin over a subspace codebook: array_min of (dist, idx) structs
-    * — lexicographic ordering gives min-dist, tie→min idx.
-    */
-  private def nearestCodeIdx(book: Array[Array[Float]], sub: Column): Column =
-    array_min(array(book.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      struct(l2sq(sub, c).as("d"), lit(i).as("idx"))
-    }: _*)).getField("idx")
-
   /** L2-normalized embedding (zero vectors pass through unchanged) —
     * PQ codebooks and codes live on the unit sphere so the asymmetric
     * L2 distance is order-equivalent to cosine (‖a−b‖² = 2 − 2·cos).
+    * Used once per row in the codebook-build pass; the per-row ENCODE
+    * path normalizes inside the [[PqEncode]] kernel instead.
     */
   private def normalized(v: Column): Column = {
     val n = sqrt(aggregate(v, lit(0.0),
@@ -266,10 +249,11 @@ object Similarity {
 
   /** PQ codebooks: per subspace, the 16 seed codewords (vec_id 0..15's
     * subvectors, normalized) refined by ONE fused Lloyd step — all 8
-    * subspaces assign + average in a single aggregate job (explode by
-    * subspace, then by dim). Components rounded to 6 decimals so the
-    * codebook is identical under any partitioning; driver state is
-    * 8×16×8 floats.
+    * subspaces assign + average in a single aggregate job. Assignment
+    * runs through the [[PqEncode]] codegen kernel (one fused loop per
+    * row — the interpreted HOF argmin this replaces cost 99 s at
+    * sf0.1). Components rounded to 6 decimals so the codebook is
+    * identical under any partitioning; driver state is 8×16×8 floats.
     */
   private[graft] def pqCodebooks(spark: SparkSession, dir: String): Array[Array[Array[Float]]] = {
     val emb = Tables.embeddings(spark, dir)
@@ -279,15 +263,14 @@ object Similarity {
         .select("embedding").collect().map(_.getSeq[Float](0).toArray)
       Array.tabulate(PqM)(m => rows.map(_.slice(m * PqD, m * PqD + PqD)))
     }
-    // one pass: per row and subspace, assign to the nearest seed, then
-    // per-(subspace, code, dim) mean
-    val subs = array((0 until PqM).map { m =>
-      val sub = slice(col("embedding"), m * PqD + 1, PqD)
-      struct(lit(m).as("m"), nearestCodeIdx(seeds(m), sub).as("code"),
-        sub.as("sub"))
-    }: _*)
-    val means = emb.select(explode(subs).as("s"))
-      .select(col("s.m"), col("s.code"), posexplode(col("s.sub")))
+    // one pass: per row, ALL subspace assignments from one kernel call,
+    // then per-(subspace, code, dim) mean over the subvectors
+    val means = emb
+      .select(col("embedding"),
+        graft.functions.PqEncode(col("embedding"), seeds).as("codes"))
+      .select(posexplode(col("codes")).as(Seq("m", "code")), col("embedding"))
+      .select(col("m"), col("code"),
+        posexplode(slice(col("embedding"), col("m") * PqD + 1, lit(PqD))))
       .groupBy(col("m"), col("code"), col("pos"))
       .agg(avg(col("col").cast("double")).as("v"))
       .collect()
@@ -334,10 +317,9 @@ object Similarity {
     }
     val lutCol = typedLit(lut)
     val emb = Tables.embeddings(spark, dir)
-    val codes = array((0 until PqM).map { m =>
-      nearestCodeIdx(books(m),
-        slice(normalized(col("embedding")), m * PqD + 1, PqD))
-    }: _*)
+    // encode through the codegen kernel: normalize + all 8 argmins in
+    // one fused loop per row (no interpreted lambdas in the scan)
+    val codes = graft.functions.PqEncode(col("embedding"), books)
     val adc = aggregate(
       transform(codes, (c, m) =>
         element_at(lutCol, (m * PqK + c + 1).cast("int"))),

@@ -124,4 +124,22 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestBase {
         r.getLong(0) % 65536, r.getLong(1) % 65536))
     assert(gen.toSeq === keys.toSeq)
   }
+
+  test("pq_encode: codegen == interpreted, zero vector deterministic") {
+    val books = graft.operators.Similarity.pqCodebooks(spark, sf0001)
+    def run: Array[Seq[Int]] =
+      Tables.embeddings(spark, sf0001)
+        .select(graft.functions.PqEncode(col("embedding"), books).as("c"))
+        .collect().map(_.getSeq[Int](0))
+    val (gen, interp) = inBothModes(run)
+    assert(gen.toSeq === interp.toSeq)
+    assert(gen.forall(c => c.length === 8 && c.forall(k => k >= 0 && k < 16)))
+    // zero vector: norm guard passes it through raw; argmin ties break
+    // to the lowest index, so the code is fully deterministic
+    import spark.implicits._
+    val z = Seq(Array.fill(64)(0.0f)).toDF("embedding")
+      .select(graft.functions.PqEncode(col("embedding"), books).as("c"))
+      .head().getSeq[Int](0)
+    assert(z.length === 8)
+  }
 }
