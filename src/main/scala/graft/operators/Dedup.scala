@@ -249,6 +249,32 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Asymmetric shingle CONTAINMENT C(a→b) = |S(a)∩S(b)| / |S(a)| on the
+    * same bounded ground-truth slice as [[dedupNgramJaccard]]. Jaccard
+    * under-scores doc-inside-doc duplication (a short doc fully quoted
+    * inside a long one has J ≈ |a|/|b| but C(a→b) = 1), so containment is
+    * the standard second axis for quote/boilerplate-wrapper detection.
+    * Directed: (id_a, id_b) means a is ≥50% contained in b, so both
+    * orientations of an asymmetric pair can appear. At corpus scale the
+    * computation rides the SAME banded-LSH candidate substrate as the
+    * verified-pair tiers (containment is one more per-candidate-pair
+    * measure); this slice is its DuckDB-verifiable ground truth.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        col("id_a") =!= col("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("inter") > 0)
+      .withColumn("containment",
+        round(col("inter").cast("double") / size(col("sh_a")), 4))
+      .filter(col("containment") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Near-dup CLUSTERS from the pairwise candidates: connected
     * components by iterated min-label propagation (each doc takes the
     * smallest doc_id reachable through candidate edges). The iteration
@@ -370,6 +396,21 @@ object Dedup {
         |    / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.g, b.g)) > 0
+        |ORDER BY id_a, id_b""".stripMargin),
+    QueryDef("dedup_containment", dedupContainment _,
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |  WHERE doc_id < 200)
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(cast(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g), 4)
+        |      AS containment
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.g, b.g)) > 0)
+        |WHERE containment >= 0.5
         |ORDER BY id_a, id_b""".stripMargin)
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
 /** Spark 4 SQL-defined functions (`CREATE FUNCTION … RETURN expr`) —
@@ -95,8 +96,146 @@ object Relational6 {
       |GROUP BY cast(b.lo AS DOUBLE), o.o_orderpriority
       |ORDER BY lo, o_orderpriority""".stripMargin
 
+  /** SQL SCRIPTING (Spark 4's procedural compound statements): a
+    * BEGIN…END block with DECLAREd variables and a WHILE loop, each
+    * iteration folding a scalar-subquery aggregate into an accumulator —
+    * the migration surface for stored-procedure workloads, where the
+    * loop body is still a full Catalyst-planned query (the procedural
+    * layer only sequences statements; nothing becomes row-at-a-time).
+    * The accumulator is DOUBLE and each step adds one exact-decimal
+    * per-linenumber sum in a FIXED order (ln = 1…4), so the float result
+    * is a deterministic left-fold — and the oracle states the same
+    * nested addition explicitly instead of a single unordered sum().
+    */
+  def sqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_scr")
+    spark.sql(
+      """BEGIN
+        |  DECLARE ln INT DEFAULT 1;
+        |  DECLARE acc DOUBLE DEFAULT 0.0;
+        |  WHILE ln <= 4 DO
+        |    SET acc = acc + (
+        |      SELECT cast(sum(cast(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |      FROM lineitem_scr WHERE l_linenumber = ln);
+        |    SET ln = ln + 1;
+        |  END WHILE;
+        |  SELECT 4 AS n_lines, acc AS total_price;
+        |END""".stripMargin)
+  }
+
+  private val SqlScriptingOracle: String =
+    """WITH s AS (
+      |  SELECT l_linenumber AS ln,
+      |    cast(sum(cast(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s
+      |  FROM lineitem WHERE l_linenumber <= 4 GROUP BY 1)
+      |SELECT 4 AS n_lines,
+      |  ((((0.0 + (SELECT s FROM s WHERE ln = 1))
+      |    + (SELECT s FROM s WHERE ln = 2))
+      |    + (SELECT s FROM s WHERE ln = 3))
+      |    + (SELECT s FROM s WHERE ln = 4)) AS total_price""".stripMargin
+
+  /** INTERVAL-OVERLAP self-join — "which order lines of the same
+    * supplier had overlapping fulfillment windows [o_orderdate,
+    * l_shipdate]" — via WEEK-BUCKET candidate generation: each interval
+    * explodes to its covered weeks, candidates join on (suppkey, week)
+    * — an ordinary HASH join — then the exact overlap predicate
+    * re-checks and `distinct` collapses multi-week matches. Any
+    * overlapping pair shares the week of max(start, start), so recall is
+    * exact. The naive formulation is a non-equi self-join that Spark
+    * can only run as a per-key nested loop — quadratic in lines per
+    * supplier, the classic temporal-join scale bomb; bucketing makes the
+    * candidate set linear in total interval-weeks. (A production
+    * variant adds a coarser second band for outlier-long intervals to
+    * bound the explode; the principle is unchanged.)
+    */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).as("l")
+      .join(Tables.orders(spark, dir).as("o"),
+        col("l.l_orderkey") === col("o.o_orderkey"))
+      .join(Tables.supplier(spark, dir).filter(col("s_nationkey") === 3).as("s"),
+        col("l.l_suppkey") === col("s.s_suppkey"))
+      .filter(year(col("l.l_shipdate")) === 1995)
+      // the synthetic tables have no order→ship causality: keep only
+      // well-formed windows (orderdate ≤ shipdate) on BOTH engines
+      .filter(to_date(col("o.o_orderdate")) <= to_date(col("l.l_shipdate")))
+      .select(col("l.l_suppkey").as("s_suppkey"),
+        (col("l.l_orderkey") * 10 + col("l.l_linenumber")).as("lid"),
+        to_date(col("o.o_orderdate")).as("a"),
+        to_date(col("l.l_shipdate")).as("b"))
+    val bucketed = li.select(col("s_suppkey"), col("lid"), col("a"), col("b"),
+      explode(sequence(
+        date_trunc("week", col("a")).cast("date"),
+        date_trunc("week", col("b")).cast("date"),
+        expr("interval 7 days"))).as("wk"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.s_suppkey") === col("y.s_suppkey") && col("x.wk") === col("y.wk")
+          && col("x.lid") < col("y.lid")
+          && col("x.a") <= col("y.b") && col("y.a") <= col("x.b"))
+      .select(col("x.s_suppkey").as("s_suppkey"),
+        col("x.lid").as("lid_a"), col("y.lid").as("lid_b"),
+        (datediff(least(col("x.b"), col("y.b")),
+          greatest(col("x.a"), col("y.a"))) + 1).cast("long").as("overlap_days"))
+      .distinct()
+      .orderBy(col("s_suppkey"), col("lid_a"), col("lid_b"))
+  }
+
+  private val IntervalOverlapOracle: String =
+    """WITH li AS (
+      |  SELECT l.l_suppkey AS s_suppkey,
+      |    l.l_orderkey * 10 + l.l_linenumber AS lid,
+      |    o.o_orderdate::DATE AS a, l.l_shipdate::DATE AS b
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_nationkey = 3 AND year(l.l_shipdate) = 1995
+      |    AND o.o_orderdate::DATE <= l.l_shipdate::DATE)
+      |SELECT x.s_suppkey, x.lid AS lid_a, y.lid AS lid_b,
+      |  cast(date_diff('day', greatest(x.a, y.a), least(x.b, y.b)) + 1
+      |    AS BIGINT) AS overlap_days
+      |FROM li x JOIN li y
+      |  ON x.s_suppkey = y.s_suppkey AND x.lid < y.lid
+      |  AND x.a <= y.b AND y.a <= x.b
+      |ORDER BY x.s_suppkey, lid_a, lid_b""".stripMargin
+
+  /** The OBSERVATION API: pipeline health metrics (row count, exact
+    * money total, latest ship date) collected as accumulator-style
+    * side-channel metrics ON the running job — no second scan, no extra
+    * shuffle, which is the whole point at 100 TB: data-quality
+    * dashboards ride the ETL job instead of re-reading the input. The
+    * observed values arrive on the driver when the action completes
+    * (here a noop-sink write standing in for the real output write);
+    * the returned 1-row frame is those metrics, and the oracle is the
+    * same aggregate as an ordinary query — proving observe() loses
+    * nothing.
+    */
+  def observeMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation("graft_stats")
+    Tables.lineitem(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(Tables.money(col("l_extendedprice"))).cast("double").as("sum_price"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double],
+        m("max_ship").asInstanceOf[String]))
+      .toDF("n_rows", "sum_price", "max_ship")
+  }
+
+  private val ObserveOracle: String =
+    """SELECT cast(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+      |FROM lineitem""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q89_sql_udf", sqlUdf _, SqlUdfOracle),
-    QueryDef("q91_sql_table_udf", sqlTableUdf _, SqlTableUdfOracle)
+    QueryDef("q91_sql_table_udf", sqlTableUdf _, SqlTableUdfOracle),
+    QueryDef("q92_sql_scripting", sqlScripting _, SqlScriptingOracle),
+    QueryDef("q93_interval_overlap", intervalOverlap _, IntervalOverlapOracle),
+    QueryDef("q94_observe", observeMetrics _, ObserveOracle)
   )
 }

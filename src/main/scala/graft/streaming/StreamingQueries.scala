@@ -64,6 +64,67 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** The foreachBatch sink — the escape hatch for targets Spark has no
+    * connector for (JDBC upserts, REST endpoints, multi-table fan-out
+    * writes). Replays events as MULTIPLE micro-batches
+    * ([[MultiBatchFileSource]], maxFilesPerTrigger=1) and runs the
+    * standard exactly-once-over-at-least-once recipe: each batch
+    * computes its per-event-type partial aggregate — a ≤|event-types|-row
+    * payload, exactly what a JDBC MERGE would ship — and upserts it into
+    * the external store KEYED BY batchId, so a re-delivered batch after
+    * a failure OVERWRITES its own previous write instead of
+    * double-counting. The returned frame re-aggregates the per-batch
+    * partials; count and sum are mergeable, so the result must equal the
+    * one-shot batch aggregate — which is exactly what the oracle checks.
+    * The store here is an in-JVM map standing in for the external
+    * system; the bounded collect is the sink payload, not a compute
+    * step (the aggregation itself is distributed per batch).
+    */
+  def streamForeachBatch(spark: SparkSession, dir: String): DataFrame =
+    streamForeachBatchImpl(spark, MultiBatchFileSource(dir))._1
+
+  /** Impl returning (result, number of micro-batches) so the spec can
+    * assert the replay genuinely ran multi-batch (a single batch would
+    * make the idempotent-merge path vacuous).
+    */
+  private[graft] def streamForeachBatchImpl(spark: SparkSession,
+      src: EventSource): (DataFrame, Int) = {
+    import spark.implicits._
+    val store = new java.util.concurrent.ConcurrentHashMap[
+      Long, Seq[(String, Long, java.math.BigDecimal)]]()
+    val q = src.stream(spark).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(graft.Tables.money(col("value"))).as("sv"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        store.put(batchId, partial)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      if (capturePlans) {
+        val bos = new java.io.ByteArrayOutputStream()
+        try Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        } catch { case _: Throwable => () }
+        lastMicroBatchPlan = bos.toString("UTF-8")
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val out = store.asScala.values.flatten.toSeq
+      .map { case (t, n, sv) => (t, n, BigDecimal(sv)) }
+      .toDF("event_type", "n", "sv")
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+    (out, store.size())
+  }
+
   /** Tumbling 1-hour windows per event_type (count + exact-decimal sum). */
   def streamTumbling(spark: SparkSession, dir: String): DataFrame =
     streamTumblingFrom(spark, FileEventSource(dir), "stream_tumbling")
@@ -495,7 +556,13 @@ object StreamingQueries {
     QueryDef("stream_session_dynamic", streamSessionDynamic _, SessionDynamicOracleSql),
     QueryDef("stream_dedup", streamDedup _,
       """SELECT DISTINCT user_id, event_type FROM events
-        |ORDER BY user_id, event_type""".stripMargin)
+        |ORDER BY user_id, event_type""".stripMargin),
+    QueryDef("stream_foreach_batch", streamForeachBatch _,
+      // merging the per-batch partials must reproduce the one-shot
+      // batch aggregate — the mergeability contract of count/sum
+      """SELECT event_type, cast(count(*) AS BIGINT) AS n,
+        |  cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
 }

@@ -158,8 +158,8 @@ object PlanAudit {
     // and CartesianProduct is banned everywhere.
     val boundedBnlj = Set("q26_cross_join", "text_tfidf", "pipeline_lm_score",
       "pipeline_vocab", "q71_funnel", "dedup_embedding_cosine",
-      "dedup_ngram_jaccard", "text_pmi", "q86_skew_profile",
-      "q88_zorder_layout",
+      "dedup_ngram_jaccard", "dedup_containment", "text_pmi",
+      "q86_skew_profile", "q88_zorder_layout",
       // the lateral table-UDF applies a 3-row VALUES bucket frame via a
       // non-equi (range) condition — a 3-row broadcast BNLJ by design
       "q91_sql_table_udf")
