@@ -77,6 +77,8 @@ object MultiBatchFileSource {
     f.delete(); ()
   }
 
+  private[streaming] def rmTreePublic(f: java.io.File): Unit = rmTree(f)
+
   /** Build (once per (dir, slices)) the sliced replay directory and
     * return its path. The slicing is ntile over (ts, event_id) — a
     * global sort, but a ONE-TIME setup of a test replay fixture, never
@@ -111,6 +113,62 @@ object MultiBatchFileSource {
             rmTree(tmp)
           }
         } finally { sliced.unpersist(); () }
+        marker.createNewFile()
+      }
+      base.getPath
+    }
+}
+
+/** OUT-OF-ORDER three-batch replay: slice k = event_ids ≡ k (mod 3),
+  * each spanning the FULL time range, so later batches deliver rows far
+  * behind the watermark established by earlier ones. Three slices, not
+  * two, because Spark filters late records with the PREVIOUS batch's
+  * watermark while evicting with the current one (the two-watermark
+  * model of SPARK-40925, measured here via numRowsDroppedByWatermark):
+  * batch 1's late-filter watermark is still the initial 0, so a 2-batch
+  * replay can never drop anything — only batch 2, whose late-filter
+  * watermark is max(ts of slices 0,1) − delay, exhibits real late-data
+  * dropping. Which rows are late is a pure function of the data, not of
+  * scheduling. ([[MultiBatchFileSource]] slices in event-time order, so
+  * nothing is ever late there.) Same one-time fixture build.
+  */
+final case class OutOfOrderFileSource(dir: String) extends EventSource {
+  def stream(spark: SparkSession): DataFrame = {
+    val replayDir = OutOfOrderFileSource.prepare(spark, dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$replayDir/slice-*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+object OutOfOrderFileSource {
+  private val lock = new Object
+
+  private[graft] def prepare(spark: SparkSession, dir: String): String =
+    lock.synchronized {
+      val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val base = new java.io.File(s"target/stream_replay_ooo/$safe")
+      val marker = new java.io.File(base, "_READY")
+      if (!marker.exists()) {
+        if (base.exists()) MultiBatchFileSource.rmTreePublic(base)
+        base.mkdirs()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        Seq(0, 1, 2).foreach { par =>
+          val tmp = new java.io.File(base, s"_tmp-$par")
+          raw.filter(pmod(col("event_id"), lit(3)) === par)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+            .getOrElse(sys.error(s"no parquet part written for parity $par"))
+          val dest = new java.io.File(base, s"slice-$par.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(1000000000000L + par * 60000L)
+          MultiBatchFileSource.rmTreePublic(tmp)
+        }
         marker.createNewFile()
       }
       base.getPath

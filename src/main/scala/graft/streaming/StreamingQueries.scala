@@ -64,6 +64,37 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** LATE-DATA accounting under an OUT-OF-ORDER replay
+    * ([[OutOfOrderFileSource]]: batch k = event_ids ≡ k mod 3, each
+    * spanning the full time range). Spark's semantics, MEASURED here
+    * (numRowsDroppedByWatermark) and pinned by the oracle, follow the
+    * two-watermark model (SPARK-40925): batch k drops a row iff its
+    * window end ≤ the PREVIOUS batch's watermark W(k−1), while evicting
+    * and emitting with the current W(k). So slices 0 and 1 are never
+    * dropped (their late-filter watermarks are the initial 0), and a
+    * slice-2 row survives iff its window was still open under
+    * W1 = max(ts of slices 0,1) − 10 min. Emission (append mode): a
+    * window appears iff the final watermark W2 = max(all ts) − 10 min
+    * passed its end. The emitted counts are therefore the all-data
+    * aggregate MINUS the dropped slice-2 contributions — the oracle
+    * states drop rule and emission rule explicitly, making this query
+    * the executable spec of watermark semantics. (In
+    * [[MultiBatchFileSource]] replays, slices arrive in event-time
+    * order and nothing is ever late; this is the adversarial
+    * complement.)
+    */
+  def streamLateData(spark: SparkSession, dir: String): DataFrame = {
+    val agg = OutOfOrderFileSource(dir).stream(spark)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val out = runToMemory(spark, agg, "stream_late_data", "append")
+    out.select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** The foreachBatch sink — the escape hatch for targets Spark has no
     * connector for (JDBC upserts, REST endpoints, multi-table fan-out
     * writes). Replays events as MULTIPLE micro-batches
@@ -557,6 +588,25 @@ object StreamingQueries {
     QueryDef("stream_dedup", streamDedup _,
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin),
+    QueryDef("stream_late_data", streamLateData _,
+      // the executable watermark spec (two-watermark model): slice-2
+      // rows are kept iff their window was still open under W1 (the
+      // late-filter watermark batch 2 runs with); a window is emitted
+      // iff the final watermark W2 passed its end
+      """WITH w1 AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events
+        |  WHERE event_id % 3 <= 1),
+        |w2 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |kept AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type
+        |  FROM events, w1
+        |  WHERE event_id % 3 <= 1
+        |     OR time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' > w1.w)
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM kept, w2
+        |WHERE wstart + INTERVAL '1 hour' <= w2.w
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
     QueryDef("stream_foreach_batch", streamForeachBatch _,
       // merging the per-batch partials must reproduce the one-shot
       // batch aggregate — the mergeability contract of count/sum

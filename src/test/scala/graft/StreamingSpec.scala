@@ -449,6 +449,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "final watermark must withhold the tail windows (append ≠ complete)")
   }
 
+  test("stream_late_data: out-of-order replay drops late slice-2 rows per the two-watermark rule") {
+    val got = StreamingQueries.streamLateData(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf0001)
+    // emission boundary: all-data aggregate restricted to windows the
+    // final watermark passed
+    val w2 = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
+      .minusSeconds(600)
+    val emittedFull = ev
+      .filter(col("ts").cast("long") - pmod(col("ts").cast("long"), lit(3600L))
+        + 3600L <= lit(w2.getEpochSecond))
+      .count()
+    val keptTotal = got.map(_._3).sum
+    // late drops are real: fewer contributing rows than the no-drop world
+    assert(keptTotal < emittedFull,
+      s"expected late drops: kept $keptTotal of $emittedFull")
+    // but slices 0/1 are never dropped: at least 2/3 of rows survive
+    assert(keptTotal * 3 >= emittedFull * 2,
+      s"slices 0,1 must be fully retained: kept $keptTotal of $emittedFull")
+    // determinism: replay again, same result
+    val again = StreamingQueries.streamLateData(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("stream_session: session count and event conservation") {
     val sessions = StreamingQueries.streamSession(spark, sf0001).collect()
     val totalEvents = sessions.map(_.getLong(2)).sum
