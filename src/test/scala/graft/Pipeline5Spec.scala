@@ -22,6 +22,41 @@ class Pipeline5Spec extends AnyFunSuite with SparkTestBase {
     assert(self === Seq("a b a b a b", "aa a", "x a b y", "q", "a b"))
   }
 
+  test("bpe: merge rewrite equals a direct greedy scan on 400 adversarial strings") {
+    import spark.implicits._
+    // reference: left-to-right greedy merge, the BPE definition
+    def greedy(tokens: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < tokens.length) {
+        if (i + 1 < tokens.length && tokens(i) == l && tokens(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += tokens(i); i += 1 }
+      }
+      out.toList
+    }
+    // alphabet chosen to be adversarial: 'ab' collides with merge(a,b),
+    // 'aa' with merge(a,a); seeded, so the test is reproducible
+    val alphabet = Vector("a", "b", "ab", "aa", "x")
+    val rnd = new scala.util.Random(42)
+    val cases = for {
+      _ <- 1 to 400
+      n = 1 + rnd.nextInt(9)
+      toks = List.fill(n)(alphabet(rnd.nextInt(alphabet.length)))
+      l = alphabet(rnd.nextInt(alphabet.length))
+      r = alphabet(rnd.nextInt(alphabet.length))
+    } yield (toks.mkString(" "), l, r)
+    cases.groupBy { case (_, l, r) => (l, r) }.foreach { case ((l, r), grp) =>
+      val got = grp.map(_._1).toDF("sym")
+        .select(col("sym"), Pipeline5.mergeStep(col("sym"), s"$l $r").as("m"))
+        .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+      grp.foreach { case (sym, _, _) =>
+        val want = greedy(sym.split(" ").toList, l, r).mkString(" ")
+        assert(got(sym) === want, s"merge($l,$r) on '$sym'")
+      }
+    }
+  }
+
   test("bpe: 6 ordered merges, non-increasing counts, deterministic") {
     val m = Pipeline5.pipelineBpeMerges(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
