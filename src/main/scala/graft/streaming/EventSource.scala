@@ -122,12 +122,13 @@ object MultiBatchFileSource {
 /** OUT-OF-ORDER three-batch replay: slice k = event_ids ≡ k (mod 3),
   * each spanning the FULL time range, so later batches deliver rows far
   * behind the watermark established by earlier ones. Three slices, not
-  * two, because Spark filters late records with the PREVIOUS batch's
-  * watermark while evicting with the current one (the two-watermark
-  * model of SPARK-40925, measured here via numRowsDroppedByWatermark):
+  * two, because Spark filters late records with the watermark the
+  * PREVIOUS batch ran with while evicting with the current one (the
+  * two-watermark model of SPARK-40925, pinned by WatermarkRuleSpec):
   * batch 1's late-filter watermark is still the initial 0, so a 2-batch
   * replay can never drop anything — only batch 2, whose late-filter
-  * watermark is max(ts of slices 0,1) − delay, exhibits real late-data
+  * watermark is max(ts of slice 0 ONLY) − delay (the value established
+  * during batch 1), exhibits real late-data
   * dropping. Which rows are late is a pure function of the data, not of
   * scheduling. ([[MultiBatchFileSource]] slices in event-time order, so
   * nothing is ever late there.) Same one-time fixture build.

@@ -69,11 +69,13 @@ object StreamingQueries {
     * spanning the full time range). Spark's semantics, MEASURED here
     * (numRowsDroppedByWatermark) and pinned by the oracle, follow the
     * two-watermark model (SPARK-40925): batch k drops a row iff its
-    * window end ≤ the PREVIOUS batch's watermark W(k−1), while evicting
-    * and emitting with the current W(k). So slices 0 and 1 are never
-    * dropped (their late-filter watermarks are the initial 0), and a
-    * slice-2 row survives iff its window was still open under
-    * W1 = max(ts of slices 0,1) − 10 min. Emission (append mode): a
+    * window end ≤ the watermark batch k−1 RAN WITH (derived from data
+    * through batch k−2), while evicting and emitting with the current
+    * W(k). So slices 0 and 1 are never dropped (their late-filter
+    * watermarks are the initial 0), and a slice-2 row survives iff its
+    * window was still open under W1 = max(ts of slice 0 ONLY) − 10 min
+    * — NOT max(slices 0,1): [[WatermarkRuleSpec]] pins this with a
+    * fixture where the two rules disagree. Emission (append mode): a
     * window appears iff the final watermark W2 = max(all ts) − 10 min
     * passed its end. The emitted counts are therefore the all-data
     * aggregate MINUS the dropped slice-2 contributions — the oracle
@@ -590,12 +592,14 @@ object StreamingQueries {
         |ORDER BY user_id, event_type""".stripMargin),
     QueryDef("stream_late_data", streamLateData _,
       // the executable watermark spec (two-watermark model): slice-2
-      // rows are kept iff their window was still open under W1 (the
-      // late-filter watermark batch 2 runs with); a window is emitted
-      // iff the final watermark W2 passed its end
+      // rows are kept iff their window was still open under the
+      // late-filter watermark batch 2 runs with — the value ESTABLISHED
+      // DURING batch 1, i.e. derived from slice-0 data only (pinned by
+      // WatermarkRuleSpec's discriminating fixture); a window is
+      // emitted iff the final watermark W2 passed its end
       """WITH w1 AS (
         |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events
-        |  WHERE event_id % 3 <= 1),
+        |  WHERE event_id % 3 = 0),
         |w2 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
         |kept AS (
         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type
