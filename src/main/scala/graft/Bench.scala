@@ -27,7 +27,10 @@ import org.apache.spark.sql.SparkSession
   *     a fixed headline-query subset — because the driver captures only
   *     the tail of the sbt log and a 110-query line overflows that
   *     window (BENCH_r03 "parsed": null was exactly this: the line's
-  *     head was cut off, so it never parsed).
+  *     head was cut off, so it never parsed);
+  *   - regression-gate priors live in bench_baseline.<sf>.json, written
+  *     only by FULL-registry runs at that scale factor, so subset runs
+  *     (SPARK_GRAFT_ONLY) and other-sf smokes never clobber them.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -109,17 +112,21 @@ object Bench {
 
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // regression gate: before overwriting outPath, read the PREVIOUS
-    // round's warm medians from it and flag any query whose warm median
-    // grew >1.5x round-over-round. Sub-50ms priors are skipped (pure
-    // scheduling noise at that scale). This turns the judge's manual
-    // cross-round diff into a first-class bench output.
-    val prevWarm: Map[String, Double] = try {
+    // regression gate: read the previous warm medians and flag any query
+    // whose warm median grew >1.5x round-over-round. Sub-50ms priors are
+    // skipped (pure scheduling noise at that scale). Priors live in a
+    // PER-SCALE-FACTOR baseline file that only FULL-registry runs
+    // update, so neither a SPARK_GRAFT_ONLY subset run nor a local
+    // sf0.01 smoke before the driver's sf0.1 round can clobber the
+    // baseline the next full run diffs against (bench_out.json itself
+    // is always the LATEST run, whatever its scope).
+    val baselinePath = s"bench_baseline.${new java.io.File(sfDir).getName}.json"
+    val subsetRun = sys.env.contains("SPARK_GRAFT_ONLY")
+    def readWarm(path: String): Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(outPath)), "UTF-8")
-      // only compare like with like: a prior run at a different scale
-      // factor (e.g. a local sf0.01 smoke before the driver's sf0.1
-      // round) would flag everything or nothing, both meaningless
+        java.nio.file.Paths.get(path)), "UTF-8")
+      // only compare like with like: a prior at a different scale factor
+      // would flag everything or nothing, both meaningless
       val prevSf = """"sf":"([^"]*)"""".r
         .findFirstMatchIn(txt).map(_.group(1))
       if (!prevSf.contains(sfDir)) Map.empty[String, Double]
@@ -130,6 +137,10 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
+    val prevWarm: Map[String, Double] = {
+      val b = readWarm(baselinePath)
+      if (b.nonEmpty) b else readWarm(outPath) // pre-baseline-file migration
+    }
     val regressions: Seq[(String, Double, Double, Double)] =
       warm.toSeq.flatMap { case (name, v) =>
         prevWarm.get(name).filter(p => p > 0.05 && v / p > 1.5)
@@ -157,6 +168,18 @@ object Bench {
       System.err.println(s"[bench] wrote $outPath")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    // baseline update: full-registry runs only; a query that FAILED this
+    // run keeps its prior median (absence would silently exempt it from
+    // the next gate); entries for queries no longer registered drop out
+    if (!subsetRun) try {
+      val merged = (prevWarm ++ warm).filter { case (k, _) => benchQueries.contains(k) }
+      val bj = s"""{"sf":"$sfDir","queries_warm":${fmt(merged, merged.keys.toSeq.sorted)}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
+        (bj + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $baselinePath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $baselinePath: ${e.getMessage}")
     }
     // compact headline line — the only stdout JSON, sized to survive the
     // driver's log-tail capture (full detail lives in `outPath`)

@@ -171,10 +171,16 @@ object PlanAudit {
     StreamingQueries.capturePlans = true
     names.foreach { name =>
       val streaming = name.startsWith("stream_")
+      // cleared per query: plan capture failures are swallowed inside
+      // runToMemory, and auditing a STALE plan from the previous
+      // streaming query would silently misattribute its shape
+      if (streaming) StreamingQueries.lastMicroBatchPlan = ""
       val df = graft.SparkEntry.queries(name)(spark, dir)
       val (plan, finalTag) = if (streaming) {
         // the query already ran (drained to the memory sink); audit the
         // captured micro-batch plan, not the sink table's local scan
+        if (StreamingQueries.lastMicroBatchPlan.isEmpty)
+          failures += s"$name:no-microbatch-plan-captured"
         (StreamingQueries.lastMicroBatchPlan, "stream")
       } else {
         val qe = df.queryExecution
@@ -188,7 +194,15 @@ object PlanAudit {
         }
         (qe.executedPlan.toString.split("== Initial Plan ==")(0), isFinal.toString)
       }
-      def count(s: String) = s.r.findAllIn(plan).length
+      // A ReusedExchange node prints its reused child INLINE
+      // ("ReusedExchange [...], Exchange hashpartitioning(...)"), so
+      // counting raw plan text would tally the same physical exchange
+      // twice (probe-verified: a self-joined aggregate with ONE real
+      // shuffle counts hx=2). Truncate those lines to the bare node name
+      // before counting: `reused` still counts them, hx/ex/rx/bex only
+      // count exchanges that actually move data.
+      val counted = plan.replaceAll("ReusedExchange \\[[^\\]]*\\][^\\n]*", "ReusedExchange")
+      def count(s: String) = s.r.findAllIn(counted).length
       // codegen spans print as "*(n)" operator prefixes in toString
       // (the literal WholeStageCodegen node only appears in formatted
       // explain); distinct span ids = number of fused pipelines
