@@ -47,13 +47,7 @@ object Bench {
     // e.g. SPARK_GRAFT_ONLY='stream_*' to time the streaming family in
     // isolation — used to adjudicate whether a cross-round delta is a
     // plan regression or machine-load noise from the other ~120 lanes
-    val onlyFilter: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
-      case Some(spec) =>
-        val pats = spec.split(",").map(_.trim).filter(_.nonEmpty)
-        name => pats.exists(p =>
-          if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p)
-      case None => _ => true
-    }
+    val onlyFilter = SparkEntry.onlyFilter(sys.env.get("SPARK_GRAFT_ONLY"))
     val benchQueries = SparkEntry.queries.filter { case (n, _) => onlyFilter(n) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

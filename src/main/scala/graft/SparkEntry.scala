@@ -88,6 +88,19 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** The SPARK_GRAFT_ONLY / --only subset spec — comma-separated names,
+    * trailing '*' = prefix match — defined ONCE so the same spec can
+    * never select different query sets in Verify, Bench, and PlanAudit
+    * (the adjudication workflow depends on them agreeing).
+    */
+  def onlyFilter(spec: Option[String]): String => Boolean = spec match {
+    case Some(s) =>
+      val pats = s.split(",").map(_.trim).filter(_.nonEmpty)
+      name => pats.exists(p =>
+        if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p)
+    case None => _ => true
+  }
 }
 
 /** Flagship query, kept separate so `entry` stays a one-liner. */

@@ -16,16 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // optional subset (same spec as Bench's SPARK_GRAFT_ONLY): lets a
-    // local iteration dump one new query in seconds instead of all 125;
-    // the driver sets no filter and always gets the full dump
-    val onlyFilter: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
-      case Some(spec) =>
-        val pats = spec.split(",").map(_.trim).filter(_.nonEmpty)
-        name => pats.exists(p =>
-          if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p)
-      case None => _ => true
-    }
+    // optional subset (SparkEntry.onlyFilter, shared with Bench): lets a
+    // local iteration dump one new query in seconds instead of the full
+    // registry; the driver sets no filter and always gets the full dump
+    val onlyFilter = SparkEntry.onlyFilter(sys.env.get("SPARK_GRAFT_ONLY"))
     SparkEntry.queries.filter(kv => onlyFilter(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -268,9 +268,14 @@ object Dedup {
         col("id_a") =!= col("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .filter(col("inter") > 0)
+      // membership decided on EXACT integer arithmetic (2·inter ≥ |S(a)|
+      // ⇔ ratio ≥ 0.5): filtering on a round()-ed double would sit on
+      // the half-up knife edge where Spark's shortest-repr BigDecimal
+      // rounding and DuckDB's multiply-shift can disagree; round() below
+      // is display-only, same as dedup_ngram_jaccard
+      .filter(col("inter") * 2 >= size(col("sh_a")))
       .withColumn("containment",
         round(col("inter").cast("double") / size(col("sh_a")), 4))
-      .filter(col("containment") >= 0.5)
       .select(col("id_a"), col("id_b"), col("containment"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -404,13 +409,12 @@ object Dedup {
         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
         |  WHERE doc_id < 200)
-        |SELECT id_a, id_b, containment FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(cast(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g), 4)
-        |      AS containment
-        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-        |  WHERE len(list_intersect(a.g, b.g)) > 0)
-        |WHERE containment >= 0.5
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(cast(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(a.g), 4)
+        |    AS containment
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE len(list_intersect(a.g, b.g)) > 0
+        |  AND 2 * len(list_intersect(a.g, b.g)) >= len(a.g)
         |ORDER BY id_a, id_b""".stripMargin)
   )
 }

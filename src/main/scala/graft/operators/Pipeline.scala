@@ -120,10 +120,11 @@ object Pipeline {
         |    THEN 'train' ELSE 'valid' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin),
     QueryDef("pipeline_sample_stratified", pipelineSampleStratified _,
-      """SELECT doc_id, lang FROM documents
+      // thresholds interpolated from StratRates so the scaladoc's
+      // "shared constants" claim is structurally true, not a convention
+      s"""SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substring(md5('strat:' || cast(doc_id AS VARCHAR)), 1, 4))::int
-        |  < CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 19660
-        |      WHEN 'fr' THEN 19660 WHEN 'es' THEN 6553 WHEN 'zh' THEN 6553
+        |  < CASE lang ${StratRates.map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")}
         |      ELSE 0 END
         |ORDER BY doc_id""".stripMargin),
     QueryDef("pipeline_quality_filter", pipelineQualityFilter _,

@@ -36,8 +36,12 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.01")
-    val only: Option[Set[String]] = args.find(_.startsWith("--only="))
-      .map(_.stripPrefix("--only=").split(",").map(_.trim).toSet)
+    // same spec syntax as SPARK_GRAFT_ONLY (comma list, trailing '*' =
+    // prefix) so a subset named here selects the identical query set in
+    // Verify and Bench
+    val only: String => Boolean =
+      graft.SparkEntry.onlyFilter(args.find(_.startsWith("--only="))
+        .map(_.stripPrefix("--only=")))
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -165,7 +169,7 @@ object PlanAudit {
       "q91_sql_table_udf")
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+      .filter(only)
     val failures = scala.collection.mutable.ListBuffer.empty[String]
 
     StreamingQueries.capturePlans = true
