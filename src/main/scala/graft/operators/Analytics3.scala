@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryDef, Tables}
+
+/** Third analytics batch: sparse-series repair and robust anomaly
+  * detection — the two standard treatments of a metric stream the
+  * earlier batches don't cover (q48 builds a dense spine, q82 smooths,
+  * q72 flags by moments; nothing yet IMPUTES missing points or flags by
+  * rank statistics). Both stay exact-arithmetic: the interpolation is
+  * one correctly-rounded division of exact-integer-valued doubles and
+  * the MAD cascade never leaves the dyadic grid (medians of integer
+  * cents are at worst .5-grained, their absolute deviations .25-grained
+  * — all exactly representable), so both queries hash-verify.
+  */
+object Analytics3 {
+
+  /** Imputation horizon (months): gaps longer than this are left alone
+    * — the standard guard that stops a cold, churned customer from
+    * being "repaired" across a year of genuine absence, and the bound
+    * that caps the explode fan-out at H−1 rows per gap.
+    */
+  val GapH = 7
+
+  /** Linear gap-fill of each customer's monthly spend series: for every
+    * pair of CONSECUTIVE active months (m, c) → (nm, nc) with a gap of
+    * 2..[[GapH]] months, emit the missing months m+1..nm−1 with the
+    * linearly interpolated value c + ⌊(nc−c)·d/(nm−m)⌋ — the sensor
+    * gap-repair pattern, run between actual observations only (no dense
+    * spine is ever materialized, unlike q48's calendar build).
+    *
+    * Scale: one (custkey, month)-keyed aggregate, one lead() window
+    * pass partitioned by the same custkey (per-partition state = one
+    * row), then a pure explode — the event table shuffles twice on the
+    * same key and the fan-out is ≤ GapH−1 rows per consecutive pair.
+    * Float discipline: the only division has an exact-integer-valued
+    * numerator ≤ 1e10 and a denominator ≤ GapH, so the double quotient
+    * is correctly rounded and ⌊·⌋ cannot mis-floor (the true quotient
+    * is ≥ 1/GapH away from any integer it doesn't equal; a quotient
+    * that IS an integer is exactly representable).
+    */
+  def gapfillInterp(spark: SparkSession, dir: String): DataFrame = {
+    val cents = col("o_totalprice").cast(DecimalType(12, 2)).*(100)
+      .cast("long")
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate"))
+          - 1).cast("long").as("m"))
+      .agg(sum(cents).as("c"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    monthly
+      .select(col("o_custkey"), col("m"), col("c"),
+        lead(col("m"), 1).over(w).as("nm"),
+        lead(col("c"), 1).over(w).as("nc"))
+      .filter((col("nm") - col("m")).between(2, GapH))
+      .select(col("o_custkey"), col("m"), col("c"), col("nm"), col("nc"),
+        explode(sequence(lit(1L), col("nm") - col("m") - 1)).as("d"))
+      .select(col("o_custkey"), (col("m") + col("d")).as("m"),
+        (col("c") + floor(
+          ((col("nc") - col("c")) * col("d")).cast("double")
+            / (col("nm") - col("m")).cast("double")).cast("long"))
+          .as("interp_cents"))
+      .orderBy(col("o_custkey"), col("m"))
+  }
+
+  // range(1, GapH) is the constant-bound series NOTES.md #8 requires;
+  // d < nm − m re-imposes the per-gap bound
+  private val GapfillOracle: String =
+    s"""WITH monthly AS (
+       |  SELECT o_custkey,
+       |    (year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS m,
+       |    sum(cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS c
+       |  FROM orders GROUP BY 1, 2),
+       |nx AS (
+       |  SELECT o_custkey, m, c,
+       |    lead(m) OVER (PARTITION BY o_custkey ORDER BY m) AS nm,
+       |    lead(c) OVER (PARTITION BY o_custkey ORDER BY m) AS nc
+       |  FROM monthly)
+       |SELECT o_custkey, m + d AS m,
+       |  cast(c + floor((nc - c) * d * 1.0 / (nm - m)) AS BIGINT)
+       |    AS interp_cents
+       |FROM nx, generate_series(1, ${GapH - 1}) AS g(d)
+       |WHERE nm - m BETWEEN 2 AND $GapH AND d < nm - m
+       |ORDER BY o_custkey, m""".stripMargin
+
+  /** Robust anomaly counts per event type — the rank-statistic twin of
+    * q72's moment z-score (median/MAD instead of mean/stddev, so a few
+    * extreme rows cannot drag the threshold toward themselves): a value
+    * is anomalous iff |cents − median| > 3·MAD, MAD = median absolute
+    * deviation.
+    *
+    * Scale: two chained exact-median aggregates on the same event_type
+    * key with the 5-row intermediates broadcast back — the event table
+    * is scanned twice but never shuffle-joined. Exact grouped medians
+    * are sort-based aggregates; at 100 TB the first pass would swap to
+    * approx_percentile (the sketch twin), which is why the threshold
+    * comparison is kept exact-dyadic (see the object doc) rather than
+    * leaning on float luck.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"),
+        col("value").cast(DecimalType(12, 2)).*(100).cast("long")
+          .as("cents"))
+    val med = base.groupBy(col("event_type"))
+      .agg(median(col("cents")).as("med"))
+    val dev = base.join(broadcast(med), Seq("event_type"))
+      .withColumn("d", abs(col("cents") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(median(col("d")).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med_cents"), max(col("mad")).as("mad_cents"),
+        count(when(col("d") > col("mad") * 3, 1)).as("n_outliers"),
+        coalesce(max(when(col("d") > col("mad") * 3, col("d"))), lit(0.0))
+          .as("max_dev"))
+      .orderBy(col("event_type"))
+  }
+
+  private val MadOracle: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |med AS (SELECT event_type, median(cents) AS med
+      |  FROM base GROUP BY event_type),
+      |dev AS (
+      |  SELECT b.event_type, abs(b.cents - m.med) AS d, m.med
+      |  FROM base b JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, median(d) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT dev.event_type, max(dev.med) AS med_cents,
+      |  max(mad.mad) AS mad_cents,
+      |  cast(count(CASE WHEN dev.d > 3 * mad.mad THEN 1 END) AS BIGINT)
+      |    AS n_outliers,
+      |  coalesce(max(CASE WHEN dev.d > 3 * mad.mad THEN dev.d END), 0.0)
+      |    AS max_dev
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("q95_gapfill", gapfillInterp _, GapfillOracle),
+    QueryDef("q96_mad_outliers", madOutliers _, MadOracle)
+  )
+}

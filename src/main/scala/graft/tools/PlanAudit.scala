@@ -116,6 +116,21 @@ object PlanAudit {
       // in the micro-batch plan
       "stream_outer_join" -> Seq(
         ("symmetric-hash-state", m => m("stateOps") >= 1)),
+      // gap-fill: one aggregate exchange + one window exchange (the
+      // keys differ: (cust, month) vs cust), never a join — the series
+      // repair is pure window + explode
+      "q95_gapfill" -> Seq(
+        ("two-hash-no-join", m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0)),
+      // MAD cascade: the 5-row median intermediates broadcast back to
+      // the event scan; the event table is never shuffle-joined
+      "q96_mad_outliers" -> Seq(
+        ("broadcast-medians", m => m("bhj") >= 2 && m("smj") == 0)),
+      // batch retrieval: the needle batch is a literal explode (no join
+      // operator of any kind); the bounded-heap aggregator's partial/
+      // final split leaves exactly ONE hash exchange
+      "sim_topk_batch" -> Seq(
+        ("explode-not-join-one-shuffle",
+          m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
       // dynamic-gap session windows: real session-window state operator
       "stream_session_dynamic" -> Seq(
         ("session-state", m => m("stateOps") >= 1)),
