@@ -141,8 +141,66 @@ object Analytics3 {
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin
 
+  /** Rolling 30-day median order value per priority — an ORDERED-SET
+    * aggregate inside a sliding RANGE frame, the shape q29/q65 (global
+    * percentiles) and q46 (sum over a time frame) each cover half of.
+    * RANGE peers make same-day rows share one frame, so the windowed
+    * median is a pure function of (priority, date) and the output
+    * DISTINCTs down to one row per day with orders.
+    *
+    * Spark's builtin `median`/`percentile` REJECT bounded window frames
+    * ([INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC] — only unbounded
+    * frames are supported for TypedImperativeAggregates), so the frame
+    * median is composed from primitives that do support frames:
+    * collect_list over the RANGE frame → array_sort → exact middle
+    * pick. Same multiset, same interpolation rule as DuckDB's native
+    * windowed median (the oracle keeps that form — the assertion that
+    * the composition IS the ordered-set semantics).
+    *
+    * Scale: the per-row frame array is bounded by the 30-day interval,
+    * which is the knob that keeps it viable. The 100 TB swap is a
+    * per-day pre-aggregate + t-digest merge (the q61 mergeable-sketch
+    * pattern) — kept exact here because the oracle compares values.
+    * Median of integer cents is at worst .5-grained — dyadic-exact on
+    * both engines, no rounding needed.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_rm")
+    spark.sql(
+      """SELECT DISTINCT o_orderpriority, d,
+        |  CASE WHEN size(s) % 2 = 1
+        |    THEN cast(element_at(s, cast(size(s) div 2 AS INT) + 1) AS DOUBLE)
+        |    ELSE (element_at(s, cast(size(s) div 2 AS INT))
+        |          + element_at(s, cast(size(s) div 2 AS INT) + 1)) / 2.0
+        |    END AS med_30d
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    date_format(o_orderdate, 'yyyy-MM-dd') AS d,
+        |    array_sort(collect_list(cents) OVER (
+        |      PARTITION BY o_orderpriority ORDER BY o_orderdate
+        |      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW))
+        |      AS s
+        |  FROM (
+        |    SELECT o_orderpriority, o_orderdate,
+        |      cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |        AS cents
+        |    FROM v_orders_rm))
+        |ORDER BY o_orderpriority, d""".stripMargin)
+  }
+
+  private val RollingMedianOracle: String =
+    """SELECT DISTINCT o_orderpriority,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS d,
+      |  median(cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |    OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      |    AS med_30d
+      |FROM orders
+      |ORDER BY o_orderpriority, d""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q95_gapfill", gapfillInterp _, GapfillOracle),
-    QueryDef("q96_mad_outliers", madOutliers _, MadOracle)
+    QueryDef("q96_mad_outliers", madOutliers _, MadOracle),
+    QueryDef("q97_rolling_median", rollingMedian _, RollingMedianOracle)
   )
 }

@@ -76,6 +76,36 @@ class Analytics3Spec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._3 > 0))
   }
 
+  test("rolling median: brute-force 30-day replay agrees") {
+    val rows = Tables.orders(spark, sf0001)
+      // orders dates read as TIMESTAMP_NTZ; session TZ is UTC, so the
+      // cast pins the same instant the query's date_format renders
+      .select(col("o_orderpriority"),
+        unix_millis(col("o_orderdate").cast("timestamp")),
+        col("o_totalprice").cast(DecimalType(12, 2)).*(100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    def median(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2).toDouble else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val dayMs = 86400000L
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (prio, rs) =>
+      rs.map(_._2).distinct.toSeq.map { t =>
+        val frame = rs.filter(r => r._2 <= t && r._2 >= t - 30 * dayMs)
+        (prio, java.time.Instant.ofEpochMilli(t)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString,
+          median(frame.map(_._3).toSeq))
+      }
+    }.toSet
+
+    val got = Analytics3.rollingMedian(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === expect)
+  }
+
   test("batch top-k agrees with the single-needle brute force per needle") {
     val got = Similarity.simTopkBatch(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
