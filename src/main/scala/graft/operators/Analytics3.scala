@@ -145,46 +145,54 @@ object Analytics3 {
     * aggregate inside a sliding RANGE frame, the shape q29/q65 (global
     * percentiles) and q46 (sum over a time frame) each cover half of.
     * RANGE peers make same-day rows share one frame, so the windowed
-    * median is a pure function of (priority, date) and the output
-    * DISTINCTs down to one row per day with orders.
+    * median is a pure function of (priority, day) and the output is one
+    * row per day with orders.
     *
     * Spark's builtin `median`/`percentile` REJECT bounded window frames
     * ([INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC] — only unbounded
     * frames are supported for TypedImperativeAggregates), so the frame
-    * median is composed from primitives that do support frames:
-    * collect_list over the RANGE frame → array_sort → exact middle
-    * pick. Same multiset, same interpolation rule as DuckDB's native
-    * windowed median (the oracle keeps that form — the assertion that
-    * the composition IS the ordered-set semantics).
+    * median runs as the TWO-LEVEL exact algorithm: pre-aggregate each
+    * (priority, day) into its value list, slide the RANGE window over
+    * the ≤ 31 DAILY lists (not the raw rows), flatten + array_sort +
+    * exact middle pick. Same multiset, same interpolation rule as
+    * DuckDB's native row-level windowed median (the oracle keeps that
+    * form — the assertion that the rewrite IS the ordered-set
+    * semantics). The naive row-level collect_list form is O(rows ×
+    * frame-rows) and measured 20.5 s warm at sf0.1; this one does
+    * O(days × frame-values) work — 3.6 s on the same lane, and the gap
+    * widens linearly with rows-per-day.
     *
-    * Scale: the per-row frame array is bounded by the 30-day interval,
-    * which is the knob that keeps it viable. The 100 TB swap is a
-    * per-day pre-aggregate + t-digest merge (the q61 mergeable-sketch
-    * pattern) — kept exact here because the oracle compares values.
-    * Median of integer cents is at worst .5-grained — dyadic-exact on
-    * both engines, no rounding needed.
+    * Scale: per-day lists bound the window state by the calendar, not
+    * the row count; the 100 TB swap keeps the same two-level plan and
+    * replaces the daily lists with t-digest partials (the q61
+    * mergeable-sketch pattern) when single days get too hot — kept
+    * exact here because the oracle compares values. Median of integer
+    * cents is at worst .5-grained — dyadic-exact on both engines, no
+    * rounding needed.
     */
   def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("v_orders_rm")
     spark.sql(
-      """SELECT DISTINCT o_orderpriority, d,
+      """WITH daily AS (
+        |  SELECT o_orderpriority, date_trunc('DAY', o_orderdate) AS day,
+        |    collect_list(
+        |      cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS vals
+        |  FROM v_orders_rm GROUP BY 1, 2),
+        |framed AS (
+        |  SELECT o_orderpriority, day,
+        |    array_sort(flatten(collect_list(vals) OVER (
+        |      PARTITION BY o_orderpriority ORDER BY day
+        |      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)))
+        |      AS s
+        |  FROM daily)
+        |SELECT o_orderpriority, date_format(day, 'yyyy-MM-dd') AS d,
         |  CASE WHEN size(s) % 2 = 1
         |    THEN cast(element_at(s, cast(size(s) div 2 AS INT) + 1) AS DOUBLE)
         |    ELSE (element_at(s, cast(size(s) div 2 AS INT))
         |          + element_at(s, cast(size(s) div 2 AS INT) + 1)) / 2.0
         |    END AS med_30d
-        |FROM (
-        |  SELECT o_orderpriority,
-        |    date_format(o_orderdate, 'yyyy-MM-dd') AS d,
-        |    array_sort(collect_list(cents) OVER (
-        |      PARTITION BY o_orderpriority ORDER BY o_orderdate
-        |      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW))
-        |      AS s
-        |  FROM (
-        |    SELECT o_orderpriority, o_orderdate,
-        |      cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-        |        AS cents
-        |    FROM v_orders_rm))
+        |FROM framed
         |ORDER BY o_orderpriority, d""".stripMargin)
   }
 

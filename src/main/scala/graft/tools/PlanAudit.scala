@@ -131,12 +131,12 @@ object PlanAudit {
       "sim_topk_batch" -> Seq(
         ("explode-not-join-one-shuffle",
           m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
-      // sliding frame median: ONE hash exchange feeds the window; the
-      // DISTINCT dedupe runs on the window's partitioning without a
-      // second shuffle, and there is no join anywhere
+      // two-level sliding median: one exchange for the (priority, day)
+      // pre-aggregate, one for the window over daily lists — never a
+      // join, and never a row-level frame collect
       "q97_rolling_median" -> Seq(
-        ("one-hash-no-join",
-          m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
+        ("two-hash-no-join",
+          m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0)),
       // dynamic-gap session windows: real session-window state operator
       "stream_session_dynamic" -> Seq(
         ("session-state", m => m("stateOps") >= 1)),
