@@ -31,6 +31,37 @@ class SourcesSinksSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Long]("length")).sum === 71570L)
   }
 
+  test("parquet schema evolution: mergeSchema unifies epochs, old rows null-extend") {
+    // the 100 TB reality: a corpus written over months gains columns;
+    // readers must see ONE unified schema without rewriting old epochs
+    val base = tmp("schema_evo")
+    try {
+      val docs = Tables.documents(spark, sf0001)
+      docs.select(col("doc_id"), col("text"))
+        .write.parquet(s"$base/epoch=1")
+      docs.select(col("doc_id"), col("text"), col("lang"))
+        .write.parquet(s"$base/epoch=2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(base)
+      assert(merged.columns.toSet === Set("doc_id", "text", "lang", "epoch"))
+      val n = docs.count()
+      assert(merged.count() === 2 * n)
+      // the pre-evolution epoch null-extends; the new epoch is intact
+      assert(merged.filter(col("epoch") === 1 && col("lang").isNull)
+        .count() === n)
+      assert(merged.filter(col("epoch") === 2 && col("lang").isNotNull)
+        .count() === n)
+      // partition pruning still reaches the scan through the merged
+      // schema: an epoch filter must not read both epochs
+      val pruned = merged.filter(col("epoch") === 2)
+      val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+            .flatMap(_.files).map(_.getPath.toString)
+        }.flatten
+      assert(scanned.nonEmpty && scanned.forall(_.contains("epoch=2")))
+    } finally cleanup(base)
+  }
+
   test("XML round-trip preserves the star dims") {
     val base = tmp("xml_rt")
     try {
