@@ -61,7 +61,7 @@ object Analytics3 {
       .select(col("o_custkey"), (col("m") + col("d")).as("m"),
         (col("c") + floor(
           ((col("nc") - col("c")) * col("d")).cast("double")
-            / (col("nm") - col("m")).cast("double")).cast("long"))
+            / (col("nm") - col("m")).cast("double")))
           .as("interp_cents"))
       .orderBy(col("o_custkey"), col("m"))
   }
@@ -92,13 +92,18 @@ object Analytics3 {
     * is anomalous iff |cents − median| > 3·MAD, MAD = median absolute
     * deviation.
     *
-    * Scale: two chained exact-median aggregates on the same event_type
-    * key with the 5-row intermediates broadcast back — the event table
-    * is scanned twice but never shuffle-joined. Exact grouped medians
-    * are sort-based aggregates; at 100 TB the first pass would swap to
-    * approx_percentile (the sketch twin), which is why the threshold
-    * comparison is kept exact-dyadic (see the object doc) rather than
-    * leaning on float luck.
+    * Scale: THREE narrow passes over the event table (med, then mad,
+    * then the outlier count — PLANS.md pins scans=3), each a 2-column
+    * pushdown scan with the 5-row intermediates broadcast back; the
+    * table is never shuffle-joined. Three passes is the FLOOR for exact
+    * MAD: the statistic is holistic, so each stage needs a full pass
+    * after the previous scalar exists — and re-scanning a pruned
+    * columnar source beats localCheckpoint'ing an events-sized `dev`
+    * intermediate (that trade is for small frames like Dedup's edges,
+    * not full-table projections). At 100 TB the med/mad passes would
+    * swap to approx_percentile partials merged in ONE pass (the sketch
+    * twin), which is why the threshold comparison is kept exact-dyadic
+    * (see the object doc) rather than leaning on float luck.
     */
   def madOutliers(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(spark, dir)
