@@ -125,6 +125,21 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestBase {
     assert(gen.toSeq === keys.toSeq)
   }
 
+  test("bloom_might_contain: codegen == interpreted over all lineitem keys") {
+    val keys = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val words = new Array[Long](graft.functions.SketchUtil.BloomWords)
+    keys.foreach(graft.functions.SketchUtil.bloomAdd(words, _))
+    def run: Array[Boolean] = Tables.lineitem(spark, sf0001)
+      .select(graft.functions.SketchExpressions
+        .bloomMightContain(col("l_orderkey"), words))
+      .collect().map(_.getBoolean(0))
+    val (gen, interp) = inBothModes(run)
+    assert(gen.toSeq === interp.toSeq)
+    assert(gen.exists(identity) && gen.exists(!_)) // both paths exercised
+  }
+
   test("pq_encode: codegen == interpreted, zero vector deterministic") {
     val books = graft.operators.Similarity.pqCodebooks(spark, sf0001)
     def run: Array[Seq[Int]] =
