@@ -135,16 +135,28 @@ object Bench {
       val b = readWarm(baselinePath)
       if (b.nonEmpty) b else readWarm(outPath) // pre-baseline-file migration
     }
+    // a query with a prior that FAILED this run is the worst regression
+    // of all — round 5's 35 events-schema failures reported
+    // "regressions":[] precisely because failures were exempt. Encode
+    // them as ratio ∞ (now = -1) so they sort first and are unmissable.
+    val failedWithPrior: Seq[(String, Double, Double, Double)] =
+      (errCold ++ errWarm).distinct.toSeq.sorted.flatMap { name =>
+        prevWarm.get(name).map(p => (name, p, -1.0, Double.PositiveInfinity))
+      }
     val regressions: Seq[(String, Double, Double, Double)] =
-      warm.toSeq.flatMap { case (name, v) =>
+      failedWithPrior ++ warm.toSeq.flatMap { case (name, v) =>
         prevWarm.get(name).filter(p => p > 0.05 && v / p > 1.5)
           .map(p => (name, p, v, v / p))
       }.sortBy(-_._4)
-    val regJson = regressions.map { case (n, p, v, r) =>
-      s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)}}"""
-    }.mkString("[", ",", "]")
+    def regEntry(n: String, p: Double, v: Double, r: Double): String =
+      if (r.isInfinity) s"""{"q":"$n","prev":${r3(p)},"now":null,"ratio":"failed"}"""
+      else s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)}}"""
+    val regJson = regressions.map((regEntry _).tupled).mkString("[", ",", "]")
     if (regressions.nonEmpty) regressions.foreach { case (n, p, v, r) =>
-      System.err.println(f"[bench:regression] $n warm ${p}%.2fs -> ${v}%.2fs (${r}%.2fx)")
+      if (r.isInfinity)
+        System.err.println(f"[bench:regression] $n warm ${p}%.2fs -> FAILED")
+      else
+        System.err.println(f"[bench:regression] $n warm ${p}%.2fs -> ${v}%.2fs (${r}%.2fx)")
     }
     def fmt(m: Map[String, Double], keys: Iterable[String]) =
       keys.flatMap(k => m.get(k).map(v => "\"" + k + "\":" + r3(v)))
@@ -184,9 +196,8 @@ object Bench {
       "pipeline_pack_sequences", "stream_stream_join")
     // stdout carries at most the 10 worst regressions (full list in file)
     // so the line stays inside the driver's log-tail window
-    val regJsonCompact = regressions.take(10).map { case (n, p, v, r) =>
-      s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)}}"""
-    }.mkString("[", ",", "]")
+    val regJsonCompact = regressions.take(10).map((regEntry _).tupled)
+      .mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"warm_passes":$warmPasses,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"regressions":$regJsonCompact,"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
     println(json)

@@ -53,16 +53,56 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (legacy long mode) and truncate to microseconds — the same
-    * truncation DuckDB applies when it coerces ns → its µs timestamp.
+  /** Canonical form of `events`: `ts` is always `TimestampType` at µs
+    * precision (session tz is pinned UTC by every entrypoint), whatever
+    * the testdata generator last wrote. Regens have flipped `events.ts`
+    * between parquet TIMESTAMP(NANOS) — which the vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]) and is only readable as raw int64
+    * nanos in legacy-long mode — and plain timestamp[us] (read as
+    * TIMESTAMP_NTZ under `inferTimestampNTZ`). Branching on the type the
+    * read actually resolves to keeps a regen from breaking every
+    * events-touching query; TestdataDriftSpec is the loud canary.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame =
+    adaptEventsTs(eventsRaw(s, s"$d/events.parquet"))
+
+  /** Read `events.parquet` surviving either physical `ts` encoding:
+    * plain read first; only on the vectorized reader's NANOS rejection
+    * flip the legacy long-read conf and retry (so the session conf is
+    * untouched in the common case). Returns the frame UNnormalized —
+    * callers that persist fixtures or need the raw shape use this,
+    * everything else goes through [[events]]/[[adaptEventsTs]].
+    */
+  def eventsRaw(s: SparkSession, path: String): DataFrame =
+    try s.read.parquet(path)
+    catch {
+      case e: Throwable if isNanosIllegal(e) =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path)
+    }
+
+  private def isNanosIllegal(e: Throwable): Boolean = {
+    val m = String.valueOf(e.getMessage)
+    m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("NANOS")
   }
+
+  /** Normalize an events frame (batch OR streaming) to µs
+    * `TimestampType` `ts`. LongType means raw epoch-nanos from the
+    * legacy long read — truncate to µs, the same coercion DuckDB applies
+    * for ns → its µs timestamp. TIMESTAMP_NTZ → TimestampType is exact
+    * under the UTC session tz (same micros value, no wall-clock shift).
+    */
+  def adaptEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other =>
+        sys.error(s"events.ts resolved to unsupported type $other — " +
+          "testdata drifted; teach Tables.adaptEventsTs the new encoding")
+    }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -99,13 +99,12 @@ object Layout {
     * int64 → oracle replays it with per-table counts UNION ALL'd.
     */
   def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) — same legacy-long read
-    // mode Tables.events uses (we never touch the column, but schema
-    // conversion happens at open)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val perFile = Tables.names.map { t =>
-      spark.read.parquet(s"$dir/$t.parquet")
-        .select(col("_metadata.file_path").as("path"))
+      // eventsRaw survives either ts encoding the generator writes (we
+      // never touch the column, but schema conversion happens at open)
+      val src = if (t == "events") Tables.eventsRaw(spark, s"$dir/$t.parquet")
+                else spark.read.parquet(s"$dir/$t.parquet")
+      src.select(col("_metadata.file_path").as("path"))
         .groupBy(regexp_extract(col("path"), "([^/]+)$", 1).as("file"))
         .agg(count(lit(1)).as("n_rows"))
     }.reduce(_ union _)
@@ -127,8 +126,12 @@ object Layout {
     s"""WITH per_file AS ($union),
        |cum AS (
        |  SELECT file, n_rows,
-       |    coalesce(sum(n_rows) OVER (ORDER BY file
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rows_before
+       |    -- DuckDB sum(BIGINT) is HUGEINT; un-cast it would surface as
+       |    -- float64 in the driver's comparator and hash-mismatch the
+       |    -- engine's int64 (0 vs 0.0) — the actual q90 red in r5
+       |    CAST(coalesce(sum(n_rows) OVER (ORDER BY file
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS rows_before
        |  FROM per_file)
        |SELECT file, n_rows,
        |  rows_before // ${TargetRows} AS first_bin,

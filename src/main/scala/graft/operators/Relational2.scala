@@ -174,14 +174,25 @@ object Relational2 {
           .cast("long").as("n_vowels"))
       .orderBy(col("p_partkey"))
 
-  /** Approximate percentile sketch beside its exact twin — rows-only
-    * (sketch interpolation is impl-specific); spec bounds the error.
+  /** Approximate percentile sketch beside its exact twin. The sketch's
+    * RAW output is impl-specific (KLL-style rank interpolation), so it
+    * can't be value-matched across engines; instead the oracled output
+    * is the exact median plus a BRACKET CHECK: approx-p50 must land
+    * between the exact 45th and 55th percentiles. At accuracy=1000 the
+    * sketch's rank error is ~n/1000 — two orders of magnitude inside the
+    * ±5 % rank bracket — so the boolean is stably TRUE, DuckDB replays
+    * it as a literal, and a sketch regression breaks the hash loudly.
     */
   def q37ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)), 2).as("approx_med"),
-        round(median(col("o_totalprice")), 2).as("exact_med"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("am"),
+        percentile(col("o_totalprice"), lit(0.45)).as("p45"),
+        percentile(col("o_totalprice"), lit(0.55)).as("p55"),
+        round(median(col("o_totalprice")), 4).as("exact_med"))
+      .select(col("o_orderpriority"), col("exact_med"),
+        (col("am") >= col("p45") && col("am") <= col("p55")).as("in_bracket"))
       .orderBy(col("o_orderpriority"))
 
   /** Rank-family window functions: percent_rank / cume_dist / ntile. */
@@ -330,7 +341,11 @@ object Relational2 {
         |  array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ',') AS caps,
         |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels
         |FROM part ORDER BY p_partkey""".stripMargin),
-    QueryDef.noOracle("q37_approx_percentile", q37ApproxPercentile _),
+    QueryDef("q37_approx_percentile", q37ApproxPercentile _,
+      """SELECT o_orderpriority,
+        |  round(median(o_totalprice), 4) AS exact_med,
+        |  true AS in_bracket
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
     QueryDef("q33_map_fns", q33MapFns _,
       """SELECT l_returnflag,
         |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty,

@@ -18,9 +18,10 @@ trait EventSource {
 }
 
 /** File-backed replay of `events.parquet` — the in-container stand-in
-  * for a broker (none is installed). `ts` arrives as parquet
-  * TIMESTAMP(NANOS), which the vectorized reader rejects; read it as raw
-  * nanos and truncate to µs exactly as the batch loader does.
+  * for a broker (none is installed). Whatever `ts` encoding the testdata
+  * generator last wrote (µs timestamp or legacy raw nanos),
+  * [[graft.Tables.adaptEventsTs]] normalizes the stream to the canonical
+  * µs TimestampType exactly as the batch loader does.
   *
   * `maxFilesPerTrigger` throttles replay into multiple micro-batches —
   * how the specs prove the stateful queries are batching-independent
@@ -29,16 +30,14 @@ trait EventSource {
 final case class FileEventSource(dir: String,
     maxFilesPerTrigger: Option[Int] = None) extends EventSource {
   def stream(spark: SparkSession): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = graft.Tables.eventsRaw(spark, s"$dir/events.parquet").schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
-    reader
-      // FileStreamSource wants a directory; a glob keeps the parent as
-      // basePath while matching the single parquet file
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.adaptEventsTs(
+      reader
+        // FileStreamSource wants a directory; a glob keeps the parent as
+        // basePath while matching the single parquet file
+        .parquet(s"$dir/events*.parquet"))
   }
 }
 
@@ -58,14 +57,14 @@ final case class MultiBatchFileSource(dir: String, slices: Int = 4)
     extends EventSource {
   def stream(spark: SparkSession): DataFrame = {
     val replayDir = MultiBatchFileSource.prepare(spark, dir, slices)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // slices are written ALREADY normalized (µs TimestampType ts), so the
+    // stream schema comes from the slices themselves and needs no adapter
+    val schema = spark.read.parquet(s"$replayDir/slice-01.parquet").schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       // oldest-modification-time-first is the FileStreamSource default
       // (latestFirst=false), so slices replay in event-time order
       .parquet(s"$replayDir/slice-*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
 
@@ -79,22 +78,47 @@ object MultiBatchFileSource {
 
   private[streaming] def rmTreePublic(f: java.io.File): Unit = rmTree(f)
 
-  /** Build (once per (dir, slices)) the sliced replay directory and
-    * return its path. The slicing is ntile over (ts, event_id) — a
-    * global sort, but a ONE-TIME setup of a test replay fixture, never
-    * a per-query cost; at broker scale the "slices" are what the broker
-    * already provides as time-ordered log segments.
+  /** (length, mtime) fingerprint of the source `events.parquet` — stored
+    * in the fixture's `_READY` marker so a testdata REGEN (same path, new
+    * bytes) invalidates the cached slices instead of silently replaying
+    * stale data. That exact staleness bit 35 queries in round 5.
+    */
+  private[streaming] def fingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    s"${f.length}:${f.lastModified}"
+  }
+
+  /** True iff the marker exists and records the CURRENT source bytes. */
+  private[streaming] def fresh(marker: java.io.File, fp: String): Boolean =
+    marker.exists() && {
+      val recorded = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      recorded == fp
+    }
+
+  private[streaming] def writeMarker(marker: java.io.File, fp: String): Unit = {
+    java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8")); ()
+  }
+
+  /** Build (once per (dir, slices, source-fingerprint)) the sliced replay
+    * directory and return its path. The slicing is ntile over
+    * (ts, event_id) — a global sort, but a ONE-TIME setup of a test
+    * replay fixture, never a per-query cost; at broker scale the
+    * "slices" are what the broker already provides as time-ordered log
+    * segments. Slices are written in the NORMALIZED events schema
+    * (µs TimestampType ts via [[graft.Tables.events]]), so downstream
+    * plans never see the physical encoding of the source file.
     */
   private[graft] def prepare(spark: SparkSession, dir: String, n: Int): String =
     lock.synchronized {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val base = new java.io.File(s"target/stream_replay/$safe-$n")
       val marker = new java.io.File(base, "_READY")
-      if (!marker.exists()) {
+      val fp = fingerprint(s"$dir/events.parquet")
+      if (!fresh(marker, fp)) {
         if (base.exists()) rmTree(base)
         base.mkdirs()
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$dir/events.parquet")
+        val raw = graft.Tables.events(spark, dir)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("event_id"))
         val sliced = raw.withColumn("_slice", ntile(n).over(w)).cache()
@@ -113,7 +137,7 @@ object MultiBatchFileSource {
             rmTree(tmp)
           }
         } finally { sliced.unpersist(); () }
-        marker.createNewFile()
+        writeMarker(marker, fp)
       }
       base.getPath
     }
@@ -136,12 +160,11 @@ object MultiBatchFileSource {
 final case class OutOfOrderFileSource(dir: String) extends EventSource {
   def stream(spark: SparkSession): DataFrame = {
     val replayDir = OutOfOrderFileSource.prepare(spark, dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // slices are written pre-normalized, same as MultiBatchFileSource
+    val schema = spark.read.parquet(s"$replayDir/slice-0.parquet").schema
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$replayDir/slice-*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
 
@@ -153,11 +176,11 @@ object OutOfOrderFileSource {
       val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
       val base = new java.io.File(s"target/stream_replay_ooo/$safe")
       val marker = new java.io.File(base, "_READY")
-      if (!marker.exists()) {
+      val fp = MultiBatchFileSource.fingerprint(s"$dir/events.parquet")
+      if (!MultiBatchFileSource.fresh(marker, fp)) {
         if (base.exists()) MultiBatchFileSource.rmTreePublic(base)
         base.mkdirs()
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$dir/events.parquet")
+        val raw = graft.Tables.events(spark, dir)
         Seq(0, 1, 2).foreach { par =>
           val tmp = new java.io.File(base, s"_tmp-$par")
           raw.filter(pmod(col("event_id"), lit(3)) === par)
@@ -170,7 +193,7 @@ object OutOfOrderFileSource {
           dest.setLastModified(1000000000000L + par * 60000L)
           MultiBatchFileSource.rmTreePublic(tmp)
         }
-        marker.createNewFile()
+        MultiBatchFileSource.writeMarker(marker, fp)
       }
       base.getPath
     }

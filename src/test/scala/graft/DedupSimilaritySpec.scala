@@ -76,13 +76,13 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
   }
 
-  test("approx percentile within 5% of exact") {
-    graft.operators.Relational2.q37ApproxPercentile(spark, sf001).collect()
-      .foreach { r =>
-        val approx = r.getDouble(1); val exact = r.getDouble(2)
-        assert(math.abs(approx - exact) / exact <= 0.05,
-          s"${r.getString(0)}: approx=$approx exact=$exact")
-      }
+  test("approx percentile lands inside the exact 45th–55th rank bracket") {
+    val rows = graft.operators.Relational2.q37ApproxPercentile(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2),
+        s"${r.getString(0)}: approx median outside exact p45–p55 bracket")
+    }
   }
 
   test("minhash LSH candidates achieve full recall on high-jaccard pairs (sf0.001)") {

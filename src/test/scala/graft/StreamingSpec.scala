@@ -26,11 +26,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("stream_sink").toString
     try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-      val agg = spark.readStream.schema(schema)
-        .parquet(s"$sf0001/events*.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val schema = Tables.eventsRaw(spark, s"$sf0001/events.parquet").schema
+      val agg = Tables.adaptEventsTs(
+          spark.readStream.schema(schema).parquet(s"$sf0001/events*.parquet"))
         .select(col("event_id"), col("event_type"))
       val q = agg.writeStream.format("parquet")
         .option("path", s"$base/out")
@@ -102,7 +100,6 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("restart").toString
     try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Tables.events(spark, sf0001).select(col("event_id"))
       val half = ev.count() / 2
       val firstBatch = ev.filter(col("event_id") <= half)
@@ -138,8 +135,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("feb_sink").toString
     try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+      val schema = Tables.eventsRaw(spark, s"$sf0001/events.parquet").schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$sf0001/events*.parquet")
@@ -277,9 +273,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     import graft.streaming.FileEventSource
     val dir = java.nio.file.Files.createTempDirectory("multi_batch").toString
 
-    // split the raw events (ts still raw nanos — the halves must round-trip
-    // bit-identically through FileEventSource's own decode) into two plain
-    // parquet FILES matching the source's events*.parquet glob
+    // split the raw events (whatever ts encoding the generator wrote —
+    // the halves must round-trip bit-identically through FileEventSource's
+    // own normalize) into two plain parquet FILES matching the source's
+    // events*.parquet glob
     def writeOneFile(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("one_file").toString
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -289,8 +286,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
     try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      val raw = Tables.eventsRaw(spark, s"$sf0001/events.parquet")
       // split on event_id parity so (almost) every USER has rows in BOTH
       // micro-batches — i.e. two cumulative emissions that the queries
       // must collapse; a user_id split would sidestep the hazard
@@ -308,6 +304,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       val oneTws = StreamingQueries.streamTransformWithState(spark, sf0001).collect()
       assert(multiTws.toSeq === oneTws.toSeq,
         "stream_tws must not depend on replay batching")
+
+      // the equality above is vacuous unless the replay REALLY split into
+      // multiple micro-batches: the raw memory sink keeps one cumulative
+      // emission per (user, touching batch), so with maxFilesPerTrigger=1
+      // over two files some user must have emitted twice
+      Seq("stateful_mb", "tws_mb").foreach { sink =>
+        val multiEmitters = spark.table(sink)
+          .groupBy(col("user_id")).count().filter(col("count") > 1).count()
+        assert(multiEmitters > 0,
+          s"$sink: replay ran as ONE micro-batch — batching independence untested")
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
@@ -412,14 +419,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(files.map(_.lastModified).toSeq ===
       files.map(_.lastModified).sorted.toSeq,
       "slice mtimes must increase so FileStreamSource replays in order")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val raw = Tables.events(spark, sf0001)
     val union = spark.read.parquet(files.map(_.getPath).toIndexedSeq: _*)
     assert(union.count() === raw.count(), "slices must conserve every event")
-    // contiguous event-time slices: no slice overlaps the next
+    // contiguous event-time slices: no slice overlaps the next (slices
+    // are written pre-normalized, so ts is a µs timestamp here)
     val bounds = files.map { f =>
       val r = spark.read.parquet(f.getPath)
-        .agg(min(col("ts")), max(col("ts"))).head
+        .agg(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head
       (r.getLong(0), r.getLong(1))
     }
     bounds.toSeq.sliding(2).foreach {
