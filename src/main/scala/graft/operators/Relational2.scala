@@ -107,14 +107,25 @@ object Relational2 {
         countDistinct(col("l_linestatus")).as("n_statuses"))
       .orderBy(col("l_returnflag"))
 
-  /** HLL sketch vs exact — rows-only (sketch values are impl-specific);
-    * the spec asserts ≤5% relative error against the exact count.
+  /** HLL estimate vs exact. The raw sketch value is impl-specific, so
+    * (same exact-bracket idiom as [[q37ApproxPercentile]]) the oracled
+    * output is the exact distinct count plus a boolean pinning the
+    * estimate within 5 % relative error — deterministic for fixed data
+    * (HLL hashing has no run-to-run randomness), replayed by DuckDB as
+    * a literal TRUE, so a sketch regression breaks the hash loudly.
+    * [[q32Frame]] keeps both raw values for the error-bound spec.
     */
-  def q32ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def q32Frame(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+
+  def q32ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    q32Frame(spark, dir)
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.05).as("in_bracket"))
       .orderBy(col("l_returnflag"))
 
   /** linestatus→qty map per returnflag, map_from_entries over a sorted
@@ -182,6 +193,10 @@ object Relational2 {
     * sketch's rank error is ~n/1000 — two orders of magnitude inside the
     * ±5 % rank bracket — so the boolean is stably TRUE, DuckDB replays
     * it as a literal, and a sketch regression breaks the hash loudly.
+    * NOTE: the exact percentiles here are VERIFICATION cost, not the
+    * production shape — a deployment runs the percentile_approx
+    * aggregate alone (one mergeable sketch per group, no sort-agg),
+    * which is the documented scale path beside q65's exact twins.
     */
   def q37ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -416,6 +431,10 @@ object Relational2 {
         |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
         |  count(DISTINCT l_linestatus) AS n_statuses
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
-    QueryDef.noOracle("q32_approx_distinct", q32ApproxDistinct _)
+    QueryDef("q32_approx_distinct", q32ApproxDistinct _,
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS in_bracket
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }

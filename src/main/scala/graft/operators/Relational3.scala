@@ -337,11 +337,14 @@ object Relational3 {
   /** Mergeable HLL sketches (DataSketches): per-day sketches unioned
     * into per-type estimates beside the exact count — the incremental-
     * analytics pattern at 100 TB: daily partial sketches are tiny,
-    * re-aggregatable, and never re-scan history. Rows-only (sketch
-    * estimates are impl-parameterized); the spec bounds the error and
-    * pins two-phase union == direct sketch.
+    * re-aggregatable, and never re-scan history. The raw estimate is
+    * impl-parameterized, so the registered query emits the exact count
+    * plus a 5 %-bracket boolean (exact-bracket idiom, see
+    * `Relational2.q37ApproxPercentile`) that DuckDB replays as literal
+    * TRUE; [[q61Frame]] keeps both raw values for the error-bound and
+    * union==direct specs.
     */
-  def q61HllMergeable(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def q61Frame(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
     val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -354,6 +357,13 @@ object Relational3 {
       .select(col("event_type"), col("est_users"), col("exact_users"))
       .orderBy(col("event_type"))
   }
+
+  def q61HllMergeable(spark: SparkSession, dir: String): DataFrame =
+    q61Frame(spark, dir)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users"))
+          <= col("exact_users") * 0.05).as("in_bracket"))
+      .orderBy(col("event_type"))
 
   /** VARIANT (new in Spark 4): parse_json into the open semi-structured
     * type, extract typed fields with variant_get — the schema-on-read
@@ -387,7 +397,11 @@ object Relational3 {
       .orderBy(col("event_id"))
 
   val registry: Seq[QueryDef] = Seq(
-    QueryDef.noOracle("q61_hll_mergeable", q61HllMergeable _),
+    QueryDef("q61_hll_mergeable", q61HllMergeable _,
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS in_bracket
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     QueryDef("q63_xml_fns", q63XmlFns _,
       """SELECT event_id, event_type AS type_rt, user_id AS uid_rt
         |FROM events WHERE event_id <= 1000 ORDER BY event_id""".stripMargin),

@@ -111,9 +111,15 @@ object Sketches2 {
     * classic CM guarantee holds deterministically on the ≥ side
     * (est ≥ exact always — hash collisions only ADD); the ≤ side
     * (est ≤ exact + e/Width · N w.h.p.) is pinned by Sketches2Spec.
-    * Rows-only by contract: the estimates depend on the JVM hash mix,
-    * which SQL can't replicate — the spec's exact-replay bounds are the
-    * correctness statement, the registered query pins determinism.
+    * The raw estimates depend on the JVM hash mix, which SQL can't
+    * replicate — so the registered output is the exact count plus a
+    * boolean pinning BOTH sides of the CM guarantee (est ≥ exact, and
+    * est ≤ exact + e/Width·N + 1, the same bound Sketches2Spec asserts
+    * over every key; N rides along as the sum of the matrix's first
+    * row — each depth row independently sums to the stream length).
+    * DuckDB replays the exact side and a literal TRUE (exact-bracket
+    * idiom, see `Relational2.q37ApproxPercentile`); [[countMinFrame]]
+    * keeps the raw estimates for the spec.
     *
     * At 100 TB: the sketch pass shuffles Depth×Width longs per
     * partition regardless of key cardinality (vs a groupBy over ~1e9
@@ -121,23 +127,36 @@ object Sketches2 {
     * exact pass stays cheap because the probe set is pushed into the
     * scan as an IN filter.
     */
-  def countMin(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def countMinFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val events = Tables.events(spark, dir)
     val sketch = events.select(col("user_id")).as[Long](Encoders.scalaLong)
       .select(new CountMinAgg().toColumn).head()
+    val n = sketch.take(SketchUtil.CmWidth).sum
+    val bound = math.E / SketchUtil.CmWidth * n + 1
     val ests = (0L until CmProbeMax)
-      .map(u => (u, SketchUtil.cmEstimate(sketch, u)))
-      .toDF("user_id", "est")
+      .map(u => (u, SketchUtil.cmEstimate(sketch, u), bound))
+      .toDF("user_id", "est", "bound")
     val exact = events.filter(col("user_id") < CmProbeMax)
       .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
     exact.join(broadcast(ests), Seq("user_id"))
-      .select(col("user_id"), col("est"), col("exact_cnt"))
+      .select(col("user_id"), col("est"), col("exact_cnt"), col("bound"))
       .orderBy(col("user_id"))
   }
 
+  def countMin(spark: SparkSession, dir: String): DataFrame =
+    countMinFrame(spark, dir)
+      .select(col("user_id"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt") &&
+          (col("est") - col("exact_cnt")).cast("double") <= col("bound"))
+          .as("within_bounds"))
+      .orderBy(col("user_id"))
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("sketch_bloom_join", bloomJoin _, BloomJoinOracle),
-    QueryDef.noOracle("sketch_countmin", countMin _)
+    QueryDef("sketch_countmin", countMin _,
+      s"""SELECT user_id, count(*) AS exact_cnt, true AS within_bounds
+         |FROM events WHERE user_id < $CmProbeMax
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 }

@@ -131,5 +131,11 @@ class Analytics4Sketches2Spec extends AnyFunSuite with SparkTestBase {
     }
     // merge-order / partitioning independence: integer sums commute
     assert(sketchOf(7).toSeq === sk.toSeq)
+
+    // the registered bracket shape must agree with the raw-value bounds
+    val rows = Sketches2.countMin(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"user ${r.getLong(0)}: within_bounds false"))
   }
 }

@@ -44,11 +44,15 @@ class Relational2Spec extends AnyFunSuite with SparkTestBase {
   }
 
   test("approx_count_distinct within 5% of exact") {
-    Relational2.q32ApproxDistinct(spark, sf001).collect().foreach { r =>
+    Relational2.q32Frame(spark, sf001).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+    // the registered bracket shape must agree with the raw-value check
+    Relational2.q32ApproxDistinct(spark, sf001).collect().foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: bracket boolean false")
     }
   }
 

@@ -61,7 +61,7 @@ class Relational3Spec extends AnyFunSuite with SparkTestBase {
   }
 
   test("HLL sketches: merged daily estimates within 5% of exact, union == direct") {
-    val rows = Relational3.q61HllMergeable(spark, sf001).collect()
+    val rows = Relational3.q61Frame(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (est, exact) = (r.getLong(1), r.getLong(2))
