@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Row-pattern matching over per-key event sequences — the
+  * MATCH_RECOGNIZE capability of Trino/Flink/ISO SQL:2016, which Spark
+  * SQL lacks. A pattern is a sequence of tokens, each a set of event
+  * types with a quantifier (`one`, `?`, `*`, `+`); matching is anchored,
+  * greedy, non-overlapping, and resumes past the last matched row
+  * (MATCH_RECOGNIZE's default AFTER MATCH SKIP PAST LAST ROW).
+  *
+  * Restrictions (validated at [[RowPattern.compile]]) that buy a
+  * STREAMING matcher — single forward pass, O(1) state, no backtracking:
+  *   1. the first token is un-quantified (a match's first row is pinned);
+  *   2. every later token's class is disjoint from the first token's
+  *      class — then a row consumed mid-attempt can never have started a
+  *      fresh match, so a failed attempt restarts AT the failing row
+  *      with nothing missed (without this, `signup signup purchase`
+  *      over [s s s p] would silently lose the rows-1..3 match);
+  *   3. each quantified token's class is disjoint from its successor's
+  *      (greedy consumption can never eat the successor's row).
+  *
+  * Plan shape (the 100 TB story): ONE hash shuffle on the key, the
+  * shuffle's own in-partition sort, and a constant-memory
+  * `mapPartitions` pass — the matcher never materializes a key's
+  * history (unlike a collect_list-per-user formulation), so per-key
+  * event counts are unbounded. The sequential scan IS the semantics;
+  * everything before it is ordinary declarative Spark.
+  */
+object RowPattern {
+
+  sealed trait Quant
+  case object One extends Quant
+  case object Opt extends Quant
+  case object Star extends Quant
+  case object Plus extends Quant
+
+  final case class Tok(types: Set[String], quant: Quant) {
+    /** May this token consume zero rows outright? */
+    def zeroOk: Boolean = quant == Opt || quant == Star
+  }
+
+  /** Parse `"signup (view|click)* purchase"` → token list. Grammar per
+    * whitespace-separated atom: `name` or `(a|b|c)`, optionally suffixed
+    * `?`, `*` or `+`.
+    */
+  def compile(pattern: String): IndexedSeq[Tok] = {
+    require(pattern.trim.nonEmpty, "empty pattern")
+    val toks = pattern.trim.split("\\s+").toIndexedSeq.map { atom =>
+      val (body, quant) = atom.last match {
+        case '?' => (atom.dropRight(1), Opt: Quant)
+        case '*' => (atom.dropRight(1), Star: Quant)
+        case '+' => (atom.dropRight(1), Plus: Quant)
+        case _   => (atom, One: Quant)
+      }
+      val types =
+        if (body.startsWith("(") && body.endsWith(")"))
+          body.substring(1, body.length - 1).split("\\|").map(_.trim).toSet
+        else Set(body)
+      require(types.forall(_.nonEmpty), s"empty type in pattern atom '$atom'")
+      Tok(types, quant)
+    }
+    require(toks.nonEmpty, "empty pattern")
+    require(toks.head.quant == One,
+      "first pattern token must be un-quantified (anchors the match start)")
+    toks.zipWithIndex.drop(1).foreach { case (t, i) =>
+      require((t.types & toks.head.types).isEmpty,
+        s"token $i overlaps the start class — the single-pass matcher " +
+          "would miss matches beginning at consumed rows")
+      if (t.quant != One && i + 1 < toks.length)
+        require((t.types & toks(i + 1).types).isEmpty,
+          s"quantified token $i overlaps its successor — greedy " +
+            "consumption would eat the successor's rows")
+    }
+    toks
+  }
+
+  /** A completed match: event-time micros of the first/last matched row
+    * plus the row count.
+    */
+  final case class Match(startUs: Long, endUs: Long, nRows: Int)
+
+  /** Streaming matcher over ONE key's time-ordered event types. Pure and
+    * driver-testable; the operator runs it per key inside
+    * `mapPartitions`. Greedy, non-overlapping, skip-past-last-row.
+    */
+  final class Matcher(toks: IndexedSeq[Tok]) {
+    private var ti = -1          // current token index; -1 = no attempt
+    private var startUs = 0L
+    private var endUs = 0L
+    private var n = 0
+    private var plusSatisfied = false
+
+    private def reset(): Unit = { ti = -1; n = 0; plusSatisfied = false }
+
+    private def complete(): Option[Match] = {
+      val m = Match(startUs, endUs, n); reset(); Some(m)
+    }
+
+    /** Feed one row; returns the match this row completed, if any. A
+      * failed attempt re-tries the SAME row as a fresh start (sound by
+      * restriction 2); a skip chain that exhausts the tokens completes
+      * the attempt at the previously consumed row, then re-tries.
+      */
+    def feed(tp: String, us: Long): Option[Match] = {
+      var out: Option[Match] = None
+      var again = true
+      while (again) {
+        again = false
+        if (ti < 0) {
+          if (toks.head.types.contains(tp)) {
+            startUs = us; endUs = us; n = 1; ti = 1; plusSatisfied = false
+            if (ti == toks.length) out = complete() // single-token pattern
+          }
+        } else if (ti == toks.length) {
+          // reachable only via a zero-consume skip chain below
+          out = complete()
+          again = true // this row may start a fresh match
+        } else {
+          val t = toks(ti)
+          if (t.types.contains(tp)) {
+            n += 1; endUs = us
+            t.quant match {
+              case One | Opt => ti += 1; plusSatisfied = false
+              case Plus      => plusSatisfied = true
+              case Star      => ()
+            }
+            if (ti == toks.length) out = complete()
+          } else if (t.zeroOk || (t.quant == Plus && plusSatisfied)) {
+            ti += 1; plusSatisfied = false
+            again = true // same row against the next token (or completion)
+          } else {
+            reset()
+            again = true // failed attempt: this row may start afresh
+          }
+        }
+      }
+      out
+    }
+
+    /** End of this key's rows: an in-flight attempt whose remaining
+      * tokens are all zero-consumable completes at the last consumed row.
+      */
+    def flush(): Option[Match] = {
+      if (ti < 0) None
+      else {
+        val from =
+          if (ti < toks.length && toks(ti).quant == Plus && plusSatisfied) ti + 1
+          else ti
+        val ok = (from until toks.length).forall(toks(_).zeroOk)
+        val m = if (ok) Some(Match(startUs, endUs, n)) else None
+        reset(); m
+      }
+    }
+  }
+
+  /** Driver-testable reference entry point: all matches over one
+    * type-sequence (timestamps = indices). Used by the spec to pin the
+    * matcher against hand-computed fixtures.
+    */
+  private[graft] def matchSeq(pattern: String, types: Seq[String]): Seq[Match] = {
+    val m = new Matcher(compile(pattern))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Match]
+    types.zipWithIndex.foreach { case (tp, i) => m.feed(tp, i.toLong).foreach(out += _) }
+    m.flush().foreach(out += _)
+    out.toSeq
+  }
+
+  /** The generic operator: matches of `pattern` over an `events`-shaped
+    * frame, per `user_id`, ordered by (ts, event_id).
+    */
+  def matchPattern(events: DataFrame, pattern: String): DataFrame = {
+    val toks = compile(pattern)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sorted = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, String)]
+    sorted.mapPartitions { it =>
+      new Iterator[(Long, Long, Long, Int)] {
+        private var curUser = Long.MinValue
+        private var started = false
+        private var matcher: Matcher = null
+        private val pending =
+          scala.collection.mutable.Queue.empty[(Long, Long, Long, Int)]
+        private def emit(u: Long, m: Match): Unit =
+          pending.enqueue((u, m.startUs, m.endUs, m.nRows))
+        private def advance(): Unit = {
+          while (pending.isEmpty && it.hasNext) {
+            val (u, us, _, tp) = it.next()
+            if (!started || u != curUser) {
+              if (started) matcher.flush().foreach(emit(curUser, _))
+              curUser = u
+              matcher = new Matcher(toks)
+              started = true
+            }
+            matcher.feed(tp, us).foreach(emit(u, _))
+          }
+          if (pending.isEmpty && !it.hasNext && started) {
+            matcher.flush().foreach(emit(curUser, _))
+            started = false
+          }
+        }
+        override def hasNext: Boolean = { advance(); pending.nonEmpty }
+        override def next(): (Long, Long, Long, Int) = {
+          advance(); pending.dequeue()
+        }
+      }
+    }.toDF("user_id", "start_us", "end_us", "n_rows")
+  }
+
+  /** Registered query: the signup → (view|click)* → purchase conversion
+    * funnel as a row pattern. The oracle replays it relationally: a
+    * signup matches iff the FIRST later row outside the star class is a
+    * purchase; such spans contain exactly one signup and one purchase,
+    * so they are disjoint and skip-past-last changes nothing — which is
+    * what makes this particular pattern exactly SQL-expressible (the
+    * general operator is not).
+    */
+  def q101RowPattern(spark: SparkSession, dir: String): DataFrame =
+    matchPattern(Tables.events(spark, dir), "signup (view|click)* purchase")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+        date_format(timestamp_micros(col("end_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
+        col("n_rows").cast("long").as("n_rows"))
+      .orderBy(col("user_id"), col("start_ts"))
+
+  private val RowPatternOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |sig AS (SELECT user_id, rn AS srn, ts AS start_raw FROM ev
+      |  WHERE event_type = 'signup'),
+      |stopr AS (
+      |  SELECT s.user_id, s.srn, s.start_raw, min(e.rn) AS stop_rn
+      |  FROM sig s JOIN ev e ON e.user_id = s.user_id AND e.rn > s.srn
+      |    AND e.event_type NOT IN ('view', 'click')
+      |  GROUP BY 1, 2, 3)
+      |SELECT n.user_id,
+      |  strftime(n.start_raw, '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+      |  cast(e.rn - n.srn + 1 AS BIGINT) AS n_rows
+      |FROM stopr n JOIN ev e ON e.user_id = n.user_id AND e.rn = n.stop_rn
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY n.user_id, start_ts""".stripMargin
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("q101_row_pattern", q101RowPattern _, RowPatternOracle)
+  )
+}
