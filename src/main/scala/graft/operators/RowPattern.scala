@@ -140,6 +140,16 @@ object RowPattern {
       out
     }
 
+    /** Serializable attempt state, for the streaming processor's
+      * ValueState: (ti, startUs, endUs, n, plusSatisfied).
+      */
+    def snapshot: (Int, Long, Long, Int, Boolean) =
+      (ti, startUs, endUs, n, plusSatisfied)
+
+    def restore(s: (Int, Long, Long, Int, Boolean)): Unit = {
+      ti = s._1; startUs = s._2; endUs = s._3; n = s._4; plusSatisfied = s._5
+    }
+
     /** End of this key's rows: an in-flight attempt whose remaining
       * tokens are all zero-consumable completes at the last consumed row.
       */
@@ -232,7 +242,11 @@ object RowPattern {
         col("n_rows").cast("long").as("n_rows"))
       .orderBy(col("user_id"), col("start_ts"))
 
-  private val RowPatternOracle: String =
+  /** Shared with the streaming twin (`stream_row_pattern`): the match
+    * set is identical because matches are emitted exactly once, when
+    * completed, regardless of micro-batch boundaries.
+    */
+  private[graft] val RowPatternOracle: String =
     """WITH ev AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

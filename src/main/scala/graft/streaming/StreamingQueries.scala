@@ -372,6 +372,54 @@ object StreamingQueries {
     }
   }
 
+  /** STREAMING row-pattern matching (CEP): the batch
+    * [[graft.operators.RowPattern]] matcher run as per-user
+    * `transformWithState` over the rate-limited time-ordered replay —
+    * the signup → (view|click)* → purchase funnel detected live. The
+    * matcher is O(1) state by construction (its single-pass
+    * restrictions), so the state store holds one 5-field attempt record
+    * per user — the CEP shape that scales to 1e9 keys. A match is
+    * emitted exactly ONCE, in the micro-batch whose row completed it
+    * (append semantics, no cumulative-emission collapse needed), so the
+    * result set equals the batch operator's and shares its oracle.
+    *
+    * Ordering contract: rows are sorted by event time WITHIN each
+    * micro-batch (bounded by batch size — same cost class as session
+    * windows); ACROSS batches correctness relies on per-key time-ordered
+    * delivery, which the sliced replay provides and a user-keyed broker
+    * topic provides in production. Out-of-order tolerance would need a
+    * watermark-delayed buffer in front of the matcher — out of scope
+    * here, as for any CEP engine's in-order mode.
+    */
+  def streamRowPattern(spark: SparkSession, dir: String): DataFrame =
+    streamRowPatternFrom(spark, MultiBatchFileSource(dir), "stream_row_pattern")
+
+  private[graft] def streamRowPatternFrom(spark: SparkSession,
+      src: EventSource, name: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    withRocksDB(spark) {
+      val ds = src.stream(spark)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val matched = ds.groupByKey(_._1)
+        .transformWithState(
+          new RowPatternProcessor("signup (view|click)* purchase"),
+          TimeMode.None(), OutputMode.Append())
+      val out = runToMemory(spark,
+        matched.toDF("user_id", "start_us", "end_us", "n_rows"),
+        name, "append")
+      out.select(col("user_id"),
+          date_format(timestamp_micros(col("start_us")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+          date_format(timestamp_micros(col("end_us")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
+          col("n_rows").cast("long").as("n_rows"))
+        .orderBy(col("user_id"), col("start_ts"))
+    }
+  }
+
   /** Stream-static join: the live event feed enriched against a STATIC
     * dimension table — the other join class a streaming engine needs
     * besides stream-stream (q.v.). The static side is a batch DataFrame
@@ -555,6 +603,8 @@ object StreamingQueries {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    QueryDef("stream_row_pattern", streamRowPattern _,
+      graft.operators.RowPattern.RowPatternOracle),
     QueryDef("stream_tws", streamTransformWithState _,
       """SELECT user_id, count(*) AS n_events,
         |  cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
@@ -670,6 +720,48 @@ class SessionTimerProcessor(gapMs: Long)
   * closure) so the checkpointed processor never captures a test suite or
   * session. Order-free merges ⇒ deterministic under any arrival order.
   */
+/** Per-user CEP matcher for [[StreamingQueries.streamRowPattern]]:
+  * ValueState holds one [[graft.operators.RowPattern.Matcher]] snapshot
+  * (ti, startUs, endUs, n, plusSatisfied) per user; each micro-batch's
+  * rows are time-sorted, fed through the matcher, and completed matches
+  * emitted exactly once. Top-level class so the checkpointed processor
+  * never captures a suite or session; the pattern string (not the
+  * compiled tokens) is the serialized field.
+  */
+class RowPatternProcessor(pattern: String)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, String), (Long, Long, Long, Int)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+  import graft.operators.RowPattern
+
+  @transient private lazy val toks = RowPattern.compile(pattern)
+  @transient private var st: ValueState[(Int, Long, Long, Int, Boolean)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    implicit val enc: Encoder[(Int, Long, Long, Int, Boolean)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaInt, Encoders.scalaBoolean)
+    st = getHandle.getValueState[(Int, Long, Long, Int, Boolean)](
+      "attempt", enc, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, String)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Int)] = {
+    val m = new RowPattern.Matcher(toks)
+    Option(st.get()).foreach(m.restore)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    // event-time order within the batch; (ts, event_id) matches the
+    // batch operator's sort so both see identical sequences
+    rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, us, _, tp) =>
+      m.feed(tp, us).foreach(mm => out += ((key, mm.startUs, mm.endUs, mm.nRows)))
+    }
+    st.update(m.snapshot)
+    out.iterator
+  }
+}
+
 class UserSpendProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Long, Long), (Long, Long, Long, Long)] {

@@ -79,6 +79,50 @@ class RowPatternSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty, "fixture must produce at least one match")
   }
 
+  test("streaming CEP equals the batch operator over the 4-slice replay") {
+    val streamed = graft.streaming.StreamingQueries
+      .streamRowPattern(spark, sf0001).collect().map(_.toSeq)
+    val batch = graft.operators.RowPattern
+      .q101RowPattern(spark, sf0001).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("a match spanning a micro-batch boundary completes via carried state") {
+    import graft.streaming.FileEventSource
+    val dir = java.nio.file.Files.createTempDirectory("cep_span").toString
+    try {
+      // pick a real multi-row match and cut the replay INSIDE its span
+      val matches = RowPattern
+        .matchPattern(Tables.events(spark, sf0001), "signup (view|click)* purchase")
+        .filter(col("n_rows") >= 2).collect()
+      assert(matches.nonEmpty, "fixture needs a multi-row match")
+      val cutUs = matches.head.getLong(1) // start_us: boundary lands mid-span
+      val ev = Tables.events(spark, sf0001)
+      def writeOne(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("cep_one").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      writeOne(ev.filter(unix_micros(col("ts")) <= cutUs), s"$dir/events.parquet")
+      Thread.sleep(1100) // later mtime → second batch
+      writeOne(ev.filter(unix_micros(col("ts")) > cutUs), s"$dir/events_b.parquet")
+
+      val streamed = graft.streaming.StreamingQueries.streamRowPatternFrom(
+        spark, FileEventSource(dir, maxFilesPerTrigger = Some(1)), "cep_span")
+        .collect().map(_.toSeq)
+      val batch = graft.operators.RowPattern
+        .q101RowPattern(spark, sf0001).collect().map(_.toSeq)
+      assert(streamed.toSeq === batch.toSeq,
+        "split replay must still find every match, incl. the cut one")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("plan: one shuffle on the key, no global sort") {
     val df = RowPattern
       .matchPattern(Tables.events(spark, sf0001), "signup (view|click)* purchase")
