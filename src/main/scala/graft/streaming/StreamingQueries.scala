@@ -476,7 +476,38 @@ object StreamingQueries {
     * BOTH sides + the time-bound condition let Spark evict join state;
     * without them stream-stream state grows forever.
     */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Run `f` with `spark.sql.shuffle.partitions` overridden, restoring
+    * the previous value. Stateful streaming cost is dominated by
+    * per-micro-batch STATE STORE COMMITS — every trigger commits every
+    * state partition (a stream-stream join keeps FOUR stores per
+    * partition), whether or not it saw data — so the partition count is
+    * a deployment knob sized to key cardinality and throughput, NOT
+    * inherited from the batch shuffle default. Streaming queries pin
+    * their state layout from this conf at first checkpoint; these
+    * replays use fresh checkpoints, so the override takes effect every
+    * run. At 100 TB with ~1e9 keys this number goes UP, not down — the
+    * point is that it is sized deliberately either way.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
+  /** State partitions for the bench-scale stream-stream joins: ~50k
+    * watermark-bounded keys per side at sf0.1 — 8 partitions keeps
+    * every core busy at the data scale while quartering the per-trigger
+    * commit count vs the 32-way batch default.
+    */
+  private val JoinStatePartitions = 8
+
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, JoinStatePartitions) {
+      streamStreamJoinInner(spark, dir)
+    }
+
+  private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
     // ONE source stream split into both join sides by filtering — a
     // second eventsStream() call would register an independent file
     // source and scan the events files twice per micro-batch
@@ -521,7 +552,12 @@ object StreamingQueries {
     * left-outer stream join can never emit a null row at all (and its
     * state never shrinks).
     */
-  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, JoinStatePartitions) {
+      streamOuterJoinInner(spark, dir)
+    }
+
+  private def streamOuterJoinInner(spark: SparkSession, dir: String): DataFrame = {
     val ev = MultiBatchFileSource(dir).stream(spark)
     val signups = ev
       .filter(col("event_type") === "signup")

@@ -171,7 +171,17 @@ object PlanAudit {
       "q83_custom_source" -> Seq(("v2-source-not-parquet", m => m("scans") == 0)),
       // merge = ONE full-outer join on the merge key, no extra shuffle
       // of either side beyond the join's own partitioning
-      "q80_merge_upsert" -> Seq(("single-join", m => m("smj") + m("bhj") + m("shj") == 1))
+      "q80_merge_upsert" -> Seq(("single-join", m => m("smj") + m("bhj") + m("shj") == 1)),
+      // row-pattern CEP: one hash shuffle on the key feeding the sorted
+      // constant-memory matcher pass — never a join, never a global sort
+      // beyond the harness output rx
+      "q101_row_pattern" -> Seq(
+        ("one-hash-shuffle-no-join",
+          m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
+      // streaming CEP: real TransformWithState operator in the
+      // micro-batch plan, no join machinery
+      "stream_row_pattern" -> Seq(
+        ("transform-with-state", m => m("stateOps") >= 1 && m("smj") == 0))
     )
 
     // BroadcastNestedLoopJoin is allowed ONLY where one side is provably
