@@ -58,7 +58,69 @@ object Embeddings {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-drift detection via the Population Stability Index — the
+    * monitoring primitive a serving/training pipeline runs between a
+    * reference corpus slice and a fresh one ("did the embedding
+    * distribution move?"). Feature = first component (double), binned
+    * into 10 fixed-width buckets over [-0.5, 0.5) with clamp buckets 0
+    * and 11 (explicit arithmetic, q57-style, since DuckDB has no
+    * width_bucket); the populations here are the vec_id parity split (a
+    * deterministic stand-in for last-week/this-week). PSI contribution
+    * per bucket = (p_cand − p_ref)·ln(p_cand/p_ref), NULL where either
+    * side is empty (the standard "merge sparse bins" caveat is the
+    * caller's policy). Exact-integer counts; ratios divide exact ints →
+    * identical doubles in both engines; r4 pins the ln.
+    *
+    * Plan: one scan, one hash shuffle into the ≤12-bucket aggregate,
+    * totals via a window over those 12 rows (no scalar-attach join, no
+    * second scan).
+    */
+  def embDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = Tables.embeddings(spark, dir)
+      .select(pmod(col("vec_id"), lit(2)).as("pop"),
+        element_at(vecD(col("embedding")), 1).as("x"))
+      .select(col("pop"), expr(
+        """CASE WHEN x < -0.5 THEN 0 WHEN x >= 0.5 THEN 11
+          |  ELSE cast(floor((x + 0.5) / 0.1) AS BIGINT) + 1 END""".stripMargin)
+        .as("bucket"))
+    val counts = bucketed.groupBy(col("bucket"))
+      .agg(count(when(col("pop") === 0, 1)).as("n_ref"),
+        count(when(col("pop") === 1, 1)).as("n_cand"))
+    val w = Window.partitionBy() // ≤12 post-aggregate rows — free
+    val pr = col("n_ref").cast("double") / col("t_ref").cast("double")
+    val pc = col("n_cand").cast("double") / col("t_cand").cast("double")
+    counts
+      .withColumn("t_ref", sum(col("n_ref")).over(w))
+      .withColumn("t_cand", sum(col("n_cand")).over(w))
+      .select(col("bucket"), col("n_ref"), col("n_cand"),
+        when(col("n_ref") > 0 && col("n_cand") > 0,
+          Tables.r4((pc - pr) * log(pc / pr))).as("psi"))
+      .orderBy(col("bucket"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("emb_drift_psi", embDriftPsi _,
+      """WITH b AS (
+        |  SELECT vec_id % 2 AS pop,
+        |    CASE WHEN x < -0.5 THEN 0 WHEN x >= 0.5 THEN 11
+        |      ELSE cast(floor((x + 0.5) / 0.1) AS BIGINT) + 1 END AS bucket
+        |  FROM (SELECT vec_id, cast(embedding[1] AS DOUBLE) AS x
+        |        FROM embeddings)),
+        |c AS (
+        |  SELECT bucket,
+        |    cast(count(CASE WHEN pop = 0 THEN 1 END) AS BIGINT) AS n_ref,
+        |    cast(count(CASE WHEN pop = 1 THEN 1 END) AS BIGINT) AS n_cand
+        |  FROM b GROUP BY bucket),
+        |t AS (SELECT cast(sum(n_ref) AS BIGINT) AS t_ref,
+        |             cast(sum(n_cand) AS BIGINT) AS t_cand FROM c)
+        |SELECT bucket, n_ref, n_cand,
+        |  CASE WHEN n_ref > 0 AND n_cand > 0 THEN
+        |    floor((cast(n_cand AS DOUBLE) / t_cand - cast(n_ref AS DOUBLE) / t_ref)
+        |      * ln((cast(n_cand AS DOUBLE) / t_cand)
+        |            / (cast(n_ref AS DOUBLE) / t_ref)) * 10000 + 0.5) / 10000
+        |  END AS psi
+        |FROM c, t ORDER BY bucket""".stripMargin),
     QueryDef("emb_normalize", embNormalize _,
       """SELECT vec_id,
         |  floor(sqrt(list_sum(list_transform(embedding,

@@ -76,6 +76,18 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
   }
 
+  test("emb_drift_psi: buckets conserve the corpus; parity split shows no drift") {
+    val rows = graft.operators.Embeddings.embDriftPsi(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total === Tables.embeddings(spark, sf0001).count(),
+      "every vector must land in exactly one bucket")
+    // the parity split is two iid samples of the same corpus — total PSI
+    // must sit far below the classic 0.1 "investigate" threshold
+    val psi = rows.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double])).sum
+    assert(math.abs(psi) < 0.1, s"parity-split PSI unexpectedly large: $psi")
+  }
+
   test("approx percentile lands inside the exact 45th–55th rank bracket") {
     val rows = graft.operators.Relational2.q37ApproxPercentile(spark, sf001).collect()
     assert(rows.nonEmpty)
