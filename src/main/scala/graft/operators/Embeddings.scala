@@ -99,7 +99,55 @@ object Embeddings {
       .orderBy(col("bucket"))
   }
 
+  /** Deterministic negative sampling for contrastive training: per
+    * anchor vector, K=4 pseudo-random negatives drawn by a Knuth-style
+    * multiplicative hash ring over the id space — replayable across
+    * engines and runs (unlike rand()-based sampling, so a training
+    * corpus audit can regenerate the exact pair set), self-collisions
+    * remapped to the next id. Each negative carries `is_hard` (same
+    * label as the anchor) — the signal a curriculum uses to mine hard
+    * negatives. Plan: one explode (no join machinery for the candidate
+    * generation — candidates are ARITHMETIC, not a sampled join), then
+    * one id-keyed join to fetch negative labels: broadcast at bench
+    * scale, an ordinary shuffle join on ids at 100 TB (both sides
+    * id+label only). The single `count()` action is one scalar of
+    * bounded driver state (same budget as the heavy-hitter first pass).
+    */
+  def embNegativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val n = emb.count()
+    val cands = emb
+      .select(col("vec_id"), col("label").as("anchor_label"))
+      .withColumn("j", explode(sequence(lit(1), lit(4))))
+      .withColumn("raw",
+        (col("vec_id") * lit(2654435761L) + col("j") * lit(40503L)) % lit(n))
+      .withColumn("neg_id",
+        when(col("raw") === col("vec_id"), (col("raw") + 1) % lit(n))
+          .otherwise(col("raw")))
+    cands
+      .join(emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label")),
+        Seq("neg_id"))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("neg_id"),
+        (col("neg_label") === col("anchor_label")).as("is_hard"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("emb_negative_sample", embNegativeSample _,
+      """WITH e AS (SELECT vec_id, label FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM e),
+        |c AS (
+        |  SELECT e.vec_id, t.j, e.label AS anchor_label,
+        |    (e.vec_id * 2654435761 + t.j * 40503) % n.n AS raw, n.n AS nn
+        |  FROM e, n, generate_series(1, 4) AS t(j)),
+        |d AS (
+        |  SELECT vec_id, j, anchor_label,
+        |    CASE WHEN raw = vec_id THEN (raw + 1) % nn ELSE raw END AS neg_id
+        |  FROM c)
+        |SELECT d.vec_id, cast(d.j AS BIGINT) AS j, d.neg_id,
+        |  (e2.label = d.anchor_label) AS is_hard
+        |FROM d JOIN e e2 ON e2.vec_id = d.neg_id
+        |ORDER BY d.vec_id, d.j""".stripMargin),
     QueryDef("emb_drift_psi", embDriftPsi _,
       """WITH b AS (
         |  SELECT vec_id % 2 AS pop,

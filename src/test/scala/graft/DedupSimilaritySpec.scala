@@ -76,6 +76,21 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     a.zip(b).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
   }
 
+  test("emb_negative_sample: deterministic, no self-negatives, 4 per anchor") {
+    val rows = graft.operators.Embeddings.embNegativeSample(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val nAnchors = Tables.embeddings(spark, sf0001).count()
+    assert(rows.length === nAnchors * 4, "every anchor needs exactly 4 negatives")
+    rows.foreach { case (a, _, neg, _) => assert(a !== neg, s"self-negative for $a") }
+    // replayable: a second run yields the identical pair set
+    val again = graft.operators.Embeddings.embNegativeSample(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSeq === again.toSeq)
+    // hard negatives exist but are the minority (10 labels → ~10% collision)
+    val hard = rows.count(_._4)
+    assert(hard > 0 && hard < rows.length / 2, s"suspicious hard-negative rate: $hard/${rows.length}")
+  }
+
   test("emb_drift_psi: buckets conserve the corpus; parity split shows no drift") {
     val rows = graft.operators.Embeddings.embDriftPsi(spark, sf0001).collect()
     assert(rows.nonEmpty)
