@@ -140,8 +140,39 @@ object Layout {
        |FROM cum ORDER BY file""".stripMargin
   }
 
+  /** Range-split planning — the boundary half of `repartitionByRange` /
+    * a range-partitioned table write: the k−1 cut points that split
+    * `o_totalprice` into k=16 equal-depth ranges, as exact interpolated
+    * percentiles. This is the PLANNER (at 100 TB you compute these
+    * boundaries with `approx_percentile` over a sample — the same
+    * exact-beside-approx pairing as q65/q37 — and feed them to the
+    * writer); the exact form here is what makes the DuckDB oracle a
+    * value-level hash match. One scan, one sort-agg, 15-row output.
+    */
+  def q104RangeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val fracs = (1 until 16).map(i => i / 16.0)
+    Tables.orders(spark, dir)
+      .agg(expr(s"percentile(o_totalprice, array(${fracs.mkString(", ")}))")
+        .as("bounds"))
+      .select(posexplode(col("bounds")).as(Seq("pos", "boundary")))
+      .select((col("pos") + 1).cast("long").as("split_id"),
+        Tables.r4(col("boundary")).as("boundary"))
+      .orderBy(col("split_id"))
+  }
+
+  private val RangeSplitOracle: String = {
+    val fracs = (1 until 16).map(i => i / 16.0)
+    s"""SELECT cast(t.i AS BIGINT) AS split_id,
+       |  floor(q.qs[t.i] * 10000 + 0.5) / 10000 AS boundary
+       |FROM (SELECT quantile_cont(o_totalprice,
+       |        [${fracs.mkString(", ")}]) AS qs FROM orders) q,
+       |  generate_series(1, 15) AS t(i)
+       |ORDER BY split_id""".stripMargin
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q88_zorder_layout", zorderLayout _, ZorderOracle),
-    QueryDef("q90_compaction_plan", compactionPlan _, CompactionOracle)
+    QueryDef("q90_compaction_plan", compactionPlan _, CompactionOracle),
+    QueryDef("q104_range_split", q104RangeSplit _, RangeSplitOracle)
   )
 }

@@ -268,10 +268,55 @@ object Quality {
       |     JOIN edges e2 ON e1.v = e2.u
       |     JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v) AS n_triangles""".stripMargin
 
+  /** Benford first-digit audit — the classic fabricated-data detector a
+    * DQ platform runs over monetary columns: observed first-significant-
+    * digit shares of `o_totalprice` against Benford's log distribution,
+    * with the per-digit χ² contribution. The first digit comes from the
+    * INTEGER part formatted as a string (both engines format BIGINT
+    * identically), never from floor(log10(x)) — a libm log10 landing a
+    * hair under an exact power of ten would mis-bucket boundary values
+    * differently per engine. One scan, one 9-row aggregate. (Synthetic
+    * uniform-ish prices are NOT Benford-distributed — the query reports
+    * the divergence; judging it is the caller's policy.)
+    */
+  def q103Benford(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy() // 9 post-aggregate rows
+    val share = col("n").cast("double") / col("total").cast("double")
+    val expected = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+    Tables.orders(spark, dir)
+      // explicit floor: DuckDB CAST(double AS BIGINT) rounds, Spark's
+      // truncates — floor() first makes both engines agree at x.5+
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("bigint").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(w))
+      .select(col("digit"), col("n"),
+        Tables.r4(share).as("share"),
+        Tables.r4(expected).as("benford_exp"),
+        Tables.r4((share - expected) * (share - expected) / expected).as("chi2"))
+      .orderBy(col("digit"))
+  }
+
+  private val BenfordOracle: String =
+    """WITH d AS (
+      |  SELECT cast(substring(cast(cast(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+      |    AS BIGINT) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, cast(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+      |t AS (SELECT cast(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT digit, n,
+      |  floor(cast(n AS DOUBLE) / total * 10000 + 0.5) / 10000 AS share,
+      |  floor(ln(1.0 + 1.0 / digit) / ln(10.0) * 10000 + 0.5) / 10000 AS benford_exp,
+      |  floor((cast(n AS DOUBLE) / total - ln(1.0 + 1.0 / digit) / ln(10.0))
+      |    * (cast(n AS DOUBLE) / total - ln(1.0 + 1.0 / digit) / ln(10.0))
+      |    / (ln(1.0 + 1.0 / digit) / ln(10.0)) * 10000 + 0.5) / 10000 AS chi2
+      |FROM c, t ORDER BY digit""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q74_dq_profile", dqProfile _, DqProfileOracle),
     QueryDef("q75_dq_checks", dqChecks _, DqChecksOracle),
     QueryDef("q76_state_diff", stateDiff _, StateDiffOracle),
-    QueryDef("q77_triangle_count", triangleCount _, TriangleOracle)
+    QueryDef("q77_triangle_count", triangleCount _, TriangleOracle),
+    QueryDef("q103_benford", q103Benford _, BenfordOracle)
   )
 }
