@@ -181,7 +181,17 @@ object PlanAudit {
       // streaming CEP: real TransformWithState operator in the
       // micro-batch plan, no join machinery
       "stream_row_pattern" -> Seq(
-        ("transform-with-state", m => m("stateOps") >= 1 && m("smj") == 0))
+        ("transform-with-state", m => m("stateOps") >= 1 && m("smj") == 0)),
+      // PSI drift: one bucket shuffle into a ≤12-row aggregate; totals
+      // ride a window over those rows, never a scalar-attach join
+      "emb_drift_psi" -> Seq(
+        ("one-hash-no-join", m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
+      // sketch set-ops: per-user flags (1 hash) + global agg — no join
+      "q102_hll_setops" -> Seq(
+        ("one-hash-no-join", m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
+      // range-split planning: one scan, one sort-agg, never a join
+      "q104_range_split" -> Seq(
+        ("single-scan-no-join", m => m("scans") == 1 && m("smj") == 0 && m("bhj") == 0))
     )
 
     // BroadcastNestedLoopJoin is allowed ONLY where one side is provably
