@@ -63,18 +63,32 @@ object RowPattern {
       Tok(types, quant)
     }
     require(toks.nonEmpty, "empty pattern")
-    require(toks.head.quant == One,
+    // leading `a+` desugars to `a a*` — MATCH_RECOGNIZE's one-or-more
+    // anchored at the first occurrence; leading `?`/`*` stay rejected
+    // (a zero-width start is genuinely unanchored)
+    val anchored =
+      if (toks.head.quant == Plus)
+        Tok(toks.head.types, One) +: Tok(toks.head.types, Star) +: toks.tail
+      else toks
+    require(anchored.head.quant == One,
       "first pattern token must be un-quantified (anchors the match start)")
-    toks.zipWithIndex.drop(1).foreach { case (t, i) =>
-      require((t.types & toks.head.types).isEmpty,
+    anchored.zipWithIndex.drop(1).foreach { case (t, i) =>
+      // a token overlapping the start class would normally let a match
+      // begin at an already-consumed row (missed by the single pass) —
+      // EXCEPT the leading-run case `a a*`: the star consumes a maximal
+      // contiguous run from the anchor, and any later start inside that
+      // run reaches the same failing/completing row, so retry-at-current
+      // loses nothing (and greedy wants the longest run anyway)
+      val leadingRun = i == 1 && t.quant == Star && t.types == anchored.head.types
+      require(leadingRun || (t.types & anchored.head.types).isEmpty,
         s"token $i overlaps the start class — the single-pass matcher " +
           "would miss matches beginning at consumed rows")
-      if (t.quant != One && i + 1 < toks.length)
-        require((t.types & toks(i + 1).types).isEmpty,
+      if (t.quant != One && i + 1 < anchored.length)
+        require((t.types & anchored(i + 1).types).isEmpty,
           s"quantified token $i overlaps its successor — greedy " +
             "consumption would eat the successor's rows")
     }
-    toks
+    anchored
   }
 
   /** A completed match: event-time micros of the first/last matched row
@@ -266,7 +280,48 @@ object RowPattern {
       |WHERE e.event_type = 'purchase'
       |ORDER BY n.user_id, start_ts""".stripMargin
 
+  /** Second registered pattern, exercising the leading-run form the
+    * compiler desugars (`click+ purchase` → `click click* purchase`):
+    * maximal bursts of consecutive clicks converting directly into a
+    * purchase. The oracle replays it as gaps-and-islands: each MAXIMAL
+    * consecutive click run whose next row is a purchase — equal to the
+    * greedy matcher's output because greedy takes the whole run and
+    * spans (clicks + one purchase) cannot overlap.
+    */
+  def q105ClickBurst(spark: SparkSession, dir: String): DataFrame =
+    matchPattern(Tables.events(spark, dir), "click+ purchase")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+        date_format(timestamp_micros(col("end_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
+        col("n_rows").cast("long").as("n_rows"))
+      .orderBy(col("user_id"), col("start_ts"))
+
+  private val ClickBurstOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, min(ts) AS start_raw, max(rn) AS ern,
+      |    cast(count(*) AS BIGINT) AS len
+      |  FROM (SELECT user_id, ts, rn,
+      |          rn - row_number() OVER (PARTITION BY user_id, event_type
+      |            ORDER BY rn) AS grp, event_type
+      |        FROM ev) x
+      |  WHERE event_type = 'click'
+      |  GROUP BY user_id, grp)
+      |SELECT r.user_id,
+      |  strftime(r.start_raw, '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+      |  r.len + 1 AS n_rows
+      |FROM runs r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.ern + 1
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY r.user_id, start_ts""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
-    QueryDef("q101_row_pattern", q101RowPattern _, RowPatternOracle)
+    QueryDef("q101_row_pattern", q101RowPattern _, RowPatternOracle),
+    QueryDef("q105_click_burst", q105ClickBurst _, ClickBurstOracle)
   )
 }

@@ -48,11 +48,25 @@ class RowPatternSpec extends AnyFunSuite with SparkTestBase {
 
   test("compile rejects patterns the single-pass matcher cannot honor") {
     intercept[IllegalArgumentException](RowPattern.compile("a* b"))
+    intercept[IllegalArgumentException](RowPattern.compile("a? b"))
     // later token overlapping the start class → missed-match hazard
     intercept[IllegalArgumentException](RowPattern.compile("a a c"))
     // quantified token overlapping its successor → greedy would eat it
     intercept[IllegalArgumentException](RowPattern.compile("a (b|c)* c"))
     intercept[IllegalArgumentException](RowPattern.compile(""))
+  }
+
+  test("leading + desugars to an anchored maximal run") {
+    // a+ b ≡ a a* b: greedy takes the whole run, anchored at its first row
+    assert(m("a+ b", "a", "a", "a", "b") === Seq((0, 3, 4)))
+    assert(m("a+ b", "a", "b", "a", "a", "b") === Seq((0, 1, 2), (2, 4, 3)))
+    // broken run: the x kills the left attempt; the right run still matches
+    assert(m("a+ b", "a", "x", "a", "b") === Seq((2, 3, 2)))
+    // run with no terminator never matches (flush discards: b is literal)
+    assert(m("a+ b", "a", "a") === Seq.empty)
+    // leading-run exemption is narrow: a mid-pattern start-class token
+    // still rejects
+    intercept[IllegalArgumentException](RowPattern.compile("a b* a"))
   }
 
   test("distributed operator equals a driver-side replay on real events") {
