@@ -193,7 +193,8 @@ object Bench {
       "q1_agg", "q3_star_join", "q18_asof_join", "q28_window_analytic",
       "wordcount_reference", "dedup_exact", "dedup_minhash_lsh",
       "dedup_survivors", "sim_topk_bruteforce", "pipeline_corpus_build",
-      "pipeline_pack_sequences", "stream_stream_join")
+      "pipeline_pack_sequences", "stream_stream_join",
+      "q101_row_pattern", "stream_row_pattern")
     // stdout carries at most the 10 worst regressions (full list in file)
     // so the line stays inside the driver's log-tail window
     val regJsonCompact = regressions.take(10).map((regEntry _).tupled)

@@ -178,6 +178,9 @@ object PlanAudit {
       "q101_row_pattern" -> Seq(
         ("one-hash-shuffle-no-join",
           m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
+      "q105_click_burst" -> Seq(
+        ("one-hash-shuffle-no-join",
+          m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
       // streaming CEP: real TransformWithState operator in the
       // micro-batch plan, no join machinery
       "stream_row_pattern" -> Seq(

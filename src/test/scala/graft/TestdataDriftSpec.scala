@@ -58,5 +58,9 @@ class TestdataDriftSpec extends AnyFunSuite with SparkTestBase {
     val ts = Seq((1L, new java.sql.Timestamp(1700000000000L)))
       .toDF("event_id", "ts")
     assert(Tables.adaptEventsTs(ts) eq ts)
+    // an encoding nobody taught it yet must fail LOUDLY, naming the fix
+    val weird = Seq((1L, "2023-11-14")).toDF("event_id", "ts")
+    val e = intercept[RuntimeException](Tables.adaptEventsTs(weird))
+    assert(e.getMessage.contains("testdata drifted"))
   }
 }
