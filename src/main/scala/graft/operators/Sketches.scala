@@ -126,10 +126,13 @@ object Sketches {
     * over the same token stream — the engine-native twin of the
     * hand-built Misra–Gries pipeline above, kept beside it the way
     * `q37_approx_percentile` sits beside its exact percentiles. The
-    * sketch's counts are merge-order-dependent estimates, so the query
-    * is rows-only by contract; SketchesSpec pins it against exact
-    * counts (every true heavy hitter present, estimates within the
-    * sketch's documented error of the truth).
+    * sketch's counts are estimates IN GENERAL, but on this corpus the
+    * 31-token vocabulary never oversubscribes the 4096-slot sketch, so
+    * every count is EXACT regardless of merge order (SketchesSpec pins
+    * that law) — which makes the plain exact-top-20 SQL a true oracle.
+    * The k=20 cut is tie-free at the gate SF (rank 20 = 888 vs rank
+    * 21 = 886 at sf0.01); a regen that ties the boundary would turn
+    * this red, correctly flagging that the oracle needs a tie audit.
     */
   def approxTopK(spark: SparkSession, dir: String): DataFrame = {
     tokens(spark, dir).createOrReplaceTempView("hh_toks")
@@ -139,8 +142,18 @@ object Sketches {
         |ORDER BY est DESC, tok""".stripMargin)
   }
 
+  private val ApproxTopKOracle: String =
+    """WITH toks AS (
+      |  SELECT lower(regexp_replace(unnest(string_split(text, ' ')),
+      |    '[^\w]', '', 'g')) AS tok
+      |  FROM documents),
+      |clean AS (SELECT tok FROM toks WHERE tok <> '')
+      |SELECT tok, count(*) AS est
+      |FROM clean GROUP BY tok
+      |ORDER BY est DESC, tok LIMIT 20""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("sketch_heavy_hitters", heavyHitters _, HeavyHittersOracle),
-    QueryDef.noOracle("sketch_approx_topk", approxTopK _)
+    QueryDef("sketch_approx_topk", approxTopK _, ApproxTopKOracle)
   )
 }
