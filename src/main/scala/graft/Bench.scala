@@ -33,6 +33,60 @@ import org.apache.spark.sql.SparkSession
   *     (SPARK_GRAFT_ONLY) and other-sf smokes never clobber them.
   */
 object Bench {
+
+  private[graft] def r3(v: Double): String = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** The exact baseline-file shape [[main]] writes — serializer and
+    * parser live side by side because the parser is a REGEX over this
+    * one shape, not a JSON library ([[parseBaseline]] explains why that
+    * is safe and where it must refuse).
+    */
+  private[graft] def baselineJson(sf: String, warm: Map[String, Double]): String = {
+    val body = warm.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")
+    s"""{"sf":"$sf","queries_warm":{$body}}"""
+  }
+
+  /** Parse a baseline/bench JSON's warm medians. A regex, not a JSON
+    * parser (no JSON library on the offline classpath) — sound ONLY
+    * because [[baselineJson]] is the writer and emits a flat
+    * string→number object. That coupling is the risk: a future nested
+    * value would make `[^}]*` truncate at the first inner `}` and the
+    * old code returned a silently-wrong/empty map, BLINDING the
+    * regression gate (the round-5 failure mode, via the missing-file
+    * path). So this parser REFUSES loudly instead: any `{` inside the
+    * extracted body, a missing `queries_warm` key, or a body whose
+    * entries don't all parse is an error, not an empty map. Absent FILE
+    * = legitimately no prior (first run at an SF); absent/denatured
+    * STRUCTURE = a bug that must not pass silently.
+    * BenchBaselineSpec pins both directions.
+    */
+  private[graft] def parseBaseline(txt: String, sfDir: String): Map[String, Double] = {
+    // only compare like with like: a prior at a different scale factor
+    // would flag everything or nothing, both meaningless
+    val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    if (!prevSf.contains(sfDir)) Map.empty
+    else {
+      val obj = """"queries_warm":\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse(
+          sys.error("baseline JSON has no queries_warm object — " +
+            "refusing to run the regression gate blind"))
+      if (obj.contains("{"))
+        sys.error("baseline queries_warm is not a flat string->number " +
+          "object — the regex parser cannot read nested JSON; fix the " +
+          "writer/parser pair in graft.Bench together")
+      val entries = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toVector
+      val segments = if (obj.trim.isEmpty) 0 else obj.split(",", -1).length
+      if (entries.length != segments)
+        sys.error(s"baseline queries_warm parsed ${entries.length} of " +
+          s"$segments entries — malformed baseline; refusing to run the " +
+          "regression gate against a partial prior")
+      entries.toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -104,8 +158,6 @@ object Bench {
         if (samples.length == warmPasses) Some(name -> median(samples)) else None
       }.toMap
 
-    def r3(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // regression gate: read the previous warm medians and flag any query
     // whose warm median grew >1.5x round-over-round. Sub-50ms priors are
     // skipped (pure scheduling noise at that scale). Priors live in a
@@ -116,29 +168,25 @@ object Bench {
     // is always the LATEST run, whatever its scope).
     val baselinePath = s"bench_baseline.${new java.io.File(sfDir).getName}.json"
     val subsetRun = sys.env.contains("SPARK_GRAFT_ONLY")
-    def readWarm(path: String): Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      // only compare like with like: a prior at a different scale factor
-      // would flag everything or nothing, both meaningless
-      val prevSf = """"sf":"([^"]*)"""".r
-        .findFirstMatchIn(txt).map(_.group(1))
-      if (!prevSf.contains(sfDir)) Map.empty[String, Double]
-      else {
-        val obj = """"queries_warm":\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([^"]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(obj)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+    // a missing FILE is a legitimate no-prior (first run at this SF);
+    // a file that exists but doesn't parse must FAIL the bench loudly —
+    // see parseBaseline
+    def readWarm(path: String): Map[String, Double] = {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else parseBaseline(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
+    }
     val prevWarm: Map[String, Double] = {
       val b = readWarm(baselinePath)
       if (b.nonEmpty) b else readWarm(outPath) // pre-baseline-file migration
     }
     // a query with a prior that FAILED this run is the worst regression
     // of all — round 5's 35 events-schema failures reported
-    // "regressions":[] precisely because failures were exempt. Encode
-    // them as ratio ∞ (now = -1) so they sort first and are unmissable.
+    // "regressions":[] precisely because failures were exempt. Internally
+    // ratio = ∞ so they sort first; in the JSON they carry "failed":true
+    // with the numeric sentinel ratio -1 (every "ratio" stays a number —
+    // a consumer sorting or thresholding ratios must not hit a string).
     val failedWithPrior: Seq[(String, Double, Double, Double)] =
       (errCold ++ errWarm).distinct.toSeq.sorted.flatMap { name =>
         prevWarm.get(name).map(p => (name, p, -1.0, Double.PositiveInfinity))
@@ -149,8 +197,10 @@ object Bench {
           .map(p => (name, p, v, v / p))
       }.sortBy(-_._4)
     def regEntry(n: String, p: Double, v: Double, r: Double): String =
-      if (r.isInfinity) s"""{"q":"$n","prev":${r3(p)},"now":null,"ratio":"failed"}"""
-      else s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)}}"""
+      if (r.isInfinity)
+        s"""{"q":"$n","prev":${r3(p)},"now":null,"ratio":-1,"failed":true}"""
+      else
+        s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)},"failed":false}"""
     val regJson = regressions.map((regEntry _).tupled).mkString("[", ",", "]")
     if (regressions.nonEmpty) regressions.foreach { case (n, p, v, r) =>
       if (r.isInfinity)
@@ -180,7 +230,7 @@ object Bench {
     // the next gate); entries for queries no longer registered drop out
     if (!subsetRun) try {
       val merged = (prevWarm ++ warm).filter { case (k, _) => benchQueries.contains(k) }
-      val bj = s"""{"sf":"$sfDir","queries_warm":${fmt(merged, merged.keys.toSeq.sorted)}}"""
+      val bj = baselineJson(sfDir, merged)
       java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
         (bj + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] wrote $baselinePath")

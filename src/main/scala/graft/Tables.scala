@@ -76,15 +76,31 @@ object Tables {
   def eventsRaw(s: SparkSession, path: String): DataFrame =
     try s.read.parquet(path)
     catch {
-      case e: Throwable if isNanosIllegal(e) =>
+      // The conf deliberately stays flipped for the session: the scan
+      // re-consults it at action time (per-file footer conversion), so
+      // restoring it right after the lazy retry read would fail the
+      // eventual execution — and once the testdata is nanos-encoded,
+      // every later events read needs the same mode anyway.
+      case e: Exception if isNanosIllegal(e) =>
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         s.read.parquet(path)
     }
 
-  private def isNanosIllegal(e: Throwable): Boolean = {
-    val m = String.valueOf(e.getMessage)
-    m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("NANOS")
-  }
+  /** True iff the failure is the vectorized reader's typed rejection of
+    * nanos timestamps — the SparkThrowable error class
+    * PARQUET_TYPE_ILLEGAL, on the throwable or its immediate cause chain
+    * (schema inference can surface it wrapped in a SparkException).
+    * Deliberately NOT a message-substring match: an unrelated failure
+    * that merely mentions "NANOS", or a fatal Error, must propagate
+    * rather than flip a session-wide legacy conf.
+    */
+  private def isNanosIllegal(e: Throwable): Boolean =
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(5)
+      .exists {
+        case st: org.apache.spark.SparkThrowable =>
+          String.valueOf(st.getCondition).contains("PARQUET_TYPE_ILLEGAL")
+        case _ => false
+      }
 
   /** Normalize an events frame (batch OR streaming) to µs
     * `TimestampType` `ts`. LongType means raw epoch-nanos from the

@@ -112,6 +112,16 @@ object Embeddings {
     * scale, an ordinary shuffle join on ids at 100 TB (both sides
     * id+label only). The single `count()` action is one scalar of
     * bounded driver state (same budget as the heavy-hitter first pass).
+    *
+    * Id-space bound: the Int64 product `vec_id * 2654435761` wraps for
+    * vec_id ≳ 2^63/2654435761 ≈ 3.47e9. `pmod` keeps the wrapped value
+    * non-negative and in [0, n), so the 4-negatives-per-anchor invariant
+    * holds at ANY id scale on the Spark side (a plain `%` would go
+    * negative and the label join would silently drop those candidates).
+    * The DuckDB REPLAY bound is the id space above — DuckDB raises on
+    * BIGINT overflow rather than wrapping — which the sf corpora sit far
+    * under; for positive un-wrapped products pmod ≡ %, so the oracle
+    * arithmetic is unchanged.
     */
   def embNegativeSample(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
@@ -120,7 +130,7 @@ object Embeddings {
       .select(col("vec_id"), col("label").as("anchor_label"))
       .withColumn("j", explode(sequence(lit(1), lit(4))))
       .withColumn("raw",
-        (col("vec_id") * lit(2654435761L) + col("j") * lit(40503L)) % lit(n))
+        pmod(col("vec_id") * lit(2654435761L) + col("j") * lit(40503L), lit(n)))
       .withColumn("neg_id",
         when(col("raw") === col("vec_id"), (col("raw") + 1) % lit(n))
           .otherwise(col("raw")))

@@ -371,9 +371,16 @@ object Relational3 {
     * estimator), beside the exact answer. The per-user flags frame feeds
     * BOTH paths — sketches see each user once (so the sketch is over the
     * distinct set) and the exact counts are plain flag sums — one
-    * user-keyed shuffle, one global aggregate, no join. Bracket at 15 %:
-    * inclusion–exclusion compounds three ±1.6 % (lgK=12) estimates, and
-    * the absolute errors land on the (smaller) intersection.
+    * user-keyed shuffle, one global aggregate, no join. Bracket:
+    * 15 % relative OR 3 absolute, whichever is larger — inclusion–
+    * exclusion compounds three ±1.6 % (lgK=12) estimates whose ABSOLUTE
+    * errors land on the (smaller) intersection, so a purely relative
+    * bound degenerates as exact_both → 0 (at 0 it would demand the
+    * floating-point estimate be exactly 0.0). The absolute floor keeps
+    * the oracle green under a testdata regen with few signup∩purchase
+    * users (same regen-sensitivity class as the approx_top_k tie
+    * caveat); at the current sf0.1 corpus exact_both ≈ 10³ and the
+    * relative term governs.
     */
   def q102HllSetops(spark: SparkSession, dir: String): DataFrame = {
     val flags = Tables.events(spark, dir)
@@ -391,7 +398,7 @@ object Relational3 {
           " - hll_sketch_estimate(hll_union(ska, skb))"))
       .select(col("exact_signup"), col("exact_purchase"), col("exact_both"),
         (abs(col("est_both") - col("exact_both"))
-          <= col("exact_both") * 0.15).as("in_bracket"))
+          <= greatest(col("exact_both") * 0.15, lit(3.0))).as("in_bracket"))
   }
 
   /** VARIANT (new in Spark 4): parse_json into the open semi-structured

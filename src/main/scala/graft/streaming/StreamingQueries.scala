@@ -771,6 +771,19 @@ class RowPatternProcessor(pattern: String)
   import org.apache.spark.sql.{Encoder, Encoders}
   import graft.operators.RowPattern
 
+  // Streams never end, so this processor can never run the end-of-input
+  // flush() the batch operator uses — a pattern whose tail is satisfiable
+  // without consuming another row ('a b*', 'a b?', or 'a b+' once one b
+  // is seen) would silently drop exactly the matches flush() emits, and
+  // the "result set equals the batch operator's" contract would break on
+  // a pattern swap. Reject those at construction (driver-side, before
+  // the query starts): the last token must be un-quantified, so every
+  // match is completed by a consuming row inside some micro-batch.
+  require(RowPattern.compile(pattern).last.quant == RowPattern.One,
+    s"streaming row pattern '$pattern' must end in an un-quantified " +
+      "token: a flush-completable tail (?, *, +) would drop " +
+      "end-of-stream matches the batch operator emits")
+
   @transient private lazy val toks = RowPattern.compile(pattern)
   @transient private var st: ValueState[(Int, Long, Long, Int, Boolean)] = _
 

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the Bench baseline writer/parser pair (a regex parser over the
+  * one flat shape `baselineJson` writes — no JSON library on the offline
+  * classpath). Two directions matter:
+  *   1. round trip: whatever the writer emits, the parser reads back
+  *      verbatim — the regression gate's prior is exactly the recorded
+  *      medians;
+  *   2. refusal: structure the regex CANNOT faithfully read (nested
+  *      objects, partial entries, a missing queries_warm key) must fail
+  *      LOUDLY, never degrade to an empty/partial map — an empty prior
+  *      silently disables the gate, which is how round 5's 35-query
+  *      regression initially reported "regressions":[].
+  * No SparkSession needed — pure string functions, runs in milliseconds.
+  */
+class BenchBaselineSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  test("round trip: serialize -> parse -> identical map") {
+    val warm = Map(
+      "q1_agg" -> 1.086, "stream_outer_join" -> 7.664,
+      "dedup_minhash_lsh" -> 1.68, "q105_click_burst" -> 0.25,
+      "tiny" -> 0.001)
+    val txt = Bench.baselineJson(sf, warm)
+    assert(Bench.parseBaseline(txt, sf) === warm)
+  }
+
+  test("round trip survives exponent-formatted and sub-ms values") {
+    // r3 rounds to 3 decimals on write, so the parsed map equals the
+    // ROUNDED input — assert against that, pinning the 3dp contract
+    val warm = Map("a" -> 1.23456, "b" -> 12345.6789, "c" -> 0.0004)
+    val parsed = Bench.parseBaseline(Bench.baselineJson(sf, warm), sf)
+    assert(parsed === Map("a" -> 1.235, "b" -> 12345.679, "c" -> 0.0))
+  }
+
+  test("other-SF prior parses to empty (like is only compared with like)") {
+    val txt = Bench.baselineJson("/root/testdata/sf0.01", Map("a" -> 1.0))
+    assert(Bench.parseBaseline(txt, sf) === Map.empty[String, Double])
+  }
+
+  test("empty baseline map round-trips to empty, not an error") {
+    assert(Bench.parseBaseline(Bench.baselineJson(sf, Map.empty), sf)
+      === Map.empty[String, Double])
+  }
+
+  test("nested object in queries_warm fails loudly, never an empty map") {
+    // the exact future failure mode the old parser hid: a nested value
+    // would truncate at the first inner '}' and the gate went blind
+    val nested =
+      s"""{"sf":"$sf","queries_warm":{"q1_agg":{"median":1.0,"n":3}}}"""
+    val e = intercept[RuntimeException](Bench.parseBaseline(nested, sf))
+    assert(e.getMessage.contains("flat"), s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("missing queries_warm key fails loudly") {
+    val e = intercept[RuntimeException](
+      Bench.parseBaseline(s"""{"sf":"$sf","warm":{"a":1.0}}""", sf))
+    assert(e.getMessage.contains("queries_warm"))
+  }
+
+  test("unparseable entry fails loudly, never a partial prior") {
+    // one good entry + one garbage entry: a PARTIAL map would silently
+    // exempt the lost queries from the gate — must refuse instead
+    val partial =
+      s"""{"sf":"$sf","queries_warm":{"a":1.0,"b":oops}}"""
+    val e = intercept[RuntimeException](Bench.parseBaseline(partial, sf))
+    assert(e.getMessage.contains("malformed"))
+  }
+
+  test("parser reads the full bench_out.json shape (fallback path)") {
+    // prevWarm falls back to bench_out.json, which nests OTHER objects
+    // (queries, regressions) around a still-flat queries_warm — the
+    // parser must read exactly the flat object and ignore the rest
+    val full =
+      s"""{"metric":"total","value":10.0,"unit":"sec","queries":{"a":1.2},""" +
+        s""""total_warm":9.0,"queries_warm":{"a":1.1,"b":2.5},""" +
+        s""""regressions":[{"q":"x","prev":1.0,"now":2.0,"ratio":2.0,"failed":false}],""" +
+        s""""sf":"$sf"}"""
+    assert(Bench.parseBaseline(full, sf) === Map("a" -> 1.1, "b" -> 2.5))
+  }
+}
