@@ -83,6 +83,52 @@ object Analytics {
       .orderBy(col("node"))
   }
 
+  /** PageRank iterated to CONVERGENCE — the production entry, where the
+    * round count follows the data instead of a constant: stop when the
+    * L1 rank delta of a round underruns `eps`, with determinism kept by
+    * a pinned `maxIters` ceiling (the loop is a pure function of
+    * (edges, eps, maxIters): same data ⇒ same round count ⇒ same
+    * ranks). The REGISTERED q78 stays the fixed-[[Iters]]-round form
+    * because its DuckDB oracle unrolls exactly those rounds — an
+    * ε-stopped run is only boundedly close to it, and the hash gate
+    * needs bit-equality. The convergence probe is one scalar action per
+    * round (join on node + global L1 sum) — bounded driver state, and
+    * the per-round `localCheckpoint` keeps lineage flat exactly as in
+    * the fixed loop. Measured round count (pinned deterministic by
+    * AnalyticsSpec "pagerank converges"): sf0.001 reaches eps=1e-9 in
+    * 10 rounds, comfortably under the 20-round ceiling.
+    */
+  private[graft] def pagerankConverged(spark: SparkSession, dir: String,
+      eps: Double = 1e-9, maxIters: Int = 20): (DataFrame, Int) = {
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    var rank = deg.select(col("u").as("node"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    var rounds = 0
+    var delta = Double.MaxValue
+    while (rounds < maxIters && delta >= eps) {
+      val next = edges
+        .join(rank.withColumnRenamed("node", "u"), Seq("u"))
+        .join(deg, Seq("u"))
+        .groupBy(col("v"))
+        .agg((lit(0.15 / n) + lit(Damping) * sum(col("rank") / col("deg")))
+          .as("rank"))
+        .select(col("v").as("node"), col("rank"))
+        .localCheckpoint()
+      delta = next
+        .join(rank.select(col("node"), col("rank").as("prev")), Seq("node"))
+        .agg(sum(abs(col("rank") - col("prev"))).as("d"))
+        .head.getDouble(0)
+      rank = next
+      rounds += 1
+    }
+    (rank
+      .select(col("node"), (floor(col("rank") * 1e8 + 0.5) / 1e8).as("rank_r8"))
+      .orderBy(col("node")), rounds)
+  }
+
   private val PagerankOracle: String =
     s"""WITH $CoPurchaseEdgesCte,
       |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),

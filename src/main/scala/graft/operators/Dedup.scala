@@ -168,7 +168,18 @@ object Dedup {
     verifiedPairs(Tables.documents(spark, dir))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs: banded blocking (capped buckets) + Hamming ≤ 6. */
+  /** SimHash near-dup pairs: banded blocking (capped buckets) + Hamming ≤ 6.
+    *
+    * FULLY oracled (not rows-only): SimHash is deliberately built from
+    * FNV-1a64 — pure byte arithmetic with no engine-private hashing — so
+    * DuckDB can replay the ENTIRE pipeline: per-token FNV over UTF-8
+    * bytes (HUGEINT modular multiply), the 64-bit majority vote, the
+    * 4×16-bit banding, the capped-bucket pair generation including the
+    * k-anchor star, and the Hamming gate. The one semantic to keep in
+    * lockstep: Spark hashes EVERY non-null token including empty strings
+    * (FNV of "" = the offset basis), and a bit is set only on a STRICT
+    * majority — both replayed verbatim in the oracle SQL.
+    */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -183,7 +194,8 @@ object Dedup {
     // function of the sigs so no second distinct is needed
     cappedBucketPairs(banded, "band_key", Seq("sig"))
       .select(col("id_a"), col("id_b"),
-        call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -371,7 +383,62 @@ object Dedup {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin),
     QueryDef.noOracle("dedup_minhash_lsh", dedupMinhashLsh _),
-    QueryDef.noOracle("dedup_simhash", dedupSimhash _),
+    QueryDef("dedup_simhash", dedupSimhash _,
+      // full replay of the SimHash pipeline: FNV-1a64 per token (HUGEINT
+      // modular multiply = Spark's wrapping long multiply), strict-
+      // majority bit vote, 4×16-bit bands, capped-bucket pairs with the
+      // 4-anchor star, Hamming ≤ 6
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    list_transform(t, tok ->
+        |      list_reduce(
+        |        list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |          list_transform(range(1, octet_length(encode(tok)) + 1),
+        |            i -> CAST('0x' || substring(hex(encode(tok)), 2*i-1, 2)
+        |                      AS UBIGINT))),
+        |        (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+        |                       % 18446744073709551616 AS UBIGINT))) AS hs
+        |  FROM toks),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    CAST((SELECT sum(CASE
+        |            WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1)) > len(hs)
+        |            THEN CAST(1::UBIGINT << j AS HUGEINT) ELSE 0 END)
+        |          FROM generate_series(0, 63) AS g(j)) AS UBIGINT) AS sig
+        |  FROM hashes),
+        |banded AS (
+        |  SELECT doc_id, sig, b.b AS band_idx,
+        |    (sig >> (16 * b.b)) & 65535 AS band_key
+        |  FROM sigs, generate_series(0, 3) AS b(b)),
+        |sized AS (
+        |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bsz
+        |  FROM banded),
+        |small_pairs AS (
+        |  SELECT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+        |  FROM sized a JOIN sized b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |    AND a.doc_id < b.doc_id
+        |  WHERE a.bsz <= 32 AND b.bsz <= 32),
+        |anchors AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_key
+        |      ORDER BY doc_id) AS rn
+        |    FROM sized WHERE bsz > 32)
+        |  WHERE rn <= 4),
+        |star_pairs AS (
+        |  SELECT a.doc_id AS id_a, a.sig AS sig_a, m.doc_id AS id_b, m.sig AS sig_b
+        |  FROM anchors a JOIN sized m
+        |    ON a.band_idx = m.band_idx AND a.band_key = m.band_key
+        |    AND a.doc_id < m.doc_id
+        |  WHERE m.bsz > 32),
+        |cand AS (
+        |  SELECT DISTINCT id_a, id_b, sig_a, sig_b
+        |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs))
+        |SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin),
     QueryDef("dedup_substring", dedupSubstring _,
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t

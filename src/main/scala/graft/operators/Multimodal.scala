@@ -8,13 +8,18 @@ import graft.{QueryDef, Tables}
   * typed metadata struct, with decode / feature-extraction as
   * partition-mapped batch operators.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub (`fakeDecode`) — but every piece of
-  * Spark-side plumbing is real and tested: the binary column + metadata
-  * schema, the `mapPartitions` batch shape (one decoder instance per
-  * partition, streaming iterator, no per-row setup cost), partitioning
-  * that scales (payloads never shuffle except where keyed), and
-  * chunk/frame addressing arithmetic.
+  * The DECODE step is a real header-level parser
+  * ([[graft.functions.MediaHeaders]]): magic-byte sniffing plus BMP /
+  * RIFF-WAVE header arithmetic that yields true dimensions for any real
+  * file of those formats — no codec library needed, because container
+  * headers are self-describing. What stays synthetic is the test DATA:
+  * the documents table carries no media, so [[asMedia]] wraps each
+  * document's bytes into a genuine BMP container (spec-faithful header,
+  * content-synthetic pixel array) whose declared dimensions are a fixed
+  * arithmetic function of the byte length — which is what lets DuckDB
+  * replay the decode as arithmetic while Spark honestly parses bytes.
+  * Entropy-coded formats (JPEG/PNG) would slot in behind the same
+  * `probe` seam with a codec dependency and nothing else would change.
   *
   * At 100 TB: payloads live in parquet binary columns (or pointers to
   * object storage); decode cost dominates, so the operator must be a
@@ -22,30 +27,36 @@ import graft.{QueryDef, Tables}
   * keep payload bytes out of queries that only touch metadata.
   */
 object Multimodal {
+  import graft.functions.MediaHeaders
 
-  /** The documents table dressed as a multimodal table: payload =
-    * UTF-8 bytes of `text` standing in for an encoded image.
+  /** Fixture-synthesis side of the decode round-trip: wrap bytes in a
+    * real BMP container whose header declares width/height by the fixed
+    * formulas the oracles replay. A scalar UDF (not codegen) is fine
+    * here — container synthesis exists only because the test tables have
+    * no media; production data arrives already encoded.
+    */
+  private val bmpContainer = udf { bytes: Array[Byte] =>
+    val n = bytes.length
+    MediaHeaders.bmpWrap(bytes, 64 + n % 577, 64 + (n * 31) % 353)
+  }
+
+  /** The documents table dressed as a multimodal table: payload = a real
+    * BMP container around the document's UTF-8 bytes.
     */
   def asMedia(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      col("text").cast("binary").as("payload"),
+      bmpContainer(col("text").cast("binary")).as("payload"),
       struct(col("source").as("container"), col("lang").as("tag"),
         col("n_chars")).as("meta"))
 
-  /** STUB decoder — stands in for an image codec. Deterministic pure
-    * function of payload length so results are verifiable; a real build
-    * would link a codec here and nothing else would change.
-    */
-  private[graft] def fakeDecode(nBytes: Int): (String, Int, Int) = {
-    val format = (nBytes % 3) match {
-      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-    }
-    (format, 64 + nBytes % 577, 64 + (nBytes * 31) % 353)
-  }
-
-  /** Decode stub over the binary payload via mapPartitions — the real
-    * batch shape: per-partition iterator in, iterator out.
+  /** Header-level decode over the binary payload via mapPartitions — the
+    * real batch shape: per-partition iterator in, iterator out, pure
+    * byte arithmetic per element ([[MediaHeaders.probe]] sniffs the
+    * format; an unrecognized payload becomes an `unsupported` ROW, never
+    * a task failure). `n_bytes` is the pixel-array size the header
+    * declares (biSizeImage) — for the synthesized containers, exactly
+    * the wrapped document's byte length, which the oracle replays.
     */
   def mmDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -53,11 +64,14 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder instance would be constructed HERE, once
         it.map { case (id, payload) =>
-          val n = payload.length
-          val (format, w, h) = fakeDecode(n)
-          (id, format, w, h, n)
+          MediaHeaders.probe(payload) match {
+            case MediaHeaders.ImageInfo(f, w, h, nb) => (id, f, w, h, nb)
+            // a non-image payload in an image scan is a datum to route,
+            // not an error: keep the sniffed format, zero the image dims
+            case MediaHeaders.AudioInfo(f, _, _, _, _) => (id, f, 0, 0, 0)
+            case MediaHeaders.Unsupported(_) => (id, "unsupported", 0, 0, 0)
+          }
         }
       }
       .toDF("doc_id", "format", "width", "height", "n_bytes")
@@ -172,9 +186,10 @@ object Multimodal {
         |      c -> ascii(c))) AS BIGINT) AS peak
         |FROM documents ORDER BY doc_id""".stripMargin),
     QueryDef("mm_decode", mmDecode _,
-      """SELECT doc_id,
-        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg'
-        |    WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+      // the oracle replays the CONTAINER SYNTHESIS arithmetic (declared
+      // dims are a function of byte length); Spark earns the same values
+      // by genuinely parsing the BMP bytes it wrapped
+      """SELECT doc_id, 'bmp' AS format,
         |  64 + octet_length(encode(text)) % 577 AS width,
         |  64 + (octet_length(encode(text)) * 31) % 353 AS height,
         |  octet_length(encode(text)) AS n_bytes

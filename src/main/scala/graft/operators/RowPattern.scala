@@ -7,9 +7,10 @@ import graft.{QueryDef, Tables}
 /** Row-pattern matching over per-key event sequences — the
   * MATCH_RECOGNIZE capability of Trino/Flink/ISO SQL:2016, which Spark
   * SQL lacks. A pattern is a sequence of tokens, each a set of event
-  * types with a quantifier (`one`, `?`, `*`, `+`); matching is anchored,
-  * greedy, non-overlapping, and resumes past the last matched row
-  * (MATCH_RECOGNIZE's default AFTER MATCH SKIP PAST LAST ROW).
+  * types with a quantifier (`one`, `?`, `*`, `+`); matching is anchored
+  * and greedy, with the AFTER MATCH policy a compile-time option
+  * ([[SkipMode]]): SKIP PAST LAST ROW (the ISO default —
+  * non-overlapping) or SKIP TO NEXT ROW (overlapping run suffixes).
   *
   * Restrictions (validated at [[RowPattern.compile]]) that buy a
   * STREAMING matcher — single forward pass, O(1) state, no backtracking:
@@ -36,6 +37,24 @@ object RowPattern {
   case object Opt extends Quant
   case object Star extends Quant
   case object Plus extends Quant
+
+  /** AFTER MATCH SKIP policy (ISO MATCH_RECOGNIZE):
+    * [[SkipPastLastRow]] resumes after the matched span (the default,
+    * non-overlapping); [[SkipToNextRow]] resumes at the row after the
+    * match's START, admitting overlapping matches. Under this module's
+    * restriction set the two differ EXACTLY on the leading-run family
+    * (`a+ X…` ≡ `a a* X…`): restriction 2 forbids start-class rows
+    * anywhere else inside a span, so a non-leading-run pattern yields
+    * the same matches in both modes — which is why SkipToNextRow stays
+    * single-pass: the only overlap possible is the suffixes of the one
+    * contiguous leading run, and those all complete at the same row.
+    * State bound: the start times of the CURRENT leading run (cleared on
+    * every failed attempt), i.e. O(longest same-class run per key) —
+    * bounded by data shape, not history length.
+    */
+  sealed trait SkipMode
+  case object SkipPastLastRow extends SkipMode
+  case object SkipToNextRow extends SkipMode
 
   final case class Tok(types: Set[String], quant: Quant) {
     /** May this token consume zero rows outright? */
@@ -98,34 +117,56 @@ object RowPattern {
 
   /** Streaming matcher over ONE key's time-ordered event types. Pure and
     * driver-testable; the operator runs it per key inside
-    * `mapPartitions`. Greedy, non-overlapping, skip-past-last-row.
+    * `mapPartitions`. Greedy; overlap per [[SkipMode]] (default
+    * skip-past-last-row). `feed`/`flush` return a List because
+    * [[SkipToNextRow]] emits every suffix of a leading run when its
+    * completing row arrives — the list is that suffix set, ordered by
+    * start time; under [[SkipPastLastRow]] it has at most one element.
     */
-  final class Matcher(toks: IndexedSeq[Tok]) {
+  final class Matcher(toks: IndexedSeq[Tok], skip: SkipMode = SkipPastLastRow) {
     private var ti = -1          // current token index; -1 = no attempt
     private var startUs = 0L
     private var endUs = 0L
     private var n = 0
     private var plusSatisfied = false
 
-    private def reset(): Unit = { ti = -1; n = 0; plusSatisfied = false }
+    // SkipToNextRow bookkeeping: start times of the current leading run
+    // (anchor + its `a*` twin). Only a leading-run pattern can overlap
+    // (see SkipMode scaladoc), so this stays empty in every other shape.
+    private val isLeadingRun =
+      toks.length >= 2 && toks(1).quant == Star && toks(1).types == toks.head.types
+    private val trackStarts = skip == SkipToNextRow && isLeadingRun
+    private val runStarts = scala.collection.mutable.ArrayBuffer.empty[Long]
 
-    private def complete(): Option[Match] = {
-      val m = Match(startUs, endUs, n); reset(); Some(m)
+    private def reset(): Unit = {
+      ti = -1; n = 0; plusSatisfied = false; runStarts.clear()
     }
 
-    /** Feed one row; returns the match this row completed, if any. A
-      * failed attempt re-tries the SAME row as a fresh start (sound by
-      * restriction 2); a skip chain that exhausts the tokens completes
-      * the attempt at the previously consumed row, then re-tries.
+    private def complete(): List[Match] = {
+      // suffix j of the run starts at runStarts(j) and consumed j fewer
+      // rows; runStarts(0) == startUs, so j = 0 is the full greedy match
+      val ms =
+        if (trackStarts && runStarts.nonEmpty)
+          runStarts.toList.zipWithIndex.map { case (s, j) => Match(s, endUs, n - j) }
+        else List(Match(startUs, endUs, n))
+      reset(); ms
+    }
+
+    /** Feed one row; returns the matches this row completed (see class
+      * scaladoc for when that is more than one). A failed attempt
+      * re-tries the SAME row as a fresh start (sound by restriction 2);
+      * a skip chain that exhausts the tokens completes the attempt at
+      * the previously consumed row, then re-tries.
       */
-    def feed(tp: String, us: Long): Option[Match] = {
-      var out: Option[Match] = None
+    def feed(tp: String, us: Long): List[Match] = {
+      var out: List[Match] = Nil
       var again = true
       while (again) {
         again = false
         if (ti < 0) {
           if (toks.head.types.contains(tp)) {
             startUs = us; endUs = us; n = 1; ti = 1; plusSatisfied = false
+            if (trackStarts) runStarts += us
             if (ti == toks.length) out = complete() // single-token pattern
           }
         } else if (ti == toks.length) {
@@ -136,6 +177,7 @@ object RowPattern {
           val t = toks(ti)
           if (t.types.contains(tp)) {
             n += 1; endUs = us
+            if (trackStarts && ti == 1) runStarts += us // still in the run
             t.quant match {
               case One | Opt => ti += 1; plusSatisfied = false
               case Plus      => plusSatisfied = true
@@ -155,27 +197,39 @@ object RowPattern {
     }
 
     /** Serializable attempt state, for the streaming processor's
-      * ValueState: (ti, startUs, endUs, n, plusSatisfied).
+      * ValueState: (ti, startUs, endUs, n, plusSatisfied). Fixed-width
+      * by design, which is why the streaming surface only supports the
+      * default skip mode — SkipToNextRow's run buffer is variable-width
+      * state this snapshot deliberately does not carry.
       */
-    def snapshot: (Int, Long, Long, Int, Boolean) =
+    def snapshot: (Int, Long, Long, Int, Boolean) = {
+      require(!trackStarts,
+        "snapshot/restore serve the streaming processor, which supports " +
+          "only SkipPastLastRow — the SkipToNextRow run buffer is not " +
+          "part of the fixed-width state")
       (ti, startUs, endUs, n, plusSatisfied)
+    }
 
     def restore(s: (Int, Long, Long, Int, Boolean)): Unit = {
+      require(!trackStarts,
+        "snapshot/restore serve the streaming processor, which supports " +
+          "only SkipPastLastRow — the SkipToNextRow run buffer is not " +
+          "part of the fixed-width state")
       ti = s._1; startUs = s._2; endUs = s._3; n = s._4; plusSatisfied = s._5
     }
 
     /** End of this key's rows: an in-flight attempt whose remaining
-      * tokens are all zero-consumable completes at the last consumed row.
+      * tokens are all zero-consumable completes at the last consumed row
+      * (all of its run suffixes, under SkipToNextRow).
       */
-    def flush(): Option[Match] = {
-      if (ti < 0) None
+    def flush(): List[Match] = {
+      if (ti < 0) Nil
       else {
         val from =
           if (ti < toks.length && toks(ti).quant == Plus && plusSatisfied) ti + 1
           else ti
         val ok = (from until toks.length).forall(toks(_).zeroOk)
-        val m = if (ok) Some(Match(startUs, endUs, n)) else None
-        reset(); m
+        if (ok) complete() else { reset(); Nil }
       }
     }
   }
@@ -184,8 +238,9 @@ object RowPattern {
     * type-sequence (timestamps = indices). Used by the spec to pin the
     * matcher against hand-computed fixtures.
     */
-  private[graft] def matchSeq(pattern: String, types: Seq[String]): Seq[Match] = {
-    val m = new Matcher(compile(pattern))
+  private[graft] def matchSeq(pattern: String, types: Seq[String],
+      skip: SkipMode = SkipPastLastRow): Seq[Match] = {
+    val m = new Matcher(compile(pattern), skip)
     val out = scala.collection.mutable.ArrayBuffer.empty[Match]
     types.zipWithIndex.foreach { case (tp, i) => m.feed(tp, i.toLong).foreach(out += _) }
     m.flush().foreach(out += _)
@@ -195,7 +250,8 @@ object RowPattern {
   /** The generic operator: matches of `pattern` over an `events`-shaped
     * frame, per `user_id`, ordered by (ts, event_id).
     */
-  def matchPattern(events: DataFrame, pattern: String): DataFrame = {
+  def matchPattern(events: DataFrame, pattern: String,
+      skip: SkipMode = SkipPastLastRow): DataFrame = {
     val toks = compile(pattern)
     val spark = events.sparkSession
     import spark.implicits._
@@ -220,7 +276,7 @@ object RowPattern {
             if (!started || u != curUser) {
               if (started) matcher.flush().foreach(emit(curUser, _))
               curUser = u
-              matcher = new Matcher(toks)
+              matcher = new Matcher(toks, skip)
               started = true
             }
             matcher.feed(tp, us).foreach(emit(u, _))
@@ -320,8 +376,50 @@ object RowPattern {
       |WHERE e.event_type = 'purchase'
       |ORDER BY r.user_id, start_ts""".stripMargin
 
+  /** Third registered pattern: `click+ purchase` under AFTER MATCH SKIP
+    * TO NEXT ROW — every click TRAIL (suffix of a maximal click run)
+    * that converts, not just the maximal burst q105 reports. The oracle
+    * replays the mode's defining property relationally: a click row
+    * starts a match iff its FIRST following non-click row is a purchase
+    * — per-row, so one maximal run of k clicks before a purchase yields
+    * k overlapping matches, all ending at that purchase. (A trailing
+    * click run with no following row matches neither engine: the
+    * matcher's flush finds the un-quantified purchase token pending, and
+    * the oracle's min(rn) join finds no stop row.)
+    */
+  def q106ClickTrails(spark: SparkSession, dir: String): DataFrame =
+    matchPattern(Tables.events(spark, dir), "click+ purchase", SkipToNextRow)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+        date_format(timestamp_micros(col("end_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
+        col("n_rows").cast("long").as("n_rows"))
+      .orderBy(col("user_id"), col("start_ts"), col("end_ts"))
+
+  private val ClickTrailsOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |clk AS (SELECT user_id, rn AS crn, ts AS start_raw FROM ev
+      |  WHERE event_type = 'click'),
+      |stopr AS (
+      |  SELECT c.user_id, c.crn, c.start_raw, min(e.rn) AS stop_rn
+      |  FROM clk c JOIN ev e ON e.user_id = c.user_id AND e.rn > c.crn
+      |    AND e.event_type <> 'click'
+      |  GROUP BY 1, 2, 3)
+      |SELECT s.user_id,
+      |  strftime(s.start_raw, '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+      |  cast(e.rn - s.crn + 1 AS BIGINT) AS n_rows
+      |FROM stopr s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.stop_rn
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY s.user_id, start_ts, end_ts""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q101_row_pattern", q101RowPattern _, RowPatternOracle),
-    QueryDef("q105_click_burst", q105ClickBurst _, ClickBurstOracle)
+    QueryDef("q105_click_burst", q105ClickBurst _, ClickBurstOracle),
+    QueryDef("q106_click_trails", q106ClickTrails _, ClickTrailsOracle)
   )
 }

@@ -181,6 +181,11 @@ object PlanAudit {
       "q105_click_burst" -> Seq(
         ("one-hash-shuffle-no-join",
           m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
+      // SKIP TO NEXT ROW mode: the overlap bookkeeping lives inside the
+      // matcher (run-start buffer), so the PLAN is identical to q101/q105
+      "q106_click_trails" -> Seq(
+        ("one-hash-shuffle-no-join",
+          m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
       // streaming CEP: real TransformWithState operator in the
       // micro-batch plan, no join machinery
       "stream_row_pattern" -> Seq(

@@ -21,6 +21,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_.getDouble(1) > 0))
   }
 
+  test("pagerank converges: epsilon-stop under the pinned ceiling, deterministic") {
+    val (ranks, rounds) = Analytics.pagerankConverged(spark, sf0001)
+    info(s"converged in $rounds rounds (eps=1e-9, ceiling 20)")
+    // the data-driven stop fires strictly before the determinism ceiling
+    // (a run that exhausts the ceiling hasn't converged, it was cut off)
+    assert(rounds > 0 && rounds < 20, s"no convergence inside the ceiling: $rounds")
+    val rows = ranks.collect()
+    assert(rows.nonEmpty)
+    // converged ranks are still a probability distribution
+    val total = rows.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass drifted: $total")
+    // determinism: the round count is a pure function of the data, so a
+    // second run takes the identical number of rounds
+    val (_, rounds2) = Analytics.pagerankConverged(spark, sf0001)
+    assert(rounds2 === rounds)
+  }
+
   test("islands: span arithmetic holds and streaks don't touch") {
     val byUser = Analytics.activityIslands(spark, sf0001).collect()
       .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),

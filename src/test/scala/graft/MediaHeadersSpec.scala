@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MediaHeaders
+import graft.functions.MediaHeaders.{AudioInfo, ImageInfo, Unsupported}
+
+/** Pins the header-level media decoder against the FORMAT SPECS, not
+  * just our own writers: one BMP fixture is byte-for-byte hand-encoded
+  * from the BITMAPINFOHEADER layout, and the chunk-walk test splices a
+  * foreign LIST chunk the way real recorders do. Pure byte functions —
+  * no SparkSession, runs in milliseconds.
+  */
+class MediaHeadersSpec extends AnyFunSuite {
+
+  test("hand-encoded 2x3 24-bit BMP parses to its spec values") {
+    // BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40) + pixel array.
+    // rowSize = ceil(2*3/4)*4 = 8 bytes, 3 rows -> 24 pixel bytes,
+    // fileSize = 54 + 24 = 78. Little-endian throughout.
+    val bb = java.nio.ByteBuffer.allocate(78)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(78).putInt(0).putInt(54)      // bfSize, reserved, bfOffBits
+    bb.putInt(40).putInt(2).putInt(3)       // biSize, width=2, height=3
+    bb.putShort(1).putShort(24)             // planes, bpp
+    bb.putInt(0).putInt(24)                 // BI_RGB, biSizeImage
+    bb.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until 24).foreach(i => bb.put(i.toByte))
+    assert(MediaHeaders.probe(bb.array()) === ImageInfo("bmp", 2, 3, 24))
+  }
+
+  test("top-down BMP (negative biHeight) yields the height magnitude") {
+    val img = MediaHeaders.bmpWrap(Array[Byte](1, 2, 3), 7, 5)
+    // negate biHeight in place: 5 -> -5 at offset 22, little-endian
+    val bb = java.nio.ByteBuffer.wrap(img)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -5)
+    assert(MediaHeaders.probe(img) === ImageInfo("bmp", 7, 5, 3))
+  }
+
+  test("BI_RGB with biSizeImage=0 falls back to fileSize - offset") {
+    val img = MediaHeaders.bmpWrap(Array.fill[Byte](10)(9), 4, 4)
+    java.nio.ByteBuffer.wrap(img).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(34, 0) // zero out biSizeImage, as BI_RGB writers may
+    assert(MediaHeaders.probe(img) === ImageInfo("bmp", 4, 4, 10))
+  }
+
+  test("bmpWrap/probe round trip at the operator's dimension formulas") {
+    val payload = "the quick brown fox".getBytes("UTF-8")
+    val n = payload.length
+    val img = MediaHeaders.bmpWrap(payload, 64 + n % 577, 64 + (n * 31) % 353)
+    assert(MediaHeaders.probe(img) ===
+      ImageInfo("bmp", 64 + n % 577, 64 + (n * 31) % 353, n))
+  }
+
+  test("wavWrap/probe round trip: sample geometry and frame count") {
+    // 16 bytes of 16-bit stereo = 16 / (2ch * 2B) = 4 frames
+    val wav = MediaHeaders.wavWrap(Array.fill[Byte](16)(3), 44100, 2, 16)
+    assert(MediaHeaders.probe(wav) === AudioInfo("wav", 44100, 2, 16, 4L))
+  }
+
+  test("chunk walk skips a foreign LIST chunk before fmt/data") {
+    val base = MediaHeaders.wavWrap(Array.fill[Byte](8)(1), 8000, 1, 8)
+    // splice a 6-byte LIST chunk right after the 12-byte RIFF/WAVE
+    // preamble (odd size exercises the even-padding rule too)
+    val foreign = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array.fill[Byte](5)(7) ++ Array[Byte](0)
+    val spliced = base.take(12) ++ foreign ++ base.drop(12)
+    // patch the RIFF size for the inserted bytes (spec-consistent file)
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, java.nio.ByteBuffer.wrap(spliced)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(4) + foreign.length)
+    assert(MediaHeaders.probe(spliced) === AudioInfo("wav", 8000, 1, 8, 8L))
+  }
+
+  test("poison payloads are data, not exceptions") {
+    assert(MediaHeaders.probe(null).isInstanceOf[Unsupported])
+    assert(MediaHeaders.probe(Array[Byte](1, 2, 3)).isInstanceOf[Unsupported])
+    assert(MediaHeaders.probe("PK not a bmp or wav xxxxxx"
+      .getBytes("US-ASCII")).isInstanceOf[Unsupported])
+    // BMP magic but truncated before the DIB header completes
+    assert(MediaHeaders.probe("BM0123456789012345678901234567890123456789"
+      .getBytes("US-ASCII").take(40)).isInstanceOf[Unsupported])
+    // WAV whose declared data chunk overruns the actual bytes
+    val wav = MediaHeaders.wavWrap(Array.fill[Byte](8)(1), 8000, 1, 8)
+    val truncated = wav.take(wav.length - 4)
+    assert(MediaHeaders.probe(truncated).isInstanceOf[Unsupported])
+  }
+}

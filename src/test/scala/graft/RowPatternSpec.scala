@@ -69,6 +69,35 @@ class RowPatternSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](RowPattern.compile("a b* a"))
   }
 
+  private def mNext(p: String, s: String*): Seq[(Long, Long, Int)] =
+    RowPattern.matchSeq(p, s, RowPattern.SkipToNextRow)
+      .map(x => (x.startUs, x.endUs, x.nRows))
+
+  test("AFTER MATCH SKIP TO NEXT ROW emits every converting run suffix") {
+    // k-click run before the terminator → k overlapping matches, all
+    // ending at the terminator, ordered by start
+    assert(mNext("a+ b", "a", "a", "a", "b")
+      === Seq((0, 3, 4), (1, 3, 3), (2, 3, 2)))
+    // two separate runs: suffixes within each, none across the break
+    assert(mNext("a+ b", "a", "b", "a", "a", "b")
+      === Seq((0, 1, 2), (2, 4, 3), (3, 4, 2)))
+    // a failed run leaves nothing buffered (x kills rows 0-1's attempt)
+    assert(mNext("a+ b", "a", "a", "x", "a", "b") === Seq((3, 4, 2)))
+    // flush under the mode: zero-consumable tail completes all suffixes
+    assert(mNext("a+", "a", "a", "a")
+      === Seq((0, 2, 3), (1, 2, 2), (2, 2, 1)))
+    // non-leading-run patterns: restriction 2 forbids start-class rows
+    // inside a span, so the two modes agree — pinned on the funnel shape
+    assert(mNext("a (b|d)* c", "a", "b", "d", "c", "a", "c")
+      === m("a (b|d)* c", "a", "b", "d", "c", "a", "c"))
+  }
+
+  test("SkipToNextRow matcher refuses the fixed-width streaming snapshot") {
+    val matcher = new RowPattern.Matcher(
+      RowPattern.compile("a+ b"), RowPattern.SkipToNextRow)
+    intercept[IllegalArgumentException](matcher.snapshot)
+  }
+
   test("distributed operator equals a driver-side replay on real events") {
     val got = RowPattern
       .matchPattern(Tables.events(spark, sf0001), "signup (view|click)* purchase")
