@@ -134,8 +134,8 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pairs = Dedup.dedupSimhash(spark, sf0001).collect()
     pairs.foreach { r =>
-      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
-      assert(h === graft.functions.SimHashUtil.hamming(sigs(a), sigs(b)))
+      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(h === graft.functions.SimHashUtil.hamming(sigs(a), sigs(b)).toLong)
       assert(h <= 6)
     }
   }
@@ -186,7 +186,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
     val sim = Dedup.dedupSimhash(spark, tmp).collect()
     assert(sim.length === 3990)
-    sim.foreach { r => assert(r.getLong(0) < Dedup.StarAnchors && r.getInt(2) === 0) }
+    sim.foreach { r => assert(r.getLong(0) < Dedup.StarAnchors && r.getLong(2) === 0L) }
     // connected components recover the full cluster through the star
     val labels = Dedup.dedupClusters(spark, tmp).collect()
     assert(labels.length === 1000)
