@@ -91,7 +91,11 @@ object MediaHeaders {
     while (off + 8 <= b.length && (sampleRate < 0 || dataSize < 0)) {
       val id = tag(b, off)
       val size = leInt(b, off + 4)
-      if (size < 0 || off + 8 + size.toLong > b.length + 1)
+      // strict content bound: the even-length PAD byte is not chunk
+      // content, so a final unpadded chunk ends exactly at b.length and
+      // still passes — but content past the end (e.g. a fmt chunk
+      // truncated mid-field) must quarantine, not throw on a field read
+      if (size < 0 || off + 8 + size.toLong > b.length)
         return Unsupported(s"WAV chunk '$id' overruns payload")
       if (id == "fmt " && size >= 16) {
         channels = leShort(b, off + 10)

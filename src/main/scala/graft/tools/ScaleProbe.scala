@@ -111,8 +111,9 @@ object ScaleProbe {
         when(col("k") === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " ", -1),
             t => concat(t, lit("~"), col("k"))), " ")).as("text"),
-        col("lang"), col("source"),
-        length(col("text")).as("n_chars"))
+        col("lang"), col("source"))
+      // n_chars must describe the SUFFIXED text, not the original
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val li = graft.Tables.lineitem(spark, baseDir)

@@ -84,5 +84,10 @@ class MediaHeadersSpec extends AnyFunSuite {
     val wav = MediaHeaders.wavWrap(Array.fill[Byte](8)(1), 8000, 1, 8)
     val truncated = wav.take(wav.length - 4)
     assert(MediaHeaders.probe(truncated).isInstanceOf[Unsupported])
+    // fmt chunk truncated ONE byte short of its declared 16-byte body:
+    // must quarantine via the strict content bound, not throw on the
+    // bits-per-sample field read past the array end
+    val fmtCut = wav.take(12 + 8 + 15)
+    assert(MediaHeaders.probe(fmtCut).isInstanceOf[Unsupported])
   }
 }
