@@ -318,6 +318,8 @@ object VectorExpressions {
     "interleave_bits16" -> (exprs =>
       BitInterleave.InterleaveBits16(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "jaro_winkler" -> (exprs =>
+      StringSimilarity.JaroWinkler(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
     "word_shingles3" -> (exprs => WordShingles3(exprs.head)),
     "int8_quant_stats" -> (exprs => Int8QuantStats(exprs.head)),
