@@ -48,6 +48,13 @@ object MediaHeaders {
   private def tag(b: Array[Byte], off: Int): String =
     new String(b, off, 4, "US-ASCII")
 
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
   /** Sniff the magic bytes and dispatch to the right header parser. */
   def probe(payload: Array[Byte]): Probe =
     if (payload == null || payload.length < 12)
@@ -55,7 +62,44 @@ object MediaHeaders {
     else if (payload(0) == 'B' && payload(1) == 'M') parseBmp(payload)
     else if (tag(payload, 0) == "RIFF" && tag(payload, 8) == "WAVE")
       parseWav(payload)
+    else if (payload.length >= 8 &&
+      (0 until 8).forall(i => payload(i) == PngMagic(i))) parsePng(payload)
     else Unsupported("unrecognized magic bytes")
+
+  /** PNG: 8-byte magic, then big-endian chunks (`length type data crc`).
+    * IHDR (must come first per spec) carries width/height; the reported
+    * data size is the total of the IDAT chunk lengths — the compressed
+    * pixel stream, the only size a PNG header layer declares (the
+    * decompressed size requires inflating, which a header pass never
+    * does). CRCs are not validated — integrity is the storage layer's
+    * job; a metadata scan wants geometry.
+    */
+  private def parsePng(b: Array[Byte]): Probe = {
+    var off = 8
+    var width = -1; var height = -1; var bitDepth = -1; var colorType = -1
+    var idatBytes = 0L
+    var sawIhdr = false
+    while (off + 8 <= b.length) {
+      val clen = beInt(b, off)
+      if (clen < 0 || off + 8 + clen.toLong + 4 > b.length)
+        return Unsupported(s"PNG chunk at $off overruns payload (len=$clen)")
+      val ctype = tag(b, off + 4)
+      if (ctype == "IHDR") {
+        if (clen < 13) return Unsupported("PNG IHDR shorter than 13 bytes")
+        width = beInt(b, off + 8)
+        height = beInt(b, off + 12)
+        bitDepth = b(off + 16) & 0xff
+        colorType = b(off + 17) & 0xff
+        sawIhdr = true
+      } else if (ctype == "IDAT") idatBytes += clen
+      off += 8 + clen + 4 // skip data + CRC
+    }
+    if (!sawIhdr) Unsupported("PNG has no IHDR chunk")
+    else if (width <= 0 || height <= 0)
+      Unsupported(s"implausible PNG geometry w=$width h=$height")
+    else ImageInfo("png", width, height,
+      if (idatBytes <= Int.MaxValue) idatBytes.toInt else Int.MaxValue)
+  }
 
   /** BMP: 14-byte BITMAPFILEHEADER then a DIB header (≥40-byte
     * BITMAPINFOHEADER assumed — every header revision since Windows 3.0
@@ -144,6 +188,33 @@ object MediaHeaders {
     bb.putInt(0)                  // biClrUsed
     bb.putInt(0)                  // biClrImportant
     bb.put(pixels)
+    bb.array()
+  }
+
+  /** Build a real PNG container around arbitrary bytes: magic, a
+    * spec-faithful IHDR (8-bit truecolor), ONE IDAT chunk holding the
+    * payload, and IEND — the PNG twin of [[bmpWrap]]. Chunk CRCs are
+    * written as zero (the parser, like any geometry pass, skips them);
+    * the IDAT content is content-synthetic, not a real zlib stream.
+    */
+  def pngWrap(data: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 25 + 12 + data.length + 12)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(PngMagic)
+    bb.putInt(13)                          // IHDR length
+    bb.put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(width).putInt(height)
+    bb.put(8.toByte)                       // bit depth
+    bb.put(2.toByte)                       // color type: truecolor
+    bb.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    bb.putInt(0)                           // IHDR CRC (unvalidated)
+    bb.putInt(data.length)
+    bb.put("IDAT".getBytes("US-ASCII"))
+    bb.put(data)
+    bb.putInt(0)                           // IDAT CRC
+    bb.putInt(0)
+    bb.put("IEND".getBytes("US-ASCII"))
+    bb.putInt(0)                           // IEND CRC
     bb.array()
   }
 

@@ -151,7 +151,71 @@ object Multimodal {
         col("height").cast("long").as("height"), col("out_w"), col("out_h"))
       .orderBy(col("doc_id"))
 
+  /** Mixed-container synthesis for [[mmDecodeMixed]]: one third of the
+    * corpus each as PNG / BMP / RIFF-WAVE by `doc_id % 3`, with declared
+    * geometry a fixed function of the byte length — the formulas the
+    * oracle replays.
+    */
+  private val mixedContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    val n = bytes.length
+    (docId % 3).toInt match {
+      case 0 => MediaHeaders.pngWrap(bytes, 32 + n % 641, 32 + (n * 17) % 409)
+      case 1 => MediaHeaders.bmpWrap(bytes, 64 + n % 577, 64 + (n * 31) % 353)
+      case _ => MediaHeaders.wavWrap(bytes, 8000 + (n % 5) * 4000, 1 + n % 2, 16)
+    }
+  }
+
+  /** Heterogeneous ingest — the realistic metadata-extraction shape: a
+    * corpus MIXING image and audio containers flows through ONE decode
+    * pass; `MediaHeaders.probe` sniffs each payload's magic and routes
+    * it to the right parser (PNG big-endian chunk walk summing IDAT
+    * lengths, BMP little-endian DIB header, RIFF chunk walk), and the
+    * unified schema carries zeros for the columns a format doesn't
+    * declare. Every reported value is genuinely parsed from container
+    * bytes; the oracle replays the synthesis formulas.
+    */
+  def mmDecodeMixed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        mixedContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaHeaders.probe(payload) match {
+            case MediaHeaders.ImageInfo(f, w, h, nb) =>
+              (id, f, w, h, 0, 0L, nb.toLong)
+            case MediaHeaders.AudioInfo(f, sr, ch, bits, ns) =>
+              (id, f, 0, 0, sr, ns, ns * ch * (bits / 8))
+            case MediaHeaders.Unsupported(_) =>
+              (id, "unsupported", 0, 0, 0, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "sample_rate",
+        "n_samples", "n_bytes")
+      .orderBy(col("doc_id"))
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("mm_decode_mixed", mmDecodeMixed _,
+      // synthesis-formula replay per container family: geometry is a
+      // function of the UTF-8 byte length n and doc_id % 3; Spark earns
+      // the same values by parsing the PNG/BMP/WAV bytes it wrapped
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    doc_id % 3 AS fam FROM documents)
+        |SELECT doc_id,
+        |  CASE fam WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CASE fam WHEN 0 THEN 32 + n % 641 WHEN 1 THEN 64 + n % 577
+        |    ELSE 0 END AS width,
+        |  CASE fam WHEN 0 THEN 32 + (n * 17) % 409 WHEN 1 THEN 64 + (n * 31) % 353
+        |    ELSE 0 END AS height,
+        |  CASE fam WHEN 2 THEN 8000 + (n % 5) * 4000 ELSE 0 END AS sample_rate,
+        |  cast(CASE fam WHEN 2 THEN n // ((1 + n % 2) * 2) ELSE 0 END AS BIGINT) AS n_samples,
+        |  cast(CASE fam WHEN 2 THEN n - n % ((1 + n % 2) * 2)
+        |    ELSE n END AS BIGINT) AS n_bytes
+        |FROM d ORDER BY doc_id""".stripMargin),
     QueryDef("mm_resize", mmResize _,
       """WITH decoded AS (
         |  SELECT doc_id,

@@ -145,8 +145,61 @@ object TextAnalysis2 {
        |        CROSS JOIN totals t
        |ORDER BY w1, w2""".stripMargin
 
+  /** Flesch reading-ease readability scoring — the classic quality
+    * signal for curriculum/difficulty staging, computed with the
+    * standard dependency-free syllable heuristic: a word's syllable
+    * count is its number of vowel-group runs (`[aeiouy]+`, min 1).
+    * Sentence count = punctuation-run count (`[.!?]+`, min 1). All
+    * three counts are exported as exact integers; the Flesch score
+    * `206.835 − 1.015·(W/S) − 84.6·(Syl/W)` is two correctly-rounded
+    * divisions and a left-associated linear combination — the identical
+    * IEEE op sequence in both engines — exported floor-scaled ×100
+    * (NOTES.md #14). One scan, no shuffle (the sort is the oracle
+    * contract artifact).
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(lower(col("text")), " ", -1), w => w =!= "")
+    val nw = size(words)
+    val ns = greatest(lit(1), regexp_count(col("text"), lit("[.!?]+")))
+    val syl = aggregate(
+      transform(words, w => greatest(lit(1), regexp_count(w, lit("[aeiouy]+")))),
+      lit(0), (a, x) => a + x)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nw.as("nw"), ns.as("ns"), syl.as("syl"))
+      .select(col("doc_id"),
+        col("nw").cast("long").as("n_words"),
+        col("ns").cast("long").as("n_sentences"),
+        col("syl").cast("long").as("n_syllables"),
+        floor((lit(206.835)
+          - lit(1.015) * (col("nw").cast("double")
+            / greatest(lit(1), col("ns")).cast("double"))
+          - lit(84.6) * (col("syl").cast("double")
+            / greatest(lit(1), col("nw")).cast("double"))) * 100)
+          .cast("long").as("flesch_c"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ReadabilityOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS nw,
+      |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns,
+      |    coalesce(list_sum(list_transform(
+      |      list_filter(string_split(lower(text), ' '), w -> w <> ''),
+      |      w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS syl
+      |  FROM documents)
+      |SELECT doc_id,
+      |  cast(nw AS BIGINT) AS n_words,
+      |  cast(ns AS BIGINT) AS n_sentences,
+      |  cast(syl AS BIGINT) AS n_syllables,
+      |  cast(floor((206.835
+      |    - 1.015 * (cast(nw AS DOUBLE) / greatest(1, ns))
+      |    - 84.6 * (cast(syl AS DOUBLE) / greatest(1, nw))) * 100) AS BIGINT) AS flesch_c
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("text_skipgram", skipgram _, SkipgramOracle),
-    QueryDef("text_pmi", pmiBigrams _, PmiOracle)
+    QueryDef("text_pmi", pmiBigrams _, PmiOracle),
+    QueryDef("text_readability", readability _, ReadabilityOracle)
   )
 }

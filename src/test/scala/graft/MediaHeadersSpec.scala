@@ -72,6 +72,42 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.probe(spliced) === AudioInfo("wav", 8000, 1, 8, 8L))
   }
 
+  test("hand-encoded PNG parses IHDR geometry and sums IDAT lengths") {
+    // magic(8) + IHDR(25) + two IDAT chunks (7 and 5 data bytes) + IEND,
+    // all big-endian per the PNG spec
+    val bb = java.nio.ByteBuffer.allocate(8 + 25 + (12 + 7) + (12 + 5) + 12)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(640).putInt(480)
+    bb.put(8.toByte).put(2.toByte)          // depth 8, truecolor
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)
+    bb.putInt(0)                            // CRC
+    bb.putInt(7).put("IDAT".getBytes("US-ASCII"))
+    (0 until 7).foreach(i => bb.put(i.toByte)); bb.putInt(0)
+    bb.putInt(5).put("IDAT".getBytes("US-ASCII"))
+    (0 until 5).foreach(i => bb.put(i.toByte)); bb.putInt(0)
+    bb.putInt(0).put("IEND".getBytes("US-ASCII")); bb.putInt(0)
+    assert(MediaHeaders.probe(bb.array()) === ImageInfo("png", 640, 480, 12))
+  }
+
+  test("pngWrap round-trips through the parser") {
+    val png = MediaHeaders.pngWrap(Array.fill[Byte](100)(7), 132, 49)
+    assert(MediaHeaders.probe(png) === ImageInfo("png", 132, 49, 100))
+  }
+
+  test("malformed PNGs quarantine, never throw") {
+    // chunk length overruns the payload
+    val good = MediaHeaders.pngWrap(Array.fill[Byte](10)(1), 5, 5)
+    assert(MediaHeaders.probe(good.take(good.length - 20))
+      .isInstanceOf[Unsupported])
+    // magic only, no IHDR
+    assert(MediaHeaders.probe(Array(0x89.toByte, 'P'.toByte, 'N'.toByte,
+      'G'.toByte, 0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte,
+      0, 0, 0, 0)).isInstanceOf[Unsupported])
+  }
+
   test("poison payloads are data, not exceptions") {
     assert(MediaHeaders.probe(null).isInstanceOf[Unsupported])
     assert(MediaHeaders.probe(Array[Byte](1, 2, 3)).isInstanceOf[Unsupported])
