@@ -215,7 +215,10 @@ object PlanAudit {
       "q86_skew_profile", "q88_zorder_layout",
       // the lateral table-UDF applies a 3-row VALUES bucket frame via a
       // non-equi (range) condition — a 3-row broadcast BNLJ by design
-      "q91_sql_table_udf")
+      "q91_sql_table_udf",
+      // the KLL rank-verification pass broadcast-attaches the 5-row
+      // estimate frame to the value column — a bounded scalar attach
+      "sketch_kll_quantiles")
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(only)
