@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -85,7 +86,7 @@ object Sketches {
     * tokenize/normalize kernel ([[WordCount]]), so a change to the
     * corpus tokenization propagates here instead of silently diverging.
     */
-  private def tokens(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def tokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(WordCount.tokenize(col("text")).as("raw"))
       .select(WordCount.normalize(col("raw")).as("tok"))
@@ -109,7 +110,25 @@ object Sketches {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
-  private val HeavyHittersOracle: String =
+  /** The MG summary as a map-valued Aggregator — the partial a
+    * STREAMING deployment ships per micro-batch (counts intact, so the
+    * cross-batch combine is the real [[mgMerge]] law, not a key union).
+    * Batch twin keeps the string form; `stream_heavy_hitters` uses this.
+    */
+  class MisraGriesMapAgg extends Aggregator[String, MG, Map[String, Long]] {
+    override def zero: MG = Map.empty
+    override def reduce(m: MG, tok: String): MG = mgAdd(m, tok)
+    override def merge(a: MG, b: MG): MG = mgMerge(a, b)
+    override def finish(m: MG): Map[String, Long] = m
+    override def bufferEncoder: Encoder[MG] = Encoders.kryo[MG]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Shared with the streaming twin (`stream_heavy_hitters`), whose
+    * result must equal the batch query's by the MG superset law.
+    */
+  private[graft] val HeavyHittersOracle: String =
     s"""WITH toks AS (
        |  SELECT lower(regexp_replace(unnest(string_split(text, ' ')),
        |    '[^\\w]', '', 'g')) AS tok

@@ -274,3 +274,58 @@ final case class KafkaEventSource(bootstrapServers: String, topic: String)
         .option("startingOffsets", "earliest")
         .load())
 }
+
+/** Rate-limited multi-batch replay of the DOCUMENTS table — the corpus
+  * twin of [[MultiBatchFileSource]] for streaming text/sketch pipelines:
+  * `documents.parquet` split once into `slices` contiguous doc_id
+  * ranges (separate parquet files, strictly increasing mtimes) and
+  * streamed with `maxFilesPerTrigger=1`, so every trigger carries one
+  * corpus shard — the shape of a backfill draining a document store.
+  * Same idempotent `_READY`-marker fixture discipline (fingerprint
+  * invalidation on testdata regen).
+  */
+final case class DocumentsFileSource(dir: String, slices: Int = 4) {
+  def stream(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val replayDir = DocumentsFileSource.prepare(spark, dir, slices)
+    val schema = spark.read.parquet(s"$replayDir/slice-01.parquet").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$replayDir/slice-*.parquet")
+  }
+}
+
+object DocumentsFileSource {
+  private val lock = new Object
+
+  private[graft] def prepare(spark: org.apache.spark.sql.SparkSession,
+      dir: String, n: Int): String = lock.synchronized {
+    import org.apache.spark.sql.functions.{col, ntile}
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val base = new java.io.File(s"target/stream_replay/docs-$safe-$n")
+    val marker = new java.io.File(base, "_READY")
+    val fp = MultiBatchFileSource.fingerprint(s"$dir/documents.parquet")
+    if (!MultiBatchFileSource.fresh(marker, fp)) {
+      if (base.exists()) MultiBatchFileSource.rmTreePublic(base)
+      base.mkdirs()
+      val raw = graft.Tables.documents(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val sliced = raw.withColumn("_slice", ntile(n).over(w)).cache()
+      try {
+        (1 to n).foreach { i =>
+          val tmp = new java.io.File(base, s"_tmp-$i")
+          sliced.filter(col("_slice") === i).drop("_slice")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+          val part = tmp.listFiles()
+            .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+            .getOrElse(sys.error(s"no parquet part written for doc slice $i"))
+          val dest = new java.io.File(base, f"slice-$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dest.toPath)
+          dest.setLastModified(1000000000000L + i * 60000L)
+          MultiBatchFileSource.rmTreePublic(tmp)
+        }
+      } finally { sliced.unpersist(); () }
+      MultiBatchFileSource.writeMarker(marker, fp)
+    }
+    base.getPath
+  }
+}

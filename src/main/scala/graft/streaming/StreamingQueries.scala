@@ -601,7 +601,69 @@ object StreamingQueries {
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin
 
+  /** Streaming heavy hitters — the Misra–Gries sketch deployed the way
+    * a production stream aggregator ships it: each micro-batch (one
+    * corpus shard via [[DocumentsFileSource]]) folds its tokens into a
+    * DISTRIBUTED per-batch MG summary (`MisraGriesMapAgg` through
+    * ordinary two-phase aggregation), the ≤K-entry partial lands in the
+    * external store keyed by batchId (idempotent under redelivery, the
+    * `stream_foreach_batch` recipe), and the cross-batch combine is the
+    * REAL mergeable-summaries law (`mgMerge`, batchId order — counts
+    * intact, never a key union). After the replay drains, the merged
+    * candidates get the same exact-recount verification as the batch
+    * twin, so by the MG superset guarantee (K=512 > ThetaDen=256) the
+    * output EQUALS `sketch_heavy_hitters` and shares its oracle.
+    * Driver state is bounded: one ≤K-entry map per micro-batch.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    streamHeavyHittersImpl(spark, dir, 4)._1
+
+  private[graft] def streamHeavyHittersImpl(spark: SparkSession, dir: String,
+      slices: Int): (DataFrame, Int) = {
+    import graft.operators.{Sketches, WordCount}
+    import org.apache.spark.sql.Encoders
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Sketches.MG]()
+    val q = DocumentsFileSource(dir, slices).stream(spark).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mg = batch
+          .select(WordCount.tokenize(col("text")).as("raw"))
+          .select(WordCount.normalize(col("raw")).as("tok"))
+          .filter(col("tok") =!= "")
+          .as[String](Encoders.STRING)
+          .select(new Sketches.MisraGriesMapAgg().toColumn.name("m"))
+          .head()
+        store.put(batchId, mg.toMap)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      if (capturePlans) {
+        val bos = new java.io.ByteArrayOutputStream()
+        try Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        } catch { case _: Throwable => () }
+        lastMicroBatchPlan = bos.toString("UTF-8")
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val merged = store.asScala.toSeq.sortBy(_._1).map(_._2)
+      .reduceLeft(Sketches.mgMerge)
+    val candidates = merged.keys.toSeq.sorted
+    val toks = Sketches.tokens(spark, dir).localCheckpoint()
+    val n = toks.count()
+    val out = toks.filter(col("tok").isin(candidates: _*))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * Sketches.ThetaDen > n)
+      .orderBy(col("cnt").desc, col("tok"))
+    (out, store.size())
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("stream_heavy_hitters", streamHeavyHitters _,
+      graft.operators.Sketches.HeavyHittersOracle),
     QueryDef("stream_stream_join", streamStreamJoin _,
       """SELECT s.event_id AS signup_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_at

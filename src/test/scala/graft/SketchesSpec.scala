@@ -83,4 +83,15 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       est.foreach { case (t, c) => assert(c >= exact.getOrElse(t, 0L)) }
     }
   }
+
+  test("stream_heavy_hitters: multi-batch replay equals the batch query") {
+    val (streamDf, nBatches) = graft.streaming.StreamingQueries
+      .streamHeavyHittersImpl(spark, sf0001, 3)
+    assert(nBatches >= 2, "replay must genuinely run multi-batch")
+    val streamRows = streamDf.collect().map(r => (r.getString(0), r.getLong(1)))
+    val batchRows = graft.operators.Sketches.heavyHitters(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(streamRows.nonEmpty)
+    assert(streamRows.toSeq === batchRows.toSeq)
+  }
 }
