@@ -286,7 +286,78 @@ object Analytics5 {
       |FROM (SELECT * FROM touched UNION ALL SELECT * FROM direct)
       |ORDER BY touch_type""".stripMargin
 
+  /** End-to-end entity resolution — the composite the fuzzy join exists
+    * for: distinct part names → blocked Jaro–Winkler candidate pairs
+    * (≥ 0.8, the q107 stage) → connected components over the match
+    * graph by min-label propagation (labels are the NAMES, ordered
+    * lexicographically; singletons stay their own cluster) →
+    * survivorship: each cluster reports its canonical (minimum) name,
+    * member count, and total occurrence mass. The oracle replays the
+    * whole pipeline: pair CTE, recursive-CTE reachability closure for
+    * the components, and the same aggregation. Scale shape: blocking
+    * bounds pair generation, propagation is O(rounds·|E|) with
+    * per-round localCheckpoint; the closure is oracle-only.
+    */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      .localCheckpoint()
+    val a = names.select(col("blk"), col("p_name").as("name_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"))
+    val pairs = a.join(b, "blk")
+      .filter(col("name_a") < col("name_b"))
+      .filter(StringSimilarity.jaroWinkler(col("name_a"), col("name_b")) >= 0.8)
+      .select(col("name_a"), col("name_b"))
+    val e = pairs.union(pairs.select(col("name_b").as("name_a"),
+        col("name_a").as("name_b")))
+      .localCheckpoint()
+    var labels = names.select(col("p_name").as("node"), col("cnt"))
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < 12) {
+      val prop = labels.join(e, labels("node") === e("name_a"))
+        .select(e("name_b").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label")).union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .join(names.select(col("p_name").as("node"), col("cnt")), "node")
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("p"),
+        col("n.node") === col("p.node") && col("n.label") =!= col("p.label"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    labels.groupBy(col("label").as("canonical"))
+      .agg(count(lit(1)).as("n_members"), sum(col("cnt")).as("total_cnt"))
+      .orderBy(col("canonical"))
+  }
+
+  private val EntityResolutionOracle: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name, count(*) AS cnt, split_part(p_name, ' ', 1) AS blk
+      |  FROM part GROUP BY p_name),
+      |pairs AS (
+      |  SELECT a.p_name AS name_a, b.p_name AS name_b
+      |  FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+      |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8),
+      |e AS (SELECT name_a, name_b FROM pairs
+      |      UNION ALL SELECT name_b, name_a FROM pairs),
+      |reach(src, node) AS (
+      |  SELECT p_name, p_name FROM names
+      |  UNION
+      |  SELECT r.src, e.name_b FROM reach r JOIN e ON e.name_a = r.node),
+      |comp AS (
+      |  SELECT src AS node, min(node) AS label FROM reach GROUP BY src)
+      |SELECT c.label AS canonical, count(*) AS n_members,
+      |  cast(sum(n.cnt) AS BIGINT) AS total_cnt
+      |FROM comp c JOIN names n ON n.p_name = c.node
+      |GROUP BY c.label ORDER BY canonical""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("q111_entity_resolution", entityResolution _, EntityResolutionOracle),
     QueryDef("q107_fuzzy_join", fuzzyJoin _, FuzzyJoinOracle),
     QueryDef("q108_shortest_path", shortestPath _, ShortestPathOracle),
     QueryDef("q109_components", components _, ComponentsOracle),

@@ -62,4 +62,14 @@ class Analytics5Spec extends AnyFunSuite with SparkTestBase {
       .head().getLong(0)
     assert(totalCredit === purchaseCents * 10000L)
   }
+
+  test("q111: clusters partition the name space, mass conserved") {
+    val rows = graft.operators.Analytics5.entityResolution(spark, sf0001)
+      .collect()
+    val nNames = Tables.part(spark, sf0001).select("p_name").distinct().count()
+    val nParts = Tables.part(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum === nNames) // every name in one cluster
+    assert(rows.map(_.getLong(2)).sum === nParts) // occurrence mass conserved
+    assert(rows.length < nNames)                  // some genuine merging happened
+  }
 }
