@@ -20,9 +20,10 @@ import graft.functions.VectorExpressions
   *     small slice here so DuckDB can oracle it; at scale it runs only
   *     on LSH candidates.
   *
-  * All hashing is engine-independent (xxhash64 is Spark-builtin and
-  * pinned; FNV-1a is hand-rolled) so results are stable across runs,
-  * partitionings, and cluster sizes.
+  * All hashing is engine-independent (hand-rolled FNV-1a feeding fixed
+  * universal-hash parameters) so results are stable across runs,
+  * partitionings, and cluster sizes — and replayable by DuckDB, which
+  * is what lets both the SimHash AND MinHash tiers carry full oracles.
   */
 object Dedup {
 
@@ -51,7 +52,8 @@ object Dedup {
     * expression (one pass over the shingle array; the equivalent
     * 32 × array_min(transform(…)) built-in formulation measures 13 s on
     * 5 000 docs because higher-order lambdas are interpreted); a band
-    * hashes 4 consecutive minhashes together via codegen'd xxhash64.
+    * key is the raw ':'-joined tuple of its 4 consecutive minhashes
+    * (replayable — see the dedup_minhash_lsh oracle).
     */
   private[graft] def bandedMinhashPublic(docs: DataFrame): DataFrame =
     bandedMinhash(docs)
@@ -63,8 +65,14 @@ object Dedup {
       .select(col("doc_id"),
         VectorExpressions.minhashSignature(col("sh")).as("sig"))
     val bands = (0 until 8).map { b =>
+      // band key = the raw 4-minhash tuple (':'-joined), NOT a hash of
+      // it: equality semantics are identical (a hash could only MERGE
+      // distinct tuples), and the raw form is what lets the DuckDB
+      // oracle replay the ENTIRE pipeline — see the dedup_minhash_lsh
+      // oracle, which rebuilds these keys with string_agg over the
+      // replayed signatures
       struct(lit(b).as("band_idx"),
-        xxhash64(element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
+        concat_ws(":", element_at(col("sig"), 4 * b + 1), element_at(col("sig"), 4 * b + 2),
           element_at(col("sig"), 4 * b + 3), element_at(col("sig"), 4 * b + 4))
           .as("band_hash"))
     }
@@ -382,7 +390,77 @@ object Dedup {
       """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin),
-    QueryDef.noOracle("dedup_minhash_lsh", dedupMinhashLsh _),
+    // FULL replay of the MinHash-LSH pipeline (rows-only until round 7):
+    // 3-gram shingles, per-shingle FNV-1a64 low-32, the 32 universal
+    // hashes (a·x+b mod P, parameters INTERPOLATED from MinHashUtil so
+    // the oracle can never drift from the kernel), min per hash, 8×4
+    // banding on the raw ':'-joined tuples, capped buckets + 4-anchor
+    // star, and exact-Jaccard verification ≥ 0.2
+    QueryDef("dedup_minhash_lsh", dedupMinhashLsh _, {
+      val abRows = (0 until graft.functions.MinHashUtil.NumHashes)
+        .map(i => s"(${i}, ${graft.functions.MinHashUtil.A(i)}, " +
+          s"${graft.functions.MinHashUtil.B(i)})").mkString(", ")
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM t),
+        |shx AS (SELECT doc_id, unnest(g) AS s FROM sh WHERE len(g) > 0),
+        |fnv AS (
+        |  SELECT doc_id,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |        list_transform(range(1, octet_length(encode(s)) + 1),
+        |          i -> CAST('0x' || substring(hex(encode(s)), 2*i-1, 2)
+        |                    AS UBIGINT))),
+        |      (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+        |                     % 18446744073709551616 AS UBIGINT))
+        |      & 4294967295 AS BIGINT) AS x
+        |  FROM shx),
+        |ab(i, av, bv) AS (VALUES $abRows),
+        |sig AS (
+        |  SELECT doc_id, ab.i, min((ab.av * fnv.x + ab.bv)
+        |    % ${graft.functions.MinHashUtil.P}) AS m
+        |  FROM fnv, ab GROUP BY doc_id, ab.i),
+        |banded AS (
+        |  SELECT doc_id, i // 4 AS band_idx,
+        |    string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS band_hash
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |sized AS (
+        |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+        |  FROM banded),
+        |small_pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sized a JOIN sized b
+        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        |    AND a.doc_id < b.doc_id
+        |  WHERE a.bsz <= $MaxLshBucket AND b.bsz <= $MaxLshBucket),
+        |anchors AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+        |      ORDER BY doc_id) AS rn
+        |    FROM sized WHERE bsz > $MaxLshBucket)
+        |  WHERE rn <= $StarAnchors),
+        |star_pairs AS (
+        |  SELECT a.doc_id AS id_a, m.doc_id AS id_b
+        |  FROM anchors a JOIN sized m
+        |    ON a.band_idx = m.band_idx AND a.band_hash = m.band_hash
+        |    AND a.doc_id < m.doc_id
+        |  WHERE m.bsz > $MaxLshBucket),
+        |cand AS (
+        |  SELECT DISTINCT id_a, id_b
+        |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs))
+        |SELECT c.id_a, c.id_b,
+        |  round(cast(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+        |FROM cand c JOIN sh a ON a.doc_id = c.id_a
+        |JOIN sh b ON b.doc_id = c.id_b
+        |WHERE cast(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
+    }),
     QueryDef("dedup_simhash", dedupSimhash _,
       // full replay of the SimHash pipeline: FNV-1a64 per token (HUGEINT
       // modular multiply = Spark's wrapping long multiply), strict-

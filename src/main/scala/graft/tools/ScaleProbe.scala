@@ -36,7 +36,11 @@ import graft.SparkEntry
 object ScaleProbe {
 
   private val Queries = Seq("dedup_minhash_lsh", "q77_triangle_count",
-    "q78_pagerank", "q74_dq_profile", "stream_outer_join")
+    "q78_pagerank", "q74_dq_profile", "stream_outer_join",
+    // round-7 additions: the KLL sketch scan, the iterative ER composite
+    // (blocked fuzzy pairs + label propagation), and the per-batch-MG
+    // streaming sketch
+    "sketch_kll_quantiles", "q111_entity_resolution", "stream_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,11 +86,21 @@ object ScaleProbe {
     spark.stop()
   }
 
-  /** Build the key-shifted N× tables once (marker-cached per factor). */
+  /** Fixture-layout version — bump when buildScaled changes so a cached
+    * older layout (e.g. without the `part` table) is rebuilt.
+    */
+  private val FixtureVersion = 2
+
+  /** Build the key-shifted N× tables once (marker-cached per factor +
+    * layout version).
+    */
   private def buildScaled(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int): Unit = {
     val marker = new java.io.File(outDir, "_READY")
-    if (marker.exists()) return
+    val stamp = s"factor=$factor;v=$FixtureVersion"
+    if (marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == stamp) return
     new java.io.File(outDir).mkdirs()
     val reps = broadcast(spark.range(factor).select(col("id").as("k")))
 
@@ -125,7 +139,22 @@ object ScaleProbe {
       .drop("k")
     shifted.write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
-    java.nio.file.Files.write(marker.toPath, s"factor=$factor".getBytes("UTF-8"))
+    // part: key shift + replica-suffix every name token (same discipline
+    // as documents) — first-word blocks of different replicas are
+    // disjoint, so the fuzzy-match graph is N independent copies of the
+    // original (names ×N, per-block pair counts unchanged)
+    val pt = spark.read.parquet(s"$baseDir/part.parquet")
+    val ptSpan = pt.agg(max(col("p_partkey"))).head.getLong(0) + 1
+    pt.crossJoin(reps)
+      .withColumn("p_partkey", col("p_partkey") + col("k") * ptSpan)
+      .withColumn("p_name",
+        when(col("k") === 0, col("p_name")).otherwise(
+          array_join(transform(split(col("p_name"), " ", -1),
+            t => concat(t, lit("~"), col("k"))), " ")))
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     ()
   }
 }

@@ -249,7 +249,7 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     // reconstruct the pre-cap candidate set: plain all-pairs self-join
     // on the banded signature stream, then the same jaccard >= 0.2 gate
     val banded = Dedup.bandedMinhashPublic(Tables.documents(spark, sf0001))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
     val byBucket = banded.groupBy(t => (t._2, t._3)).values
     val uncappedCandidates = byBucket.flatMap { rows =>
       val ids = rows.map(_._1).distinct.sorted
