@@ -135,6 +135,20 @@ object KllSketch {
     */
   val Ps: Array[Double] = Array(0.25, 0.5, 0.75, 0.9, 0.99)
 
+  /** The sketch as a PARTIAL-valued Aggregator (finish returns the
+    * sketch itself) — what a streaming deployment ships per micro-batch
+    * so the cross-batch combine is the real [[merge]] law (the KLL twin
+    * of `MisraGriesMapAgg`). Used by `stream_kll_quantiles`.
+    */
+  class KllBufAgg extends Aggregator[Long, Buf, Buf] {
+    override def zero: Buf = empty
+    override def reduce(b: Buf, v: Long): Buf = { add(b, v); b }
+    override def merge(a: Buf, b: Buf): Buf = KllSketch.merge(a, b)
+    override def finish(b: Buf): Buf = b
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+  }
+
   class KllAgg extends Aggregator[Long, Buf, Array[Long]] {
     override def zero: Buf = empty
     override def reduce(b: Buf, v: Long): Buf = { add(b, v); b }

@@ -661,7 +661,80 @@ object StreamingQueries {
     (out, store.size())
   }
 
+  /** Bracket half-width (percentage points) shared with the oracle. */
+  private val KllBracketPct = 5
+
+  /** Streaming quantiles — the KLL sketch shipped per micro-batch, the
+    * quantile twin of [[streamHeavyHitters]]: each events micro-batch
+    * folds its purchase-value cents into a DISTRIBUTED per-batch KLL
+    * partial (`KllBufAgg` — finish returns the SKETCH, not estimates),
+    * the partial lands batchId-keyed (idempotent), and after the replay
+    * the partials combine through the real KLL merge cascade in batchId
+    * order. Estimates then get the same exact-rank bracket verification
+    * as `sketch_kll_quantiles` (exact-bracket idiom: the merge-order-
+    * dependent estimate never reaches the output; DuckDB replays the
+    * bracket arithmetic and a literal TRUE). Driver state: one
+    * K·log₂(n/K)-long sketch per micro-batch.
+    */
+  def streamKllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllSketch
+    import org.apache.spark.sql.Encoders
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, KllSketch.Buf]()
+    val q = MultiBatchFileSource(dir).stream(spark).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val buf = batch
+          .select(col("value").cast("decimal(12,2)").*(100).cast("long").as("v"))
+          .as[Long](Encoders.scalaLong)
+          .select(new KllSketch.KllBufAgg().toColumn.name("b"))
+          .head()
+        store.put(batchId, buf)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      if (capturePlans) {
+        val bos = new java.io.ByteArrayOutputStream()
+        try Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        } catch { case _: Throwable => () }
+        lastMicroBatchPlan = bos.toString("UTF-8")
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val merged = store.asScala.toSeq.sortBy(_._1).map(_._2)
+      .reduceLeft(KllSketch.merge)
+    val est = KllSketch.quantiles(merged, KllSketch.Ps)
+    val ps = KllSketch.Ps.map(p => (p * 100).toInt)
+    val estRows = ps.zip(est).toSeq
+    val cents = graft.Tables.events(spark, dir)
+      .select(col("value").cast("decimal(12,2)").*(100).cast("long").as("v"))
+    import spark.implicits._
+    cents.crossJoin(broadcast(estRows.toDF("p", "est")))
+      .groupBy(col("p"), col("est"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("est_rank"))
+      .select(col("p"), col("n").as("n_rows"),
+        expr(s"(p - $KllBracketPct) * n div 100").as("lo_rank"),
+        expr(s"((p + $KllBracketPct) * n + 99) div 100").as("hi_rank"),
+        (col("est_rank") >= expr(s"(p - $KllBracketPct) * n div 100") &&
+          col("est_rank") <= expr(s"((p + $KllBracketPct) * n + 99) div 100"))
+          .as("in_bracket"))
+      .orderBy(col("p"))
+  }
+
+  private val StreamKllOracle: String =
+    s"""WITH t AS (SELECT count(*) AS n FROM events)
+      |SELECT p, n AS n_rows,
+      |  (p - $KllBracketPct) * n // 100 AS lo_rank,
+      |  ((p + $KllBracketPct) * n + 99) // 100 AS hi_rank,
+      |  TRUE AS in_bracket
+      |FROM t, (VALUES (25), (50), (75), (90), (99)) v(p)
+      |ORDER BY p""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("stream_kll_quantiles", streamKllQuantiles _, StreamKllOracle),
     QueryDef("stream_heavy_hitters", streamHeavyHitters _,
       graft.operators.Sketches.HeavyHittersOracle),
     QueryDef("stream_stream_join", streamStreamJoin _,

@@ -96,4 +96,12 @@ class KllSketchSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Long]("lo_rank") < r.getAs[Long]("hi_rank"))
     }
   }
+
+  test("stream_kll_quantiles: merged per-batch partials stay in bracket") {
+    val rows = graft.streaming.StreamingQueries
+      .streamKllQuantiles(spark, sf0001).collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getAs[Boolean]("in_bracket"),
+      s"p=${r.get(0)} out of bracket"))
+  }
 }
