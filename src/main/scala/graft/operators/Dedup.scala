@@ -383,9 +383,113 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The MinHash-LSH pipeline as shared oracle CTEs, ending in
+    * `vp(id_a, id_b, jaccard)` — the verified near-dup pairs. Used by
+    * the dedup_minhash_lsh / dedup_clusters / dedup_survivors oracles
+    * (the latter two add a recursive reachability closure on top).
+    * Universal-hash parameters are INTERPOLATED from [[MinHashUtil]] so
+    * the oracle can never drift from the kernel.
+    */
+  private val MinhashPipelineCtes: String = {
+    val abRows = (0 until graft.functions.MinHashUtil.NumHashes)
+      .map(i => s"(${i}, ${graft.functions.MinHashUtil.A(i)}, " +
+        s"${graft.functions.MinHashUtil.B(i)})").mkString(", ")
+    s"""t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM t),
+      |shx AS (SELECT doc_id, unnest(g) AS s FROM sh WHERE len(g) > 0),
+      |fnv AS (
+      |  SELECT doc_id,
+      |    CAST(list_reduce(
+      |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+      |        list_transform(range(1, octet_length(encode(s)) + 1),
+      |          i -> CAST('0x' || substring(hex(encode(s)), 2*i-1, 2)
+      |                    AS UBIGINT))),
+      |      (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+      |                     % 18446744073709551616 AS UBIGINT))
+      |      & 4294967295 AS BIGINT) AS x
+      |  FROM shx),
+      |ab(i, av, bv) AS (VALUES $abRows),
+      |sig AS (
+      |  SELECT doc_id, ab.i, min((ab.av * fnv.x + ab.bv)
+      |    % ${graft.functions.MinHashUtil.P}) AS m
+      |  FROM fnv, ab GROUP BY doc_id, ab.i),
+      |banded AS (
+      |  SELECT doc_id, i // 4 AS band_idx,
+      |    string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS band_hash
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |sized AS (
+      |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
+      |  FROM banded),
+      |small_pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sized a JOIN sized b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |    AND a.doc_id < b.doc_id
+      |  WHERE a.bsz <= $MaxLshBucket AND b.bsz <= $MaxLshBucket),
+      |anchors AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+      |      ORDER BY doc_id) AS rn
+      |    FROM sized WHERE bsz > $MaxLshBucket)
+      |  WHERE rn <= $StarAnchors),
+      |star_pairs AS (
+      |  SELECT a.doc_id AS id_a, m.doc_id AS id_b
+      |  FROM anchors a JOIN sized m
+      |    ON a.band_idx = m.band_idx AND a.band_hash = m.band_hash
+      |    AND a.doc_id < m.doc_id
+      |  WHERE m.bsz > $MaxLshBucket),
+      |cand AS (
+      |  SELECT DISTINCT id_a, id_b
+      |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs)),
+      |vp AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(cast(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+      |  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+      |  JOIN sh b ON b.doc_id = c.id_b
+      |  WHERE cast(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.2)""".stripMargin
+  }
+
   val registry: Seq[QueryDef] = Seq(
-    QueryDef.noOracle("dedup_clusters", dedupClusters _),
-    QueryDef.noOracle("dedup_survivors", dedupSurvivors _),
+    // components over the (now SQL-expressible) verified pairs: the
+    // recursive closure is the oracle's approach, label propagation the
+    // scale path — same split as q109_components
+    QueryDef("dedup_clusters", dedupClusters _,
+      s"""WITH RECURSIVE $MinhashPipelineCtes,
+        |e AS (SELECT id_a, id_b FROM vp
+        |      UNION ALL SELECT id_b, id_a FROM vp),
+        |reach(src, node) AS (
+        |  SELECT id_a, id_a FROM e
+        |  UNION
+        |  SELECT r.src, e.id_b FROM reach r JOIN e ON e.id_a = r.node)
+        |SELECT src AS doc_id, min(node) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin),
+    // exact-tier keepers minus near-dup losers, all replayed: the
+    // shipped corpus is now END-TO-END oracle-verified
+    QueryDef("dedup_survivors", dedupSurvivors _,
+      s"""WITH RECURSIVE $MinhashPipelineCtes,
+        |e AS (SELECT id_a, id_b FROM vp
+        |      UNION ALL SELECT id_b, id_a FROM vp),
+        |reach(src, node) AS (
+        |  SELECT id_a, id_a FROM e
+        |  UNION
+        |  SELECT r.src, e.id_b FROM reach r JOIN e ON e.id_a = r.node),
+        |clusters AS (
+        |  SELECT src AS doc_id, min(node) AS rep FROM reach GROUP BY src),
+        |losers AS (SELECT doc_id FROM clusters WHERE doc_id <> rep),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(trim(text))))
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
     QueryDef("dedup_exact", dedupExact _,
       """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
@@ -396,71 +500,10 @@ object Dedup {
     // the oracle can never drift from the kernel), min per hash, 8×4
     // banding on the raw ':'-joined tuples, capped buckets + 4-anchor
     // star, and exact-Jaccard verification ≥ 0.2
-    QueryDef("dedup_minhash_lsh", dedupMinhashLsh _, {
-      val abRows = (0 until graft.functions.MinHashUtil.NumHashes)
-        .map(i => s"(${i}, ${graft.functions.MinHashUtil.A(i)}, " +
-          s"${graft.functions.MinHashUtil.B(i)})").mkString(", ")
-      s"""WITH t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    list_transform(generate_series(1, len(t) - 2),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
-        |  FROM t),
-        |shx AS (SELECT doc_id, unnest(g) AS s FROM sh WHERE len(g) > 0),
-        |fnv AS (
-        |  SELECT doc_id,
-        |    CAST(list_reduce(
-        |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
-        |        list_transform(range(1, octet_length(encode(s)) + 1),
-        |          i -> CAST('0x' || substring(hex(encode(s)), 2*i-1, 2)
-        |                    AS UBIGINT))),
-        |      (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
-        |                     % 18446744073709551616 AS UBIGINT))
-        |      & 4294967295 AS BIGINT) AS x
-        |  FROM shx),
-        |ab(i, av, bv) AS (VALUES $abRows),
-        |sig AS (
-        |  SELECT doc_id, ab.i, min((ab.av * fnv.x + ab.bv)
-        |    % ${graft.functions.MinHashUtil.P}) AS m
-        |  FROM fnv, ab GROUP BY doc_id, ab.i),
-        |banded AS (
-        |  SELECT doc_id, i // 4 AS band_idx,
-        |    string_agg(CAST(m AS VARCHAR), ':' ORDER BY i) AS band_hash
-        |  FROM sig GROUP BY doc_id, i // 4),
-        |sized AS (
-        |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bsz
-        |  FROM banded),
-        |small_pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sized a JOIN sized b
-        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-        |    AND a.doc_id < b.doc_id
-        |  WHERE a.bsz <= $MaxLshBucket AND b.bsz <= $MaxLshBucket),
-        |anchors AS (
-        |  SELECT * FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
-        |      ORDER BY doc_id) AS rn
-        |    FROM sized WHERE bsz > $MaxLshBucket)
-        |  WHERE rn <= $StarAnchors),
-        |star_pairs AS (
-        |  SELECT a.doc_id AS id_a, m.doc_id AS id_b
-        |  FROM anchors a JOIN sized m
-        |    ON a.band_idx = m.band_idx AND a.band_hash = m.band_hash
-        |    AND a.doc_id < m.doc_id
-        |  WHERE m.bsz > $MaxLshBucket),
-        |cand AS (
-        |  SELECT DISTINCT id_a, id_b
-        |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs))
-        |SELECT c.id_a, c.id_b,
-        |  round(cast(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
-        |FROM cand c JOIN sh a ON a.doc_id = c.id_a
-        |JOIN sh b ON b.doc_id = c.id_b
-        |WHERE cast(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.g, b.g))) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin
-    }),
+    QueryDef("dedup_minhash_lsh", dedupMinhashLsh _,
+      s"""WITH $MinhashPipelineCtes
+        |SELECT id_a, id_b, jaccard FROM vp
+        |ORDER BY id_a, id_b""".stripMargin),
     QueryDef("dedup_simhash", dedupSimhash _,
       // full replay of the SimHash pipeline: FNV-1a64 per token (HUGEINT
       // modular multiply = Spark's wrapping long multiply), strict-
