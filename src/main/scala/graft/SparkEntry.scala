@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Dedup, Embeddings, Layout, Multimodal, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Quality, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, RowPattern, Similarity, Sketches, Sketches2, Sketches3, TextAnalysis, TextAnalysis2, WordCount}
+import graft.operators.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Dedup, Embeddings, Layout, Multimodal, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Quality, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, RowPattern, Similarity, Sketches, Sketches2, Sketches3, TextAnalysis, TextAnalysis2, WordCount}
 import graft.sources.SyntheticEvents
 import graft.streaming.StreamingQueries
 
@@ -77,7 +77,8 @@ object SparkEntry {
       SyntheticEvents.registry ++ Layout.registry ++ Relational6.registry ++
       Pipeline5.registry ++ Analytics3.registry ++
       Sketches.registry ++ Analytics4.registry ++ Sketches2.registry ++
-      RowPattern.registry ++ Analytics5.registry ++ Sketches3.registry
+      RowPattern.registry ++ Analytics5.registry ++ Sketches3.registry ++
+      Analytics6.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -164,6 +164,32 @@ class ScaleBehaviorSpec extends AnyFunSuite with SparkTestBase {
       assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
     }
   }
+
+  test("join strategy hints are honored: merge / shuffle_hash / broadcast") {
+    // the deployment lever when the optimizer's stats-driven choice is
+    // wrong at 100 TB (e.g. a "small" side whose estimate is stale):
+    // each hint must actually flip the physical join operator
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      def planOf(df: org.apache.spark.sql.DataFrame): String = {
+        df.collect(); df.queryExecution.executedPlan.toString
+      }
+      val smj = planOf(li.hint("merge")
+        .join(o, col("l_orderkey") === col("o_orderkey")))
+      assert(smj.contains("SortMergeJoin"), s"merge hint ignored:\n$smj")
+      val shj = planOf(li.hint("shuffle_hash")
+        .join(o, col("l_orderkey") === col("o_orderkey")))
+      assert(shj.contains("ShuffledHashJoin"),
+        s"shuffle_hash hint ignored:\n$shj")
+      val bhj = planOf(li.join(broadcast(o),
+        col("l_orderkey") === col("o_orderkey")))
+      assert(bhj.contains("BroadcastHashJoin"),
+        s"broadcast() ignored even below threshold -1:\n$bhj")
+    }
+  }
 }
 
 /** Top-level so the UDF closure captures only the broadcast, never the
