@@ -153,6 +153,22 @@ object PlanAudit {
       // attribution is one window pass on user_id + the tiny post-filter
       // groupBy — the event table is hash-shuffled exactly once, and
       // there is no self-join (smj=bhj=0)
+      // cell-blocked radius join: the neighborhood probe must be an
+      // EQUI-join on the cell id (any join operator but never a
+      // nested-loop/cartesian pair scan — that would be the O(N²)
+      // all-pairs form the blocking exists to avoid)
+      "q113_geo_cell_join" -> Seq(
+        ("cell-equi-join",
+          m => m("bhj") + m("smj") + m("shj") >= 1 && m("bnlj") == 0)),
+      // bitemporal snapshot: rn=1 lowers to WindowGroupLimit
+      // (partial+final), and the tx-horizon attach is the whitelisted
+      // one-row broadcast BNLJ
+      "q116_point_in_time" -> Seq(
+        ("group-limit-lowered", m => m("wgl") >= 1)),
+      // DP contribution bound: the rn<=K cap lowers to WindowGroupLimit
+      // — the full per-user history is never sorted past the cap
+      "q117_dp_contribution" -> Seq(
+        ("group-limit-lowered", m => m("wgl") >= 1)),
       "q84_attribution" -> Seq(
         ("window-pass-no-join", m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0)),
       // skew profile: per-key counts reused (checkpointed) for both the
@@ -218,7 +234,10 @@ object PlanAudit {
       "q91_sql_table_udf",
       // the KLL rank-verification pass broadcast-attaches the 5-row
       // estimate frame to the value column — a bounded scalar attach
-      "sketch_kll_quantiles")
+      "sketch_kll_quantiles",
+      // the bitemporal snapshot attaches the one-row max(event_id)
+      // transaction horizon via broadcast — a bounded scalar attach
+      "q116_point_in_time")
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(only)
