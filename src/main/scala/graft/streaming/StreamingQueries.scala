@@ -42,12 +42,18 @@ object StreamingQueries {
   @volatile private[graft] var capturePlans: Boolean = false
   @volatile private[graft] var lastMicroBatchPlan: String = ""
 
-  /** Run a streaming DF to a memory sink, drain, return the table. */
+  /** Run a streaming DF to a memory sink, drain, return the table.
+    * `checkpoint`, when set, pins an explicit checkpointLocation (so
+    * the caller can read the state store back post-run); the default
+    * temp checkpoint is discarded with the query.
+    */
   private[graft] def runToMemory(spark: SparkSession, streamed: DataFrame,
-      name: String, mode: String): DataFrame = {
-    val q = streamed.writeStream
+      name: String, mode: String, checkpoint: Option[String] = None)
+      : DataFrame = {
+    val w0 = streamed.writeStream
       .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow())
+    val q = checkpoint.fold(w0)(c => w0.option("checkpointLocation", c))
       .start()
     try {
       q.processAllAvailable()
@@ -470,6 +476,41 @@ object StreamingQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Post-mortem STATE-STORE introspection — Spark 4's `statestore`
+    * batch data source read over a finished streaming checkpoint, the
+    * ops tool for "what is this stateful query holding right now".
+    * The stream is [[streamAppendWindows]]' exact plan run to an
+    * explicit checkpoint; after it drains, the checkpoint is read back
+    * as a BATCH DataFrame. In append mode the state after the final
+    * (watermark-advancing) no-data batch is precisely the WITHHELD
+    * tail: windows whose end the final watermark has not passed — the
+    * set-complement of what append emitted, so state ∪ emitted
+    * partitions the batch result (spec-pinned), and the oracle is the
+    * append oracle with the inequality flipped. At 100 TB this read
+    * scales like any parquet-ish scan of the store (one task per state
+    * partition) and is the basis for state audits/repairs without
+    * replaying the stream.
+    */
+  def streamStateInspect(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_state_ins")
+      .toString
+    val agg = MultiBatchFileSource(dir).stream(spark)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(spark, agg, "stream_state_inspect_sink", "append",
+      Some(ckpt))
+    spark.read.format("statestore").option("path", ckpt).load()
+      .select(
+        date_format(col("key.window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("key.event_type").as("event_type"),
+        // the value struct carries the AGG BUFFER's field names — for a
+        // single count the field is `count`, whatever the output alias
+        col("value.count").as("n"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Stream-stream inner join with event-time bounds: purchases within
     * 5 minutes after a signup by the same user — the streaming twin of
     * the batch range join (q17), sharing its oracle shape. Watermarks on
@@ -805,6 +846,16 @@ object StreamingQueries {
         |  event_type, count(*) AS n
         |FROM events, wm
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.w
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+    QueryDef("stream_state_inspect", streamStateInspect _,
+      // the state after the final batch is the withheld tail: windows
+      // the final watermark (max event time − 10 min) has NOT passed —
+      // the exact complement of the append-mode emission rule above
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+        |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n
+        |FROM events, wm
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' > wm.w
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
     QueryDef("stream_session", streamSession _, SessionOracleSql),
     QueryDef("stream_session_dynamic", streamSessionDynamic _, SessionDynamicOracleSql),

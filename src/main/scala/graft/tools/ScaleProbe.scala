@@ -40,7 +40,12 @@ object ScaleProbe {
     // round-7 additions: the KLL sketch scan, the iterative ER composite
     // (blocked fuzzy pairs + label propagation), and the per-batch-MG
     // streaming sketch
-    "sketch_kll_quantiles", "q111_entity_resolution", "stream_heavy_hitters")
+    "sketch_kll_quantiles", "q111_entity_resolution", "stream_heavy_hitters",
+    // round-7 batch 2: the token-positional text transforms (scan/
+    // window-bound) and the cell-blocked radius join (output grows
+    // QUADRATICALLY with density by semantics — the probe documents
+    // that the engine's work tracks Σ|cell|² ≈ output size, not N²)
+    "text_rake", "pipeline_span_corruption", "q113_geo_cell_join")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,7 +94,7 @@ object ScaleProbe {
   /** Fixture-layout version — bump when buildScaled changes so a cached
     * older layout (e.g. without the `part` table) is rebuilt.
     */
-  private val FixtureVersion = 2
+  private val FixtureVersion = 3
 
   /** Build the key-shifted N× tables once (marker-cached per factor +
     * layout version).
@@ -153,6 +158,18 @@ object ScaleProbe {
             t => concat(t, lit("~"), col("k"))), " ")))
       .drop("k")
       .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    // customer: key shift only — the q113 lattice coordinates derive
+    // from c_custkey, so replicas land on NEW grid points and the point
+    // DENSITY grows N× in the fixed 40000² space (the radius join's
+    // output is then quadratic in N by geometry, which is the behavior
+    // the probe is meant to exhibit, not hide)
+    val cu = spark.read.parquet(s"$baseDir/customer.parquet")
+    val cuSpan = cu.agg(max(col("c_custkey"))).head.getLong(0) + 1
+    cu.crossJoin(reps)
+      .withColumn("c_custkey", col("c_custkey") + col("k") * cuSpan)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     ()

@@ -482,6 +482,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("stream_state_inspect: state ∪ emitted partitions the batch result") {
+    val state = StreamingQueries.streamStateInspect(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    val emitted = StreamingQueries.streamAppendWindows(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    assert(state.nonEmpty, "final watermark must leave a withheld tail in state")
+    // disjoint: a window is either emitted or still held, never both
+    assert(state.map(_._1).toSet.intersect(emitted.map(_._1).toSet).isEmpty)
+    // together they are EXACTLY the batch tumbling aggregate
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    assert((state ++ emitted).toMap === batch.toMap)
+    assert(state.length + emitted.length === batch.length)
+  }
+
   test("stream_session: session count and event conservation") {
     val sessions = StreamingQueries.streamSession(spark, sf0001).collect()
     val totalEvents = sessions.map(_.getLong(2)).sum
