@@ -378,6 +378,49 @@ object StreamingQueries {
     }
   }
 
+  /** State introspection for CUSTOM state — the transformWithState
+    * variant of [[streamStateInspect]]: run [[streamTransformWithState]]'s
+    * exact plan (RocksDB provider, named ValueState "acc") to an
+    * explicit checkpoint, then read that named state variable back as a
+    * batch DataFrame via the `statestore` source's `stateVarName`
+    * option. Because the per-user accumulator never evicts
+    * (TTLConfig.NONE), the store's final content IS the complete
+    * aggregate — so unlike the windowed inspect (whose state is the
+    * watermark-withheld tail), this oracle is the full batch aggregate
+    * itself, identical to stream_tws's. Proves the ops surface extends
+    * beyond built-in operators to user-defined state: audit a custom
+    * processor's store without replaying the stream.
+    */
+  def streamTwsStateInspect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_state")
+      .toString
+    withRocksDB(spark) {
+      val ds = FileEventSource(dir).stream(spark)
+        .select(col("user_id"),
+          col("value").cast(DecimalType(12, 2)).*(100).cast("long").as("cents"),
+          unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long, Long)]
+      val updated = ds.groupByKey(_._1)
+        .transformWithState(new UserSpendProcessor,
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(spark, updated.toDF("user_id", "n_events", "cents", "l_us"),
+        "stream_tws_state_inspect_sink", "append", Some(ckpt))
+      spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "acc")
+        .load()
+        .select(col("key.value").as("user_id"),
+          col("value._1").as("n_events"),
+          col("value._2").as("cents"),
+          date_format(timestamp_micros(col("value._3")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
+        .orderBy(col("user_id"))
+    }
+  }
+
   /** STREAMING row-pattern matching (CEP): the batch
     * [[graft.operators.RowPattern]] matcher run as per-user
     * `transformWithState` over the rate-limited time-ordered replay —
@@ -818,6 +861,13 @@ object StreamingQueries {
     QueryDef("stream_row_pattern", streamRowPattern _,
       graft.operators.RowPattern.RowPatternOracle),
     QueryDef("stream_tws", streamTransformWithState _,
+      """SELECT user_id, count(*) AS n_events,
+        |  cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+    QueryDef("stream_tws_state_inspect", streamTwsStateInspect _,
+      // the un-evicting per-user ValueState read back from the RocksDB
+      // checkpoint IS the complete aggregate — same oracle as stream_tws
       """SELECT user_id, count(*) AS n_events,
         |  cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts

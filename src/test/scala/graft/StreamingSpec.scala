@@ -502,6 +502,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(state.length + emitted.length === batch.length)
   }
 
+  test("stream_tws_state_inspect: the named ValueState read back equals " +
+      "the processor's own final emissions") {
+    val state = StreamingQueries.streamTwsStateInspect(spark, sf0001)
+      .collect().map(_.toSeq)
+    val emitted = StreamingQueries.streamTransformWithState(spark, sf0001)
+      .collect().map(_.toSeq)
+    // TTL-free custom state: the store holds the complete aggregate, so
+    // the two reads — live emissions vs post-mortem store scan — agree
+    assert(state.nonEmpty)
+    assert(state.toSeq === emitted.toSeq)
+  }
+
   test("stream_session: session count and event conservation") {
     val sessions = StreamingQueries.streamSession(spark, sf0001).collect()
     val totalEvents = sessions.map(_.getLong(2)).sum
