@@ -42,6 +42,25 @@ object StreamingQueries {
   @volatile private[graft] var capturePlans: Boolean = false
   @volatile private[graft] var lastMicroBatchPlan: String = ""
 
+  /** Create a temp checkpoint dir that is recursively deleted at JVM
+    * exit. The statestore-introspection queries must OUTLIVE their
+    * streaming run (the returned DataFrame reads the checkpoint
+    * lazily), so the dir cannot be deleted inline — but without any
+    * cleanup every verify/bench/audit execution would leak a full
+    * state-store checkpoint (RocksDB SSTs included) into /tmp.
+    */
+  private def tempCheckpointDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(); ()
+      }
+      try rm(dir.toFile) catch { case _: Throwable => () }
+    }))
+    dir.toString
+  }
+
   /** Run a streaming DF to a memory sink, drain, return the table.
     * `checkpoint`, when set, pins an explicit checkpointLocation (so
     * the caller can read the state store back post-run); the default
@@ -395,8 +414,7 @@ object StreamingQueries {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import org.apache.spark.sql.types.DecimalType
     import spark.implicits._
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_state")
-      .toString
+    val ckpt = tempCheckpointDir("graft_tws_state")
     withRocksDB(spark) {
       val ds = FileEventSource(dir).stream(spark)
         .select(col("user_id"),
@@ -535,8 +553,7 @@ object StreamingQueries {
     * replaying the stream.
     */
   def streamStateInspect(spark: SparkSession, dir: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_state_ins")
-      .toString
+    val ckpt = tempCheckpointDir("graft_state_ins")
     val agg = MultiBatchFileSource(dir).stream(spark)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

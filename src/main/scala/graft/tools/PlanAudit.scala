@@ -150,9 +150,6 @@ object PlanAudit {
       // skip-gram pairs are a pure per-row expansion: the ONLY hash
       // shuffle is the final count groupBy (partial agg before it)
       "text_skipgram" -> Seq(("single-hash-shuffle", m => m("hx") == 1)),
-      // attribution is one window pass on user_id + the tiny post-filter
-      // groupBy — the event table is hash-shuffled exactly once, and
-      // there is no self-join (smj=bhj=0)
       // cell-blocked radius join: the neighborhood probe must be an
       // EQUI-join on the cell id (any join operator but never a
       // nested-loop/cartesian pair scan — that would be the O(N²)
@@ -169,6 +166,9 @@ object PlanAudit {
       // — the full per-user history is never sorted past the cap
       "q117_dp_contribution" -> Seq(
         ("group-limit-lowered", m => m("wgl") >= 1)),
+      // attribution is one window pass on user_id + the tiny post-filter
+      // groupBy — the event table is hash-shuffled exactly once, and
+      // there is no self-join (smj=bhj=0)
       "q84_attribution" -> Seq(
         ("window-pass-no-join", m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0)),
       // skew profile: per-key counts reused (checkpointed) for both the

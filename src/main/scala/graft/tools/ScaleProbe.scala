@@ -82,7 +82,10 @@ object ScaleProbe {
       })
     }
 
-    Queries.foreach { q =>
+    // SPARK_GRAFT_SCALE_ONLY: same comma/prefix spec as everywhere else
+    // — re-measure a subset without paying for the full sweep
+    val only = graft.SparkEntry.onlyFilter(sys.env.get("SPARK_GRAFT_SCALE_ONLY"))
+    Queries.filter(only).foreach { q =>
       val b = time(q, baseDir)
       val s = time(q, outDir)
       println(f"""{"q":"$q","base_warm":$b%.3f,"scaled_warm":$s%.3f,""" +
@@ -94,7 +97,7 @@ object ScaleProbe {
   /** Fixture-layout version — bump when buildScaled changes so a cached
     * older layout (e.g. without the `part` table) is rebuilt.
     */
-  private val FixtureVersion = 3
+  private val FixtureVersion = 4
 
   /** Build the key-shifted N× tables once (marker-cached per factor +
     * layout version).
@@ -125,11 +128,20 @@ object ScaleProbe {
     docs.crossJoin(reps)
       .select(
         (col("doc_id") + col("k") * docSpan).as("doc_id"),
-        // replica-suffix every token: shingle spaces of different
-        // replicas are disjoint, near-dup structure is per-replica
+        // replica-suffix every CONTENT token: shingle spaces of
+        // different replicas are disjoint (a shingle collides across
+        // replicas only if ALL its tokens are stopwords — impossible at
+        // shingle width 8 over a 2-word stopword set), near-dup
+        // structure is per-replica. STOPWORDS keep their identity:
+        // suffixing them would strip every replica of its function
+        // words and collapse text_rake's phrase structure to 1× (the
+        // round-7 review catch — the probe must preserve the stopword
+        // distribution the RAKE plan is sensitive to)
         when(col("k") === 0, col("text")).otherwise(
           array_join(transform(split(col("text"), " ", -1),
-            t => concat(t, lit("~"), col("k"))), " ")).as("text"),
+            t => when(
+              t.isin(graft.operators.TextAnalysis3.StopWords: _*), t)
+              .otherwise(concat(t, lit("~"), col("k")))), " ")).as("text"),
         col("lang"), col("source"))
       // n_chars must describe the SUFFIXED text, not the original
       .withColumn("n_chars", length(col("text")).cast("long"))

@@ -73,10 +73,12 @@ class Analytics6Spec extends AnyFunSuite with SparkTestBase {
     val txHorizon = maxId * 3 / 4
     val vt = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
     // brute-force the winner per user from the raw events
+    // compare at MICROsecond precision — Timestamp.getTime truncates to
+    // millis and would mis-pick winners on sub-millisecond ties
     val known = Tables.events(spark, sf0001)
       .filter(col("event_id") <= txHorizon && col("ts") <= lit(vt))
-      .select(col("user_id"), col("ts"), col("event_id")).collect()
-      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val expect = known.groupBy(_._1).map { case (u, rs) =>
       u -> rs.maxBy(r => (r._2, r._3))._3
     }
