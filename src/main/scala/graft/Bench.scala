@@ -48,6 +48,24 @@ object Bench {
     s"""{"sf":"$sf","queries_warm":{$body}}"""
   }
 
+  /** Merge this run's warm medians into the baseline priors, PER-QUERY
+    * MINIMA: the baseline means "best clean observation so far", so a
+    * run on a loaded machine can never RAISE an entry and silently
+    * loosen the next round's regression gate (round 7's driver bench
+    * was ~1.26x machine-inflated and a last-run-wins merge rewrote 195
+    * of 199 entries upward). A query that failed this run keeps its
+    * prior (absence would exempt it from the next gate); queries no
+    * longer in the registry drop out. BenchBaselineSpec pins all three
+    * behaviors.
+    */
+  private[graft] def mergeBaseline(
+      prevWarm: Map[String, Double],
+      warm: Map[String, Double],
+      registered: String => Boolean): Map[String, Double] =
+    (prevWarm ++ warm.map { case (k, v) =>
+      k -> math.min(prevWarm.getOrElse(k, v), v)
+    }).filter { case (k, _) => registered(k) }
+
   /** Parse a baseline/bench JSON's warm medians. A regex, not a JSON
     * parser (no JSON library on the offline classpath) — sound ONLY
     * because [[baselineJson]] is the writer and emits a flat
@@ -227,9 +245,14 @@ object Bench {
     }
     // baseline update: full-registry runs only; a query that FAILED this
     // run keeps its prior median (absence would silently exempt it from
-    // the next gate); entries for queries no longer registered drop out
+    // the next gate); entries for queries no longer registered drop out.
+    // The merge is PER-QUERY MINIMA, not last-run-wins: the baseline is
+    // "best clean observation so far", so one bench run on a loaded
+    // machine cannot loosen the regression gate for the next round
+    // (round 7's driver run was ~1.26x inflated across all lanes and a
+    // last-run-wins merge rewrote 195 of 199 entries upward).
     if (!subsetRun) try {
-      val merged = (prevWarm ++ warm).filter { case (k, _) => benchQueries.contains(k) }
+      val merged = mergeBaseline(prevWarm, warm, benchQueries.contains)
       val bj = baselineJson(sfDir, merged)
       java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
         (bj + "\n").getBytes("UTF-8"))

@@ -89,9 +89,17 @@ object Analytics6 {
     * 40000×40000 integer grid, cells are 1000 units, the radius is 800 —
     * radius < cell size is what makes the 3×3 neighborhood exhaustive.
     */
-  private val GridSide = 40000
-  private val CellSize = 1000
-  private val Radius2  = 800L * 800L
+  private[graft] val GridSide = 40000
+  private[graft] val CellSize = 1000
+  private[graft] val Radius2  = 800L * 800L
+
+  /** Scalar twin of [[geoCellJoin]]'s coordinate derivation, exposed so
+    * the brute-force spec references THE operator's formula instead of
+    * re-hardcoding the constants (a constant change must fail the spec
+    * by producing different pairs, not by drifting silently).
+    */
+  private[graft] def geoCoords(k: Long): (Long, Long) =
+    (k % 100003 * 48271 % GridSide, k % 99991 * 16807 % GridSide)
 
   /** Radius self-join via spatial cell blocking. Deterministic synthetic
     * coordinates derive from the customer key with modulus-first integer

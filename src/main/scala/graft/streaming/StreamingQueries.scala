@@ -49,15 +49,34 @@ object StreamingQueries {
     * cleanup every verify/bench/audit execution would leak a full
     * state-store checkpoint (RocksDB SSTs included) into /tmp.
     */
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Checkpoint dirs awaiting JVM-exit cleanup, drained by ONE shared
+    * shutdown hook (a hook per invocation would accumulate an unbounded
+    * thread list over a long bench/verify JVM). Keyed by prefix so a
+    * NEW run of the same query can reclaim the previous run's
+    * checkpoint immediately instead of letting /tmp grow for the whole
+    * JVM lifetime.
+    */
+  private val pendingCheckpoints =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      pendingCheckpoints.values.forEach { p =>
+        try rmTree(p.toFile) catch { case _: Throwable => () }
+      }
+    }))
+  }
+
   private def tempCheckpointDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-        f.delete(); ()
-      }
-      try rm(dir.toFile) catch { case _: Throwable => () }
-    }))
+    val prev = pendingCheckpoints.put(prefix, dir)
+    // the previous run of this query is over (its lazily-read statestore
+    // DataFrame is superseded) — reclaim its RocksDB SSTs now
+    if (prev != null) try rmTree(prev.toFile) catch { case _: Throwable => () }
     dir.toString
   }
 
@@ -560,15 +579,44 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"))
     runToMemory(spark, agg, "stream_state_inspect_sink", "append",
       Some(ckpt))
-    spark.read.format("statestore").option("path", ckpt).load()
+    val store = spark.read.format("statestore").option("path", ckpt).load()
+    // the value struct carries the AGG BUFFER's internal field names
+    // (`count` for a lone count today) — an internal Spark schema
+    // detail that can shift across versions, so resolve the single
+    // numeric buffer field FROM the schema instead of hardcoding it
+    store
       .select(
         date_format(col("key.window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"),
         col("key.event_type").as("event_type"),
-        // the value struct carries the AGG BUFFER's field names — for a
-        // single count the field is `count`, whatever the output alias
-        col("value.count").as("n"))
+        col(s"value.${singleNumericField(store, "value")}").as("n"))
       .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Name of the single numeric field inside struct column `name` —
+    * fails with an explicit message if the struct is missing or holds
+    * zero/multiple numeric fields (a silent pick would read the wrong
+    * agg buffer slot after a Spark upgrade).
+    */
+  private[graft] def singleNumericField(
+      df: DataFrame, name: String): String = {
+    import org.apache.spark.sql.types.{NumericType, StructType}
+    val struct = df.schema.fields.find(_.name == name).map(_.dataType)
+      .getOrElse(sys.error(
+        s"statestore schema has no `$name` column: ${df.schema.treeString}"))
+    struct match {
+      case st: StructType =>
+        st.fields.filter(_.dataType.isInstanceOf[NumericType]) match {
+          case Array(f) => f.name
+          case fs => sys.error(
+            s"expected exactly one numeric field in `$name` " +
+              s"(agg buffer), found ${fs.map(_.name).mkString("[", ",", "]")} " +
+              s"in ${st.treeString} — Spark's internal streaming-agg " +
+              "buffer layout changed; update streamStateInspect")
+        }
+      case other => sys.error(
+        s"statestore `$name` column is $other, not a struct")
+    }
   }
 
   /** Stream-stream inner join with event-time bounds: purchases within

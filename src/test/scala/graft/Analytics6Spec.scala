@@ -38,12 +38,12 @@ class Analytics6Spec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val pts = Tables.customer(spark, sf001).select("c_custkey").collect()
       .map(_.getLong(0))
-      .map(k => (k, k % 100003 * 48271 % 40000, k % 99991 * 16807 % 40000))
+      .map { k => val (x, y) = Analytics6.geoCoords(k); (k, x, y) }
     val brute = (for {
       (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
       if ia < ib
       d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
-      if d2 <= 800L * 800L
+      if d2 <= Analytics6.Radius2
     } yield (ia, ib, d2)).toSet
     assert(blocked === brute)
     assert(brute.nonEmpty, "fixture regression: no in-radius pairs at sf0.01")

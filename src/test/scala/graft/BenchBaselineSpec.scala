@@ -70,6 +70,28 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("malformed"))
   }
 
+  test("baseline merge is per-query minima: a slower run never raises a prior") {
+    // the round-7 failure mode: a machine-inflated run rewrote 195 of
+    // 199 priors UPWARD under last-run-wins, silently loosening the
+    // regression gate 26%. Minima semantics: prev survives when now is
+    // slower, now wins when faster, new queries enter at their first
+    // observation.
+    val prev = Map("slow_now" -> 1.0, "fast_now" -> 2.0, "failed_now" -> 3.0)
+    val warm = Map("slow_now" -> 2.5, "fast_now" -> 1.5, "brand_new" -> 0.7)
+    val merged = Bench.mergeBaseline(prev, warm, _ => true)
+    assert(merged === Map(
+      "slow_now" -> 1.0,   // prev survives: this run was slower
+      "fast_now" -> 1.5,   // genuine improvement recorded
+      "failed_now" -> 3.0, // failed this run (absent from warm): prior kept
+      "brand_new" -> 0.7)) // first observation
+  }
+
+  test("baseline merge drops entries for unregistered queries") {
+    val prev = Map("kept" -> 1.0, "deleted_query" -> 2.0)
+    val merged = Bench.mergeBaseline(prev, Map("kept" -> 1.2), Set("kept"))
+    assert(merged === Map("kept" -> 1.0))
+  }
+
   test("parser reads the full bench_out.json shape (fallback path)") {
     // prevWarm falls back to bench_out.json, which nests OTHER objects
     // (queries, regressions) around a still-flat queries_warm — the
