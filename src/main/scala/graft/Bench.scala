@@ -105,6 +105,27 @@ object Bench {
     }
   }
 
+  /** Machine-calibration probe: a fixed single-threaded integer loop,
+    * timed. Recorded as `calib_ms` in every bench JSON so a cross-round
+    * delta can be attributed — if calib shifted with the queries, the
+    * machine changed, not the code (round 8: an all-lanes 1.5× shift
+    * turned out to be a persistent VM-generation change; adjudicating
+    * it required re-running old code because no calibration had been
+    * recorded). JIT-warmed with one untimed pass; median of 3.
+    */
+  private[graft] def calibrate(): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0L; var i = 0L
+      while (i < 200_000_000L) { x += i * i; i += 1 }
+      if (x == 42) System.err.println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    pass()
+    val s = Seq(pass(), pass(), pass()).sorted
+    BigDecimal(s(1)).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -176,6 +197,8 @@ object Bench {
         if (samples.length == warmPasses) Some(name -> median(samples)) else None
       }.toMap
 
+    val calibMs = calibrate()
+
     // regression gate: read the previous warm medians and flag any query
     // whose warm median grew >1.5x round-over-round. Sub-50ms priors are
     // skipped (pure scheduling noise at that scale). Priors live in a
@@ -235,7 +258,7 @@ object Bench {
     val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
     // full detail (every query, both lanes) — file only
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, results.keys)},"total_warm":$totalWarm,"queries_warm":${fmt(warm, warm.keys)},"warm_passes":$warmPasses,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, results.keys)},"total_warm":$totalWarm,"queries_warm":${fmt(warm, warm.keys)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"regressions":$regJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -273,7 +296,7 @@ object Bench {
     val regJsonCompact = regressions.take(10).map((regEntry _).tupled)
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"warm_passes":$warmPasses,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"regressions":$regJsonCompact,"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"regressions":$regJsonCompact,"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
     println(json)
     spark.stop()
   }

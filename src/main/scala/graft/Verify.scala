@@ -49,8 +49,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // PARTIAL (self-referential) oracles: a query whose candidate set is
+    // not SQL-replayable (float-sign LSH buckets, iterative centroids)
+    // can still have its VALUES verified — the oracle SQL reads the ids
+    // this dump just wrote (`__DUMP__/<name>/*.parquet`) and recomputes
+    // the exact per-id values from the corpus tables in DuckDB. The
+    // token is substituted here because only Verify knows the outDir.
+    val dumpRoot = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__DUMP__", dumpRoot))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -258,8 +258,18 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     var cents = seedCentroids(emb)
     for (_ <- 1 to 3) cents = lloydStep(emb, cents)
+    // each row carries its assigned centroid (16 distinct arrays,
+    // dictionary-encoded by parquet) so the PARTIAL oracle can verify
+    // the assignment step: DuckDB re-reads the dump, recovers the 16
+    // (cluster, centroid) pairs, and re-derives every vector's argmax
+    // cosine assignment — the Lloyd refinement itself (iterative float
+    // means) stays SQL-unreplayable, but "every vector sits in the
+    // cluster of its nearest dumped centroid" is now hash-checked.
+    val centArr = typedLit(cents.map(_.toSeq).toSeq)
     emb.select(col("vec_id"),
         nearestCentroidIdx(cents, col("embedding")).cast("long").as("cluster"))
+      .withColumn("centroid",
+        element_at(centArr, (col("cluster") + 1).cast("int")))
       .orderBy(col("vec_id"))
   }
 
@@ -396,6 +406,51 @@ object Similarity {
       .select(col("vec_id"), round(col("sim_exact"), 4).as("sim"))
   }
 
+  /** PARTIAL oracle for an ANN tier: the candidate set (float-sign LSH
+    * buckets / Lloyd-refined coarse centroids / trained PQ codebooks)
+    * is not SQL-replayable, but every RETURNED row's value is — the
+    * oracle re-reads the ids this query just dumped
+    * (`__DUMP__/<name>/`, substituted by [[graft.Verify]]) and
+    * recomputes each id's exact cosine to the query vector from the
+    * corpus. A wrong reported sim, wrong rounding, or an id not in the
+    * corpus hash-fails; candidate QUALITY is pinned separately by the
+    * recall-floor specs in DedupSimilaritySpec (they sweep query ids
+    * against brute force).
+    */
+  private def annPartialOracle(name: String): String =
+    s"""WITH q AS (SELECT list_transform(embedding, x -> cast(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |ids AS (SELECT vec_id FROM read_parquet('__DUMP__/$name/*.parquet'))
+       |SELECT vec_id, round(sim_exact, 4) AS sim FROM (
+       |  SELECT e.vec_id,
+       |    list_cosine_similarity(list_transform(e.embedding, x -> cast(x AS DOUBLE)),
+       |      (SELECT qv FROM q)) AS sim_exact
+       |  FROM embeddings e JOIN ids USING (vec_id))
+       |ORDER BY sim_exact DESC, vec_id""".stripMargin
+
+  /** PARTIAL oracle for k-means: recover the 16 (cluster, centroid)
+    * pairs from the dump itself, then re-derive every corpus vector's
+    * argmax-cosine assignment in DuckDB (tie → larger cluster id,
+    * matching [[nearestCentroidIdx]]'s struct-max semantics). Verifies
+    * the assignment step end-to-end against whatever centroids Lloyd
+    * produced; the centroid refinement itself is the irreducible
+    * iterative-float part (determinism + monotone-improvement are
+    * spec-pinned in DedupSimilaritySpec).
+    */
+  private val KmeansPartialOracle: String =
+    """WITH dump AS (SELECT * FROM read_parquet('__DUMP__/cluster_kmeans/*.parquet')),
+      |cents AS (SELECT DISTINCT cluster, centroid FROM dump),
+      |best AS (
+      |  SELECT e.vec_id, c.cluster, c.centroid,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(
+      |          list_transform(e.embedding, x -> cast(x AS DOUBLE)),
+      |          list_transform(c.centroid, x -> cast(x AS DOUBLE))) DESC,
+      |        c.cluster DESC) AS rn
+      |  FROM embeddings e CROSS JOIN cents c)
+      |SELECT vec_id, cluster, centroid FROM best WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("sim_topk_bruteforce", simTopkBruteforce _, simOracle),
     QueryDef("sim_topk_by_label", simTopkByLabel _,
@@ -413,10 +468,10 @@ object Similarity {
         |  FROM scored)
         |WHERE rn <= 3 ORDER BY label, rn""".stripMargin),
     QueryDef("sim_topk_batch", simTopkBatch _, BatchOracle),
-    QueryDef.noOracle("sim_ann_lsh", simAnnLsh _),
-    QueryDef.noOracle("sim_ann_ivf", simAnnIvf _),
-    QueryDef.noOracle("sim_ann_pq", simAnnPq _),
-    QueryDef.noOracle("cluster_kmeans", clusterKmeans _),
+    QueryDef("sim_ann_lsh", simAnnLsh _, annPartialOracle("sim_ann_lsh")),
+    QueryDef("sim_ann_ivf", simAnnIvf _, annPartialOracle("sim_ann_ivf")),
+    QueryDef("sim_ann_pq", simAnnPq _, annPartialOracle("sim_ann_pq")),
+    QueryDef("cluster_kmeans", clusterKmeans _, KmeansPartialOracle),
     QueryDef("dedup_embedding_cosine", dedupEmbeddingCosine _,
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(
