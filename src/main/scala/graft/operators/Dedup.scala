@@ -390,7 +390,7 @@ object Dedup {
     * Universal-hash parameters are INTERPOLATED from [[MinHashUtil]] so
     * the oracle can never drift from the kernel.
     */
-  private val MinhashPipelineCtes: String = {
+  private[graft] val MinhashPipelineCtes: String = {
     val abRows = (0 until graft.functions.MinHashUtil.NumHashes)
       .map(i => s"(${i}, ${graft.functions.MinHashUtil.A(i)}, " +
         s"${graft.functions.MinHashUtil.B(i)})").mkString(", ")

@@ -237,7 +237,10 @@ object PlanAudit {
       "sketch_kll_quantiles",
       // the bitemporal snapshot attaches the one-row max(event_id)
       // transaction horizon via broadcast — a bounded scalar attach
-      "q116_point_in_time")
+      "q116_point_in_time",
+      // KMV joins its two 1-row aggregates (min-k fold × exact count)
+      // — a 1×1 scalar attach
+      "sketch_kmv_distinct")
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(only)
