@@ -197,7 +197,111 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Ranking depth for [[mmPhashDedup]]. */
+  private[graft] val PhashTopK = 20
+
+  /** IMAGE near-duplicate triage via perceptual average-hash — the
+    * multimodal member of the dedup family: hash every payload's PIXEL
+    * ARRAY with [[graft.functions.MediaHash.AHash64]] (64 positional
+    * block means vs the global mean, one codegen loop per row), then
+    * reuse the text tier's ENTIRE banded-LSH blocking substrate
+    * unchanged — 4×16-bit bands, capped buckets with the k-anchor star
+    * ([[Dedup.cappedBucketPairsPublic]]) — and emit the
+    * [[PhashTopK]] candidate pairs with the SMALLEST Hamming distance
+    * (ties broken by ids): the review queue a dedup pipeline hands to
+    * its exact-verification tier, most-suspicious first. A RANKING
+    * rather than a fixed gate, deliberately: on byte-aligned payloads
+    * (re-encoded/resaved images — the production aHash case) true
+    * duplicates land at Hamming ≤ 6 and the gate form is one `.filter`
+    * away, but this fixture's payloads are edit-mutated text bytes
+    * whose positional block means drift under insertion shifts, so a
+    * fixed small gate would select noise and a fixture-calibrated gate
+    * would be dishonest. The scale story matches dedup_simhash:
+    * hashing is embarrassingly parallel over payload bytes, candidate
+    * generation is a bucket-keyed shuffle (never all-pairs), the top-k
+    * is TakeOrderedAndProject (k rows per partition), and only the
+    * 8-byte hash ever ships — payloads never move past the scan. The
+    * oracle replays the hash bit-for-bit from the wrapped bytes (exact
+    * integer block arithmetic — see MediaHash's scaladoc on why there
+    * are no floats), then the same banding, caps, star, and ranking.
+    */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = asMedia(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.MediaHash.ahash64(col("payload")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("sig"), 16 * b).bitwiseAND(lit(0xffffL))
+            .as("band_key"))): _*)).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band_idx"), col("band.band_key"))
+    Dedup.cappedBucketPairsPublic(banded, "band_key", Seq("sig"))
+      .select(col("id_a"), col("id_b"),
+        call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b")))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
+      .limit(PhashTopK)
+  }
+
+  private val PhashOracle: String =
+    s"""WITH bytes AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, octet_length(encode(text)) + 1),
+      |      i -> CAST('0x' || substring(hex(encode(text)), 2*i-1, 2)
+      |                AS BIGINT)) AS bs
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, i, bs[i] AS v, len(bs) AS n
+      |  FROM bytes, unnest(generate_series(1, len(bs))) AS s(i)),
+      |blocks AS (
+      |  SELECT doc_id, (i - 1) * 64 // n AS blk,
+      |    sum(v) AS s, count(*) AS c, any_value(n) AS n
+      |  FROM b GROUP BY doc_id, (i - 1) * 64 // n),
+      |tot AS (SELECT doc_id, sum(v) AS t FROM b GROUP BY doc_id),
+      |sigs AS (
+      |  SELECT blocks.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN blocks.s * blocks.n > tot.t * blocks.c
+      |      THEN CAST(1::UBIGINT << blocks.blk AS HUGEINT) ELSE 0 END), 0)
+      |      AS UBIGINT) AS sig
+      |  FROM blocks JOIN tot ON tot.doc_id = blocks.doc_id
+      |  GROUP BY blocks.doc_id),
+      |banded AS (
+      |  SELECT doc_id, sig, b.b AS band_idx,
+      |    (sig >> (16 * b.b)) & 65535 AS band_key
+      |  FROM sigs, generate_series(0, 3) AS b(b)),
+      |sized AS (
+      |  SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bsz
+      |  FROM banded),
+      |small_pairs AS (
+      |  SELECT a.doc_id AS id_a, a.sig AS sig_a, b.doc_id AS id_b, b.sig AS sig_b
+      |  FROM sized a JOIN sized b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+      |    AND a.doc_id < b.doc_id
+      |  WHERE a.bsz <= ${Dedup.MaxLshBucket} AND b.bsz <= ${Dedup.MaxLshBucket}),
+      |anchors AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_key
+      |      ORDER BY doc_id) AS rn
+      |    FROM sized WHERE bsz > ${Dedup.MaxLshBucket})
+      |  WHERE rn <= ${Dedup.StarAnchors}),
+      |star_pairs AS (
+      |  SELECT a.doc_id AS id_a, a.sig AS sig_a, m.doc_id AS id_b, m.sig AS sig_b
+      |  FROM anchors a JOIN sized m
+      |    ON a.band_idx = m.band_idx AND a.band_key = m.band_key
+      |    AND a.doc_id < m.doc_id
+      |  WHERE m.bsz > ${Dedup.MaxLshBucket}),
+      |cand AS (
+      |  SELECT DISTINCT id_a, id_b, sig_a, sig_b
+      |  FROM (SELECT * FROM small_pairs UNION ALL SELECT * FROM star_pairs))
+      |SELECT id_a, id_b,
+      |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+      |FROM cand
+      |ORDER BY hamming, id_a, id_b LIMIT $PhashTopK""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("mm_phash_dedup", mmPhashDedup _, PhashOracle),
     QueryDef("mm_decode_mixed", mmDecodeMixed _,
       // synthesis-formula replay per container family: geometry is a
       // function of the UTF-8 byte length n and doc_id % 3; Spark earns
