@@ -142,7 +142,145 @@ object Embeddings {
       .orderBy(col("vec_id"), col("j"))
   }
 
+  /** Power-iteration count for [[embPcaPower]]. */
+  private[graft] val PcaIters = 30
+  private val Dim = 64
+
+  /** floor(x·10^n + 0.5)/10^n — the ENGINE-STABLE rounding this repo
+    * uses wherever both engines must land on the identical double: the
+    * op sequence (multiply, add, floor, divide) is the same IEEE ops in
+    * both, unlike `round()` whose half-up path differs per engine.
+    */
+  private def stableRound(x: Double, n: Int): Double = {
+    val p = math.pow(10, n)
+    math.floor(x * p + 0.5) / p
+  }
+
+  /** Mergeable Gram-matrix partial: each partition folds its vectors'
+    * outer products into ONE 64×64 double buffer, and merge is
+    * elementwise add — so the corpus-wide second-moment matrix costs a
+    * single aggregation shipping 4096 doubles per partition, never a
+    * row explosion. This is the canonical shape for distributed linear
+    * algebra over tall-skinny data (compute Σ v·vᵀ as a partial
+    * aggregate; do the O(d³)/O(d²) eigen work on the driver where d is
+    * tiny) — at 100 TB the scan dominates and the reduce tree moves
+    * 32 KB per partition.
+    */
+  private object GramAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Float], Array[Double], Seq[Double]] {
+    override def zero: Array[Double] = new Array[Double](Dim * Dim)
+    override def reduce(b: Array[Double], v: Seq[Float]): Array[Double] = {
+      val a = v.toArray
+      var i = 0
+      while (i < Dim) {
+        val vi = a(i).toDouble
+        var j = 0
+        while (j < Dim) { b(i * Dim + j) += vi * a(j); j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Double]): Seq[Double] = b.toIndexedSeq
+    override def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Top principal direction of the embedding corpus by POWER ITERATION
+    * — distributed linear algebra in the only shape that scales: ONE
+    * pass computes the 64×64 second-moment (Gram) matrix via the
+    * mergeable [[GramAgg]] partial (4096 doubles per partition through
+    * the reduce tree — the data never moves), then [[PcaIters]] Lloyd-
+    * style iterations v ← G·v / ‖G·v‖ run on the DRIVER over that
+    * 32 KB matrix (bounded driver state, the same contract as the
+    * k-means centroids). Cross-engine float discipline: G is rounded to
+    * the 1e-6 grid straight off the aggregation (summation order across
+    * partitions is the only nondeterminism; drift ~1e-16 cannot reach a
+    * 1e-6 boundary), every iterate is re-rounded to the 1e-9 grid with
+    * the engine-stable floor form, and the sign convention (the
+    * largest-|component| entry is made positive, ties to the lower
+    * index) pins the eigenvector's direction — so DuckDB replays the
+    * ENTIRE iteration with unrolled CTEs and the oracle matches the
+    * eigenvector and Rayleigh eigenvalue exactly. Output: one row per
+    * dimension plus the shared eigenvalue estimate. (Plan-audit note:
+    * the registered query's visible plan is the 64-row literal emit —
+    * the distributed pass is the GramAgg aggregation, which runs
+    * eagerly here the way ivfCentroids/lloydStep do; its shape is one
+    * scan + one exchange of 4096-double partials.)
+    */
+  def embPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gramRow: Seq[Double] = Tables.embeddings(spark, dir)
+      .select(col("embedding")).as[Seq[Float]]
+      .select(GramAgg.toColumn).head()
+    val g = Array.tabulate(Dim, Dim)((i, j) =>
+      stableRound(gramRow(i * Dim + j), 6))
+    var v = Array.fill(Dim)(0.125) // unit start, no randomness
+    for (_ <- 1 to PcaIters) {
+      val u = Array.tabulate(Dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < Dim) { s += g(i)(j) * v(j); j += 1 }
+        s
+      }
+      val norm = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(x => stableRound(x / norm, 9))
+    }
+    // sign convention: the largest-|component| entry (ties: lowest dim)
+    // is positive in both engines
+    val pivot = v.zipWithIndex.maxBy { case (x, i) => (math.abs(x), -i) }._1
+    if (pivot < 0) v = v.map(x => -x)
+    val lambda = stableRound(
+      (0 until Dim).map(i =>
+        v(i) * (0 until Dim).map(j => g(i)(j) * v(j)).sum).sum, 6)
+    v.toIndexedSeq.zipWithIndex
+      .map { case (x, i) => (i.toLong, x, lambda) }
+      .toDF("dim", "component", "eigenvalue")
+      .orderBy(col("dim"))
+  }
+
+  /** The oracle unrolls the same [[PcaIters]] iterations as chained
+    * CTEs over the identically-rounded Gram matrix — every rounding is
+    * the same floor(x·10^n + 0.5)/10^n double-op sequence Spark ran.
+    */
+  private val PcaOracle: String = {
+    val iters = (1 to PcaIters).map { k =>
+      s"""u$k AS MATERIALIZED (
+         |  SELECT g.i AS j, sum(g.val * v.x) AS x
+         |  FROM g JOIN v${k - 1} v ON v.j = g.j GROUP BY g.i),
+         |v$k AS MATERIALIZED (
+         |  SELECT j, floor(x / sqrt((SELECT sum(x * x) FROM u$k)) * 1e9 + 0.5) / 1e9 AS x
+         |  FROM u$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (
+      |  SELECT vec_id AS r, i.i AS i, cast(embedding[i.i + 1] AS DOUBLE) AS x
+      |  FROM embeddings, range($Dim) i(i)),
+      |p AS MATERIALIZED (
+      |  SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS x
+      |  FROM ev a JOIN ev b ON a.r = b.r GROUP BY a.i, b.i),
+      |g AS MATERIALIZED (SELECT i, j, floor(x * 1e6 + 0.5) / 1e6 AS val FROM p),
+      |v0 AS MATERIALIZED (SELECT j, 0.125 AS x FROM range($Dim) t(j)),
+      |$iters,
+      |sgn AS (
+      |  SELECT CASE WHEN (SELECT x FROM v$PcaIters
+      |    ORDER BY abs(x) DESC, j LIMIT 1) < 0 THEN -1.0 ELSE 1.0 END AS s),
+      |vf AS (SELECT j, x * (SELECT s FROM sgn) AS x FROM v$PcaIters),
+      |lam AS (
+      |  SELECT floor(sum(a.x * g.val * b.x) * 1e6 + 0.5) / 1e6 AS l
+      |  FROM g JOIN v$PcaIters a ON a.j = g.i JOIN v$PcaIters b ON b.j = g.j)
+      |SELECT cast(j AS BIGINT) AS dim, x AS component,
+      |  (SELECT l FROM lam) AS eigenvalue
+      |FROM vf ORDER BY dim""".stripMargin
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("emb_pca_power", embPcaPower _, PcaOracle),
     QueryDef("emb_negative_sample", embNegativeSample _,
       """WITH e AS (SELECT vec_id, label FROM embeddings),
         |n AS (SELECT count(*) AS n FROM e),

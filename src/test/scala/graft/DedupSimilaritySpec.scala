@@ -391,4 +391,41 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(self.head.getLong(0) === 0L
       && math.abs(self.head.getDouble(1) - 1.0) < 1e-9)
   }
+
+  test("emb_pca_power: unit eigenvector, dominant eigenpair, deterministic") {
+    val out = graft.operators.Embeddings.embPcaPower(spark, sf0001).collect()
+    assert(out.length === 64)
+    val v = out.map(_.getDouble(1))
+    val lambda = out.head.getDouble(2)
+    // unit norm (rounded to the 1e-9 grid, so allow grid slack)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-6)
+    // sign convention: the largest-|component| entry is positive
+    val pivot = v.maxBy(math.abs)
+    assert(pivot > 0)
+    // recompute the Gram matrix driver-side; the output must be a true
+    // near-eigenpair of it: lambda >= every diagonal (Rayleigh with any
+    // basis vector is a lower bound on lambda_max) and the residual
+    // ||G v - lambda v|| must be small relative to lambda
+    val rows = Tables.embeddings(spark, sf0001)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val g = Array.ofDim[Double](64, 64)
+    rows.foreach { e =>
+      var i = 0
+      while (i < 64) {
+        var j = 0
+        while (j < 64) { g(i)(j) += e(i).toDouble * e(j); j += 1 }
+        i += 1
+      }
+    }
+    val gv = Array.tabulate(64)(i => (0 until 64).map(j => g(i)(j) * v(j)).sum)
+    val rayleigh = (0 until 64).map(i => v(i) * gv(i)).sum
+    assert(math.abs(rayleigh - lambda) < 1e-3 * lambda)
+    (0 until 64).foreach(i => assert(lambda >= g(i)(i) - 1e-6))
+    val residual = math.sqrt(
+      (0 until 64).map(i => math.pow(gv(i) - lambda * v(i), 2)).sum)
+    assert(residual <= 0.05 * lambda, s"residual $residual vs lambda $lambda")
+    val again = graft.operators.Embeddings.embPcaPower(spark, sf0001)
+      .collect().map(_.getDouble(1))
+    assert(again.toSeq === v.toSeq)
+  }
 }
