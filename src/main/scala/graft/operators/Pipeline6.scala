@@ -110,10 +110,77 @@ object Pipeline6 {
       |FROM documents
       |ORDER BY rk, doc_id LIMIT $ReservoirK""".stripMargin
 
+  /** Coverage-vocabulary size: the fixture corpus has only 31 word
+    * types, so the production-sized [[Pipeline3.VocabSize]] would cover
+    * it trivially (every n_oov = 0 — a degenerate query); 16 leaves a
+    * real ~45% tail to measure. Production swaps in its 32k–256k vocab
+    * and nothing else changes.
+    */
+  private[graft] val CoverageVocabN = 16
+
+  /** Tokenizer-coverage QA: per document, how much of it falls OUTSIDE
+    * the vocabulary a [[Pipeline3.pipelineVocab]]-style build would
+    * ship (the top-[[CoverageVocabN]] tokens by count) — the question
+    * a training pipeline asks before committing to a tokenizer,
+    * because out-of-vocabulary mass is what fragments into
+    * byte-fallback tokens and blows up sequence lengths. Output: token
+    * and OOV counts plus exact-integer OOV basis points per doc. Plan:
+    * one corpus count + TakeOrderedAndProject builds the ≤N-row vocab
+    * (exactly the vocab query's shape), which then BROADCASTS to a
+    * per-token membership check — the corpus shuffles once on doc_id,
+    * the vocab never shuffles anything.
+    */
+  def pipelineTokenizerCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ", -1)).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(CoverageVocabN)
+      .select(col("w"), lit(1).as("in_vocab"))
+    val perDoc = toks
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_bps",
+        when(col("n_toks") === 0, 0L)
+          .otherwise(expr("n_oov * 10000 div n_toks")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val TokenizerCoverageOracle: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |t AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+      |c AS (SELECT w, count(*) AS c FROM t GROUP BY w),
+      |vocab AS (SELECT w FROM c ORDER BY c DESC, w LIMIT $CoverageVocabN),
+      |per AS (
+      |  SELECT t.doc_id, count(*) AS n_toks,
+      |    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |  FROM t LEFT JOIN vocab v ON v.w = t.w GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  cast(coalesce(per.n_toks, 0) AS BIGINT) AS n_toks,
+      |  cast(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov,
+      |  cast(CASE WHEN coalesce(per.n_toks, 0) = 0 THEN 0
+      |    ELSE coalesce(per.n_oov, 0) * 10000 // per.n_toks END AS BIGINT)
+      |    AS oov_bps
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_leakage_split", pipelineLeakageSplit _,
       LeakageSplitOracle),
     QueryDef("pipeline_reservoir_sample", pipelineReservoirSample _,
-      ReservoirOracle)
+      ReservoirOracle),
+    QueryDef("pipeline_tokenizer_coverage", pipelineTokenizerCoverage _,
+      TokenizerCoverageOracle)
   )
 }

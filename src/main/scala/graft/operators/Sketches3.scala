@@ -73,7 +73,7 @@ object Sketches3 {
   /** 2^52 — the hash domain size (13 md5 hex digits); (k−1)·2^52 fits
     * a long (≈1.15e18 < 2^63).
     */
-  private val KmvDomain = 4503599627370496L
+  private[graft] val KmvDomain = 4503599627370496L
 
   /** KMV (k-minimum-values) distinct-count sketch over order customers
     * — the DETERMINISTIC mergeable cardinality sketch beside the HLL

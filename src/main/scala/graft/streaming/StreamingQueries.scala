@@ -882,7 +882,88 @@ object StreamingQueries {
       |FROM t, (VALUES (25), (50), (75), (90), (99)) v(p)
       |ORDER BY p""".stripMargin
 
+  /** Streaming KMV cardinality — the distinct-count member of the
+    * per-batch-partial sketch family ([[streamHeavyHitters]],
+    * [[streamKllQuantiles]]): each events micro-batch folds into its
+    * own min-k hash set (≤256 longs, batchId-keyed so replays are
+    * idempotent), and the merged synopsis is the min-k of the union.
+    * KMV's merge law is the strongest of the family: the sketch is a
+    * pure function of the observed SET, so the streamed, arbitrarily
+    * batched estimate EQUALS the batch [[graft.operators.Sketches3]]
+    * sketch over the same rows — no bracket hedge, the oracle is the
+    * full batch-KMV replay over `events.user_id` (distinct users).
+    * Driver state: one sorted ≤k-long vector per micro-batch.
+    */
+  def streamKmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    streamKmvDistinctImpl(spark, dir)._1
+
+  private[graft] def streamKmvDistinctImpl(spark: SparkSession,
+      dir: String): (DataFrame, Int) = {
+    import graft.operators.Sketches3.{KmvDomain, KmvK}
+    val store =
+      new java.util.concurrent.ConcurrentHashMap[Long, Vector[Long]]()
+    val q = MultiBatchFileSource(dir).stream(spark).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mink = batch
+          .select(conv(substring(md5(concat(lit("kmv:"),
+            col("user_id").cast("string"))), 1, 13), 16, 10)
+            .cast("long").as("h"))
+          .distinct().orderBy(col("h")).limit(KmvK)
+          .collect().map(_.getLong(0)).toVector
+        store.put(batchId, mink)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      if (capturePlans) {
+        val bos = new java.io.ByteArrayOutputStream()
+        try Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        } catch { case _: Throwable => () }
+        lastMicroBatchPlan = bos.toString("UTF-8")
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val merged = store.asScala.values.flatten.toVector
+      .distinct.sorted.take(KmvK)
+    require(merged.nonEmpty, "stream_kmv_distinct: no events streamed")
+    val nUsed = merged.length.toLong
+    val kth = merged.last
+    val est =
+      if (nUsed < KmvK) nUsed else (KmvK - 1).toLong * KmvDomain / kth
+    // verification pass: the exact distinct count over the same table
+    graft.Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .select(lit(KmvK).as("k"), lit(nUsed).as("n_used"),
+        lit(kth).as("kth_hash"), lit(est).as("est_distinct"),
+        col("exact_distinct"),
+        (abs(lit(est) - col("exact_distinct")) * 16 <=
+          col("exact_distinct") * 3).as("in_bracket")) -> store.size()
+  }
+
+  private val StreamKmvOracle: String = {
+    import graft.operators.Sketches3.{KmvDomain, KmvK}
+    s"""WITH h AS (
+      |  SELECT DISTINCT ('0x' || substring(md5('kmv:' || cast(user_id AS VARCHAR)), 1, 13))::bigint AS h
+      |  FROM events),
+      |agg AS (
+      |  SELECT count(*) AS n_used, max(h) AS kth_hash
+      |  FROM (SELECT h FROM h ORDER BY h LIMIT $KmvK)),
+      |ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events),
+      |est AS (
+      |  SELECT *, CASE WHEN n_used < $KmvK THEN n_used
+      |    ELSE ${KmvK - 1} * $KmvDomain // kth_hash END AS est_distinct
+      |  FROM agg, ex)
+      |SELECT $KmvK AS k, n_used, kth_hash, est_distinct, exact_distinct,
+      |  abs(est_distinct - exact_distinct) * 16 <= exact_distinct * 3
+      |    AS in_bracket
+      |FROM est""".stripMargin
+  }
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("stream_kmv_distinct", streamKmvDistinct _, StreamKmvOracle),
     QueryDef("stream_kll_quantiles", streamKllQuantiles _, StreamKllOracle),
     QueryDef("stream_heavy_hitters", streamHeavyHitters _,
       graft.operators.Sketches.HeavyHittersOracle),

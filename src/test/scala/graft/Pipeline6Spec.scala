@@ -81,4 +81,26 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
       assert(nUsed <= exact)
     }
   }
+
+  test("tokenizer coverage: totals conserve, bps exact, OOV mass present") {
+    val out = Pipeline6.pipelineTokenizerCoverage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf0001)
+    assert(out.length.toLong === docs.count())
+    out.foreach { case (_, n, oov, bps) =>
+      assert(oov <= n)
+      assert(bps === (if (n == 0) 0L else oov * 10000 / n))
+    }
+    // conservation: per-doc token counts sum to the corpus token count
+    val totalToks = docs.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " ", -1)).as("w"))
+      .filter(org.apache.spark.sql.functions.col("w") =!= "").count()
+    assert(out.map(_._2).sum === totalToks)
+    // the fixture has a long tail: some OOV mass must exist, and the
+    // 256-token vocab must cover the majority of tokens
+    assert(out.map(_._3).sum > 0)
+    assert(out.map(_._3).sum * 2 < totalToks)
+  }
 }

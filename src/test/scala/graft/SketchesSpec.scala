@@ -94,4 +94,31 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(streamRows.nonEmpty)
     assert(streamRows.toSeq === batchRows.toSeq)
   }
+
+  test("stream_kmv_distinct: min-k of per-batch min-ks equals the batch sketch") {
+    val (streamDf, nBatches) = graft.streaming.StreamingQueries
+      .streamKmvDistinctImpl(spark, sf0001)
+    assert(nBatches >= 2, "replay must genuinely run multi-batch")
+    val r = streamDf.collect().head
+    // driver recompute of the BATCH sketch over the same table: KMV is
+    // a pure function of the distinct-key set, so arbitrary batching
+    // must not change a single field
+    import org.apache.spark.sql.functions._
+    val hashes = Tables.events(spark, sf0001)
+      .select(conv(substring(md5(concat(lit("kmv:"),
+        col("user_id").cast("string"))), 1, 13), 16, 10)
+        .cast("long").as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val k = graft.operators.Sketches3.KmvK
+    val mink = hashes.take(k)
+    val exact = hashes.length.toLong // 52-bit md5 prefixes: no collisions
+    val est = if (mink.length < k) mink.length.toLong
+      else (k - 1).toLong * graft.operators.Sketches3.KmvDomain / mink.last
+    assert(r.getInt(0) === k)
+    assert(r.getLong(1) === mink.length.toLong)
+    assert(r.getLong(2) === mink.last)
+    assert(r.getLong(3) === est)
+    assert(r.getLong(4) === exact)
+    assert(r.getBoolean(5))
+  }
 }
