@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryDef, Tables}
+
+/** Round-8 analytics batch: the dataset datasheet and multi-touch
+  * attribution.
+  */
+object Analytics7 {
+
+  /** Token-count floor below which a doc counts as too-short in the
+    * datasheet (the quality gate's `too_short` rule).
+    */
+  private val MinToks = 10
+
+  /** DATASET CARD — the one-query "datasheet for datasets": per
+    * (lang, source) stratum, the numbers a training team publishes
+    * before anyone trains on the corpus: volume (docs/tokens/chars),
+    * exact-duplicate rate, the lower-median document length, and the
+    * too-short share. Everything is exact integer arithmetic (rates in
+    * basis points via long div; the median is the ordinal rank-
+    * ⌈n/2⌉ element, never an interpolated float), so the oracle
+    * replays it verbatim. Plan: one tokenize pass feeds a per-doc
+    * aggregate, the global exact-dup digests join back doc-keyed, and
+    * the stratum rollup is one hash aggregate + a tiny rank window
+    * per stratum for the median — three shuffles end to end, each on
+    * keys that scale (doc_id, digest, stratum).
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDoc = docs.select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(filter(split(lower(col("text")), " ", -1), w => w =!= ""))
+          .cast("long").as("n_toks"),
+        md5(lower(trim(col("text")))).as("digest"))
+    val dupDocs = perDoc
+      .withColumn("grp", count(lit(1))
+        .over(Window.partitionBy(col("digest"))))
+      .withColumn("keeper", min(col("doc_id"))
+        .over(Window.partitionBy(col("digest"))))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("n_toks"),
+        (col("grp") > 1 && col("doc_id") =!= col("keeper")).as("is_dup"))
+    val stratum = Window.partitionBy(col("lang"), col("source"))
+    val ranked = dupDocs
+      .withColumn("rk", row_number().over(
+        stratum.orderBy(col("n_toks"), col("doc_id"))))
+      .withColumn("n_in", count(lit(1)).over(stratum))
+    ranked
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+        // ordinal lower median: rk·2 = n (even n) or n+1 (odd n) —
+        // exactly one row per stratum satisfies it
+        max(when(col("rk") * 2 === col("n_in") ||
+          col("rk") * 2 === col("n_in") + 1,
+          col("n_toks"))).as("p50_toks"),
+        sum(when(col("n_toks") < MinToks, 1L).otherwise(0L)).as("n_short"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        expr("n_dups * 10000 div n_docs").as("dup_bps"),
+        col("p50_toks"),
+        expr("n_short * 10000 div n_docs").as("short_bps"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val DatasetCardOracle: String =
+    s"""WITH per AS (
+      |  SELECT doc_id, lang, source,
+      |    cast(length(text) AS BIGINT) AS n_chars,
+      |    cast(len(list_filter(string_split(lower(text), ' '),
+      |      w -> w <> '')) AS BIGINT) AS n_toks,
+      |    md5(lower(trim(text))) AS digest
+      |  FROM documents),
+      |d AS (
+      |  SELECT *, count(*) OVER (PARTITION BY digest) AS grp,
+      |    min(doc_id) OVER (PARTITION BY digest) AS keeper
+      |  FROM per),
+      |r AS (
+      |  SELECT *, (grp > 1 AND doc_id <> keeper) AS is_dup,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY n_toks, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY lang, source) AS n_in
+      |  FROM d)
+      |SELECT lang, source,
+      |  count(*) AS n_docs,
+      |  sum(n_toks) AS n_tokens,
+      |  sum(n_chars) AS n_chars,
+      |  cast(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS dup_bps,
+      |  max(CASE WHEN rk * 2 = n_in OR rk * 2 = n_in + 1
+      |    THEN n_toks END) AS p50_toks,
+      |  cast(sum(CASE WHEN n_toks < $MinToks THEN 1 ELSE 0 END) * 10000
+      |    // count(*) AS BIGINT) AS short_bps
+      |FROM r GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Attribution lookback window (minutes). */
+  private val LookbackMin = 30
+
+  /** MULTI-TOUCH ATTRIBUTION — credit each purchase's revenue to the
+    * engagement touches (view/click) the same user made in the
+    * preceding [[LookbackMin]] minutes, LINEARLY, in EXACT integer
+    * cents: each of the k touches gets cents div k and the remainder
+    * goes to the most recent touch (a deterministic tie-break instead
+    * of the float split whose pennies never re-add). Purchases with no
+    * prior touch in the window credit a 'direct' bucket. Output:
+    * credited revenue and touch count per channel (touch event_type /
+    * direct). Shape: the purchase→touch candidate join is user-keyed
+    * equi-join + time-range predicate (q17's range-join discipline —
+    * at 100 TB both sides hash-partition on user_id; no time-bucket
+    * blowup because the window rides the join filter), then one
+    * per-purchase window to rank touches and one final rollup.
+    */
+  def attributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"),
+        col("value").cast(DecimalType(12, 2)).*(100).cast("long")
+          .as("cents"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_type").as("channel"), col("event_id").as("t_id"))
+    // the time predicate must live in the JOIN condition: filtering
+    // after a left join would drop a purchase whose touches all fall
+    // outside the window instead of routing it to 'direct'
+    val joined = purchases.as("p").join(touches.as("t"),
+      col("t.user_id") === col("p.user_id") &&
+        col("t.t_ts") < col("p.p_ts") &&
+        col("t.t_ts") >= col("p.p_ts") -
+          expr(s"INTERVAL $LookbackMin MINUTES"),
+      "left")
+    val w = Window.partitionBy(col("p_id"))
+    val credited = joined
+      .withColumn("k", count(col("t_id")).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("t_ts").desc_nulls_last, col("t_id").desc)))
+      .select(
+        coalesce(when(col("k") > 0, col("channel")), lit("direct"))
+          .as("channel"),
+        when(col("k") === 0, col("cents"))
+          .otherwise(expr("cents div k") +
+            when(col("rn") === 1, expr("cents % k")).otherwise(0L))
+          .as("credit"))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credited_cents"))
+      .orderBy(col("channel"))
+  }
+
+  private val AttributionOracle: String =
+    s"""WITH p AS (
+      |  SELECT event_id AS p_id, user_id, ts AS p_ts,
+      |    cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, ts AS t_ts, event_type AS channel,
+      |    event_id AS t_id
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT p.p_id, p.cents, t.channel, t.t_ts, t.t_id
+      |  FROM p LEFT JOIN t ON t.user_id = p.user_id
+      |    AND t.t_ts < p.p_ts
+      |    AND t.t_ts >= p.p_ts - INTERVAL $LookbackMin MINUTE),
+      |k AS (
+      |  SELECT *, count(t_id) OVER (PARTITION BY p_id) AS k,
+      |    row_number() OVER (PARTITION BY p_id
+      |      ORDER BY t_ts DESC NULLS LAST, t_id DESC) AS rn
+      |  FROM j),
+      |c AS (
+      |  SELECT CASE WHEN k > 0 THEN channel ELSE 'direct' END AS channel,
+      |    CASE WHEN k = 0 THEN cents
+      |      ELSE cents // k + CASE WHEN rn = 1 THEN cents % k ELSE 0 END
+      |    END AS credit
+      |  FROM k)
+      |SELECT channel, count(*) AS n_touches,
+      |  sum(credit) AS credited_cents
+      |FROM c GROUP BY channel ORDER BY channel""".stripMargin
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("q118_dataset_card", datasetCard _, DatasetCardOracle),
+    QueryDef("q119_attribution_linear", attributionLinear _,
+      AttributionOracle)
+  )
+}

@@ -45,7 +45,14 @@ object ScaleProbe {
     // window-bound) and the cell-blocked radius join (output grows
     // QUADRATICALLY with density by semantics — the probe documents
     // that the engine's work tracks Σ|cell|² ≈ output size, not N²)
-    "text_rake", "pipeline_span_corruption", "q113_geo_cell_join")
+    "text_rake", "pipeline_span_corruption", "q113_geo_cell_join",
+    // round-8 additions: the cluster-keyed split (LSH substrate + closure
+    // + label join), the payload-hash banded ranking, the Gram-aggregate
+    // PCA pass, tokenizer OOV (count + broadcast membership), and the
+    // two KMV min-k folds (batch TakeOrdered / per-micro-batch partials)
+    "pipeline_leakage_split", "mm_phash_dedup", "emb_pca_power",
+    "pipeline_tokenizer_coverage", "sketch_kmv_distinct",
+    "stream_kmv_distinct")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,7 +104,7 @@ object ScaleProbe {
   /** Fixture-layout version — bump when buildScaled changes so a cached
     * older layout (e.g. without the `part` table) is rebuilt.
     */
-  private val FixtureVersion = 4
+  private val FixtureVersion = 5
 
   /** Build the key-shifted N× tables once (marker-cached per factor +
     * layout version).
@@ -182,6 +189,28 @@ object ScaleProbe {
       .withColumn("c_custkey", col("c_custkey") + col("k") * cuSpan)
       .drop("k")
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    // orders: key shift on both keys — distinct customers grow N×, so
+    // the KMV probe sees a genuinely larger cardinality, not N copies
+    // of the same key set
+    val or = spark.read.parquet(s"$baseDir/orders.parquet")
+    val orSpan = or.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val ocSpan = or.agg(max(col("o_custkey"))).head.getLong(0) + 1
+    or.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("k") * orSpan)
+      .withColumn("o_custkey", col("o_custkey") + col("k") * ocSpan)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // embeddings: id shift, vectors verbatim — replicating rows
+    // multiplies the Gram matrix by exactly N (same eigenvector), so
+    // the PCA probe isolates the aggregation pass's scaling
+    val em = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val emSpan = em.agg(max(col("vec_id"))).head.getLong(0) + 1
+    em.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("k") * emSpan)
+      .drop("k")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     ()

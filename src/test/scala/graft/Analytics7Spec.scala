@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Analytics7
+
+/** Invariant specs for the round-8 analytics batch, beyond the DuckDB
+  * hash oracles: conservation laws (the datasheet's totals must re-add
+  * to the corpus; attribution must conserve revenue to the cent) and
+  * the ordinal-median contract.
+  */
+class Analytics7Spec extends AnyFunSuite with SparkTestBase {
+
+  test("dataset card: strata partition the corpus, medians are ordinal") {
+    val out = Analytics7.datasetCard(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))))
+    val docs = Tables.documents(spark, sf001)
+    // strata partition the corpus exactly
+    assert(out.map(_._2._1).sum === docs.count())
+    val expected = docs.groupBy(col("lang"), col("source")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    out.foreach { case (k, (nDocs, nToks, nChars, dupBps, p50, shortBps)) =>
+      assert(nDocs === expected(k))
+      assert(nChars > 0 && nToks > 0)
+      assert(dupBps >= 0 && dupBps <= 10000)
+      assert(shortBps >= 0 && shortBps <= 10000)
+      assert(p50 > 0)
+      // the ordinal median is an actual document's token count in the
+      // stratum, between its min and max
+      val toks = docs.filter(col("lang") === k._1 && col("source") === k._2)
+        .select(size(filter(split(lower(col("text")), " ", -1),
+          w => w =!= "")).cast("long")).collect().map(_.getLong(0))
+      assert(toks.contains(p50))
+      assert(toks.count(_ <= p50) * 2 >= toks.length)
+      assert(toks.count(_ >= p50) * 2 >= toks.length)
+    }
+  }
+
+  test("attribution: revenue conserved to the cent, channels complete") {
+    val out = Analytics7.attributionLinear(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val channels = out.map(_._1).toSet
+    assert(channels.subsetOf(Set("view", "click", "direct")))
+    // conservation: linear split with remainder-to-last credits EVERY
+    // cent of purchase revenue exactly once
+    val totalCents = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().head.getLong(0)
+    assert(out.map(_._3).sum === totalCents)
+    // fixture sanity: both engaged channels and the direct bucket carry
+    // mass at this SF (30-minute lookback over a dense event stream)
+    assert(out.map(_._2).sum > 0)
+  }
+}
