@@ -182,9 +182,71 @@ object Analytics7 {
       |  sum(credit) AS credited_cents
       |FROM c GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** DECILE LIFT — the model-evaluation table for any ranked-targeting
+    * question ("how concentrated is revenue in the top decile?"): users
+    * ranked by total purchase cents, cut into 10 equal-population tiles
+    * (ntile over the deterministic (cents desc, user_id) total order —
+    * tie-stable by construction), then per decile: population, revenue,
+    * revenue share and CUMULATIVE share in exact integer basis points.
+    * Lift(d) = cum share at d vs d/10 of population is read straight
+    * off the table. Shape: one user aggregate (hash, scales on
+    * user_id), the decile assignment is a window over the aggregated
+    * frame (|users| rows, not |events|), rollup to 10 rows. All
+    * integer arithmetic — share divisions are long `div` on
+    * cents×10000, replayed verbatim. 100 TB note: an unpartitioned
+    * ntile window funnels all |users| rows through one task; at 1e9
+    * users swap it for the distributed global-rank idiom this repo
+    * already ships (range-partitioned sort + per-partition offset
+    * prefix sum, pipeline_pack_sequences) with decile = rank·10 div n
+    * — same assignment, no single-task sort. ntile here keeps the
+    * query one window expression at gate scale.
+    */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(12, 2)).*(100).cast("long"))
+        .as("cents"))
+    val tiled = perUser.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents").desc, col("user_id")))
+        .cast("long"))
+    val deciles = tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+    val w = Window.partitionBy() // 10 post-agg rows
+    deciles
+      .withColumn("total", sum(col("cents")).over(w))
+      .withColumn("cum", sum(col("cents")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_users"), col("cents"),
+        expr("cents * 10000 div total").as("share_bps"),
+        expr("cum * 10000 div total").as("cum_bps"))
+      .orderBy(col("decile"))
+  }
+
+  private val DecileLiftOracle: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |t AS (
+      |  SELECT cents,
+      |    cast(ntile(10) OVER (ORDER BY cents DESC, user_id) AS BIGINT)
+      |      AS decile
+      |  FROM u),
+      |d AS (
+      |  SELECT decile, count(*) AS n_users, sum(cents) AS cents
+      |  FROM t GROUP BY decile)
+      |SELECT decile, n_users, cents,
+      |  cents * 10000 // (SELECT sum(cents) FROM d) AS share_bps,
+      |  sum(cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |    * 10000 // (SELECT sum(cents) FROM d) AS cum_bps
+      |FROM d ORDER BY decile""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q118_dataset_card", datasetCard _, DatasetCardOracle),
     QueryDef("q119_attribution_linear", attributionLinear _,
-      AttributionOracle)
+      AttributionOracle),
+    QueryDef("q120_decile_lift", decileLift _, DecileLiftOracle)
   )
 }

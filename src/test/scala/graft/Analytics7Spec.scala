@@ -55,4 +55,27 @@ class Analytics7Spec extends AnyFunSuite with SparkTestBase {
     // mass at this SF (30-minute lookback over a dense event stream)
     assert(out.map(_._2).sum > 0)
   }
+
+  test("decile lift: equal tiles, conservation, monotone concentration") {
+    val out = Analytics7.decileLift(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.map(_._1).toSeq === (1L to 10L))
+    // equal-population tiles (ntile: sizes differ by at most 1)
+    val sizes = out.map(_._2)
+    assert(sizes.max - sizes.min <= 1)
+    // conservation: decile revenue re-adds to the purchase total
+    val total = Tables.events(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().head.getLong(0)
+    assert(out.map(_._3).sum === total)
+    // ranked-desc deciles: per-decile revenue non-increasing, cum share
+    // monotone to 10000 bps
+    assert(out.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    assert(out.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+    assert(out.last._5 === 10000L)
+    // top decile must actually concentrate (lift > 1 ⇔ > 1000 bps)
+    assert(out.head._4 > 1000L)
+  }
 }
