@@ -175,12 +175,61 @@ object Pipeline6 {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+
+
+  /** SHARD MANIFEST — the integrity artifact a reproducible corpus
+    * export publishes beside its shards: for each of
+    * [[Pipeline3.NumShards]] training shards (the SAME salted-hash
+    * assignment [[Pipeline3.pipelineShuffle]] writes, so the manifest
+    * describes those shards, not a parallel universe), the doc count,
+    * total bytes, and an ORDER-INSENSITIVE content fingerprint — the
+    * bit-XOR of each member's 52-bit salted doc-id hash. XOR-of-hashes
+    * is the scale-correct fingerprint: it is a pure function of the
+    * shard's SET, commutative and mergeable (per-partition partials
+    * XOR together), so no sort, no collect_list, no order coupling —
+    * where an md5-of-concatenation would need the whole shard
+    * serialized in one task. Downstream, two exports are
+    * byte-identical iff all fingerprints match; a single lost or
+    * duplicated doc flips one. Everything replays in DuckDB verbatim.
+    */
+  def pipelineShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        conv(substring(md5(concat(lit("shuf:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("h"),
+        conv(substring(md5(concat(lit("fp:"),
+          col("doc_id").cast("string"))), 1, 13), 16, 10)
+          .cast("long").as("fp"))
+      .withColumn("shard", pmod(col("h"), lit(Pipeline3.NumShards))
+        .cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        expr("bit_xor(fp)").as("fingerprint"))
+      .orderBy(col("shard"))
+
+  private val ShardManifestOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, cast(length(text) AS BIGINT) AS n_chars,
+      |    ('0x' || substring(md5('shuf:' || cast(doc_id AS VARCHAR)), 1, 8))::bigint
+      |      % ${Pipeline3.NumShards} AS shard,
+      |    ('0x' || substring(md5('fp:' || cast(doc_id AS VARCHAR)), 1, 13))::bigint
+      |      AS fp
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs, sum(n_chars) AS n_chars,
+      |  bit_xor(fp) AS fingerprint
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_leakage_split", pipelineLeakageSplit _,
       LeakageSplitOracle),
     QueryDef("pipeline_reservoir_sample", pipelineReservoirSample _,
       ReservoirOracle),
     QueryDef("pipeline_tokenizer_coverage", pipelineTokenizerCoverage _,
-      TokenizerCoverageOracle)
+      TokenizerCoverageOracle),
+    QueryDef("pipeline_shard_manifest", pipelineShardManifest _,
+      ShardManifestOracle)
   )
 }

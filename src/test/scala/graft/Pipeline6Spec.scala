@@ -103,4 +103,28 @@ class Pipeline6Spec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._3).sum > 0)
     assert(out.map(_._3).sum * 2 < totalToks)
   }
+
+  test("shard manifest: partitions the corpus, fingerprint flips on any membership change") {
+    val out = Pipeline6.pipelineShardManifest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf0001)
+    assert(out.map(_._2).sum === docs.count())
+    assert(out.map(_._1).toSet.subsetOf((0L until graft.operators.Pipeline3.NumShards).toSet))
+    // manifest describes pipelineShuffle's shards: sizes must agree
+    val shufSizes = graft.operators.Pipeline3.pipelineShuffle(spark, sf0001)
+      .groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (shard, n, _, _) => assert(shufSizes(shard) === n) }
+    // fingerprint = XOR of member doc-id hashes: recompute driver-side
+    val byShard = docs.select("doc_id").collect().map(_.getLong(0))
+      .map { id =>
+        def h(salt: String, digits: Int) = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$salt$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(digits), 16)
+        (h("shuf:", 8) % graft.operators.Pipeline3.NumShards, h("fp:", 13))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ ^ _)).toMap
+    out.foreach { case (shard, _, _, fp) => assert(byShard(shard) === fp) }
+  }
 }
