@@ -14,7 +14,18 @@ final case class QueryDef(
 
 object QueryDef {
   def apply(name: String, fn: (SparkSession, String) => DataFrame,
-      oracle: String): QueryDef = QueryDef(name, fn, Some(oracle))
+      oracle: String): QueryDef = {
+    // a registry val that references an oracle val defined LATER in the
+    // same object reads null during object init (Scala initializes vals
+    // in declaration order, no warning) — and a null oracle silently
+    // degrades the query to rows-only at the driver gate. Fail at
+    // registry construction instead; keep `val registry` the LAST
+    // member of every operator object.
+    require(oracle != null && oracle.trim.nonEmpty,
+      s"null/empty oracle for query '$name' — is the oracle val " +
+        "declared after the registry in its operator object?")
+    QueryDef(name, fn, Some(oracle))
+  }
   def noOracle(name: String,
       fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)

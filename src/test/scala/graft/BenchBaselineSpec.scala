@@ -103,4 +103,14 @@ class BenchBaselineSpec extends AnyFunSuite {
         s""""sf":"$sf"}"""
     assert(Bench.parseBaseline(full, sf) === Map("a" -> 1.1, "b" -> 2.5))
   }
+
+  test("QueryDef rejects a null oracle (registry-before-oracle-val init bug)") {
+    val e = intercept[IllegalArgumentException](
+      QueryDef("some_query", (_, _) => null, null: String))
+    assert(e.getMessage.contains("some_query"))
+    // and every REGISTERED oracle made it through init non-null
+    assert(SparkEntry.registry.forall(q => q.oracle.forall(_.trim.nonEmpty)))
+    assert(SparkEntry.oracleSql.size === SparkEntry.queries.size,
+      "every registered query must carry an oracle (round-8 invariant)")
+  }
 }
