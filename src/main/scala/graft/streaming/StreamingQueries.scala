@@ -962,10 +962,27 @@ object StreamingQueries {
       |FROM est""".stripMargin
   }
 
+  /** State partitions for the windowed/dedup/TWS/CEP replay lanes:
+    * their key cardinality at bench scale is tiny (tens of windows x
+    * event types, thousands of users) while the cost driver is the
+    * per-TRIGGER commit of EVERY state partition — the round-8
+    * adjudication measured these lanes 2.1-2.5x inflated on a machine
+    * whose per-micro-batch fixed overhead doubled, while the already
+    * 8-partition join lanes stayed flat. 8 partitions quarters the
+    * commit count per trigger at zero parallelism cost at this data
+    * scale; at 1e9 keys the knob turns the other way (see
+    * [[withStatePartitions]]).
+    */
+  private val ReplayStatePartitions = 8
+
+  private def sized(fn: (SparkSession, String) => DataFrame)
+      : (SparkSession, String) => DataFrame =
+    (s, d) => withStatePartitions(s, ReplayStatePartitions)(fn(s, d))
+
   val registry: Seq[QueryDef] = Seq(
-    QueryDef("stream_kmv_distinct", streamKmvDistinct _, StreamKmvOracle),
-    QueryDef("stream_kll_quantiles", streamKllQuantiles _, StreamKllOracle),
-    QueryDef("stream_heavy_hitters", streamHeavyHitters _,
+    QueryDef("stream_kmv_distinct", sized(streamKmvDistinct _), StreamKmvOracle),
+    QueryDef("stream_kll_quantiles", sized(streamKllQuantiles _), StreamKllOracle),
+    QueryDef("stream_heavy_hitters", sized(streamHeavyHitters _),
       graft.operators.Sketches.HeavyHittersOracle),
     QueryDef("stream_stream_join", streamStreamJoin _,
       """SELECT s.event_id AS signup_id,
@@ -999,31 +1016,31 @@ object StreamingQueries {
         |      AND p.p_ts > s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 5 MINUTE)
         |  AND s.s_ts + INTERVAL 5 MINUTE < wm.w
         |ORDER BY signup_id, purchase_at""".stripMargin),
-    QueryDef("stream_stateful", streamStateful _,
+    QueryDef("stream_stateful", sized(streamStateful _),
       """SELECT user_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-    QueryDef("stream_row_pattern", streamRowPattern _,
+    QueryDef("stream_row_pattern", sized(streamRowPattern _),
       graft.operators.RowPattern.RowPatternOracle),
-    QueryDef("stream_tws", streamTransformWithState _,
+    QueryDef("stream_tws", sized(streamTransformWithState _),
       """SELECT user_id, count(*) AS n_events,
         |  cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-    QueryDef("stream_tws_state_inspect", streamTwsStateInspect _,
+    QueryDef("stream_tws_state_inspect", sized(streamTwsStateInspect _),
       // the un-evicting per-user ValueState read back from the RocksDB
       // checkpoint IS the complete aggregate — same oracle as stream_tws
       """SELECT user_id, count(*) AS n_events,
         |  cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-    QueryDef("stream_tumbling", streamTumbling _,
+    QueryDef("stream_tumbling", sized(streamTumbling _),
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,
         |  cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
-    QueryDef("stream_sliding", streamSliding _,
+    QueryDef("stream_sliding", sized(streamSliding _),
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts)
         |    - (k * INTERVAL '10 minutes'), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n
@@ -1034,7 +1051,7 @@ object StreamingQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin),
-    QueryDef("stream_append_windows", streamAppendWindows _,
+    QueryDef("stream_append_windows", sized(streamAppendWindows _),
       // the append-mode emission rule in batch SQL: a window is emitted
       // iff the final watermark (max event time − 10 min) passed its end
       """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
@@ -1043,7 +1060,7 @@ object StreamingQueries {
         |FROM events, wm
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.w
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
-    QueryDef("stream_state_inspect", streamStateInspect _,
+    QueryDef("stream_state_inspect", sized(streamStateInspect _),
       // the state after the final batch is the withheld tail: windows
       // the final watermark (max event time − 10 min) has NOT passed —
       // the exact complement of the append-mode emission rule above
@@ -1053,12 +1070,12 @@ object StreamingQueries {
         |FROM events, wm
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' > wm.w
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
-    QueryDef("stream_session", streamSession _, SessionOracleSql),
-    QueryDef("stream_session_dynamic", streamSessionDynamic _, SessionDynamicOracleSql),
-    QueryDef("stream_dedup", streamDedup _,
+    QueryDef("stream_session", sized(streamSession _), SessionOracleSql),
+    QueryDef("stream_session_dynamic", sized(streamSessionDynamic _), SessionDynamicOracleSql),
+    QueryDef("stream_dedup", sized(streamDedup _),
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin),
-    QueryDef("stream_late_data", streamLateData _,
+    QueryDef("stream_late_data", sized(streamLateData _),
       // the executable watermark spec (two-watermark model): slice-2
       // rows are kept iff their window was still open under the
       // late-filter watermark batch 2 runs with — the value ESTABLISHED
@@ -1079,7 +1096,7 @@ object StreamingQueries {
         |FROM kept, w2
         |WHERE wstart + INTERVAL '1 hour' <= w2.w
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
-    QueryDef("stream_foreach_batch", streamForeachBatch _,
+    QueryDef("stream_foreach_batch", sized(streamForeachBatch _),
       // merging the per-batch partials must reproduce the one-shot
       // batch aggregate — the mergeability contract of count/sum
       """SELECT event_type, cast(count(*) AS BIGINT) AS n,
