@@ -55,15 +55,20 @@ object Bench {
     * was ~1.26x machine-inflated and a last-run-wins merge rewrote 195
     * of 199 entries upward). A query that failed this run keeps its
     * prior (absence would exempt it from the next gate); queries no
-    * longer in the registry drop out. BenchBaselineSpec pins all three
-    * behaviors.
+    * longer in the registry drop out. Minima alone would make an
+    * INTENTIONAL slowdown (e.g. verification work added by design) flag
+    * forever, so `accept` names queries whose new median should be
+    * taken as-is this run — set SPARK_GRAFT_BASELINE_ACCEPT to the
+    * usual comma/prefix spec after deliberately re-pricing a query.
+    * BenchBaselineSpec pins all four behaviors.
     */
   private[graft] def mergeBaseline(
       prevWarm: Map[String, Double],
       warm: Map[String, Double],
-      registered: String => Boolean): Map[String, Double] =
+      registered: String => Boolean,
+      accept: String => Boolean = _ => false): Map[String, Double] =
     (prevWarm ++ warm.map { case (k, v) =>
-      k -> math.min(prevWarm.getOrElse(k, v), v)
+      k -> (if (accept(k)) v else math.min(prevWarm.getOrElse(k, v), v))
     }).filter { case (k, _) => registered(k) }
 
   /** Parse a baseline/bench JSON's warm medians. A regex, not a JSON
@@ -275,7 +280,9 @@ object Bench {
     // (round 7's driver run was ~1.26x inflated across all lanes and a
     // last-run-wins merge rewrote 195 of 199 entries upward).
     if (!subsetRun) try {
-      val merged = mergeBaseline(prevWarm, warm, benchQueries.contains)
+      val merged = mergeBaseline(prevWarm, warm, benchQueries.contains,
+        SparkEntry.onlyFilter(Some(
+          sys.env.getOrElse("SPARK_GRAFT_BASELINE_ACCEPT", ""))))
       val bj = baselineJson(sfDir, merged)
       java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
         (bj + "\n").getBytes("UTF-8"))

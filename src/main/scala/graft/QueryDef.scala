@@ -26,7 +26,10 @@ object QueryDef {
         "declared after the registry in its operator object?")
     QueryDef(name, fn, Some(oracle))
   }
-  def noOracle(name: String,
-      fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, None)
+  // There is deliberately no oracle-less constructor: since round 8,
+  // EVERY registered query carries a DuckDB oracle (BenchBaselineSpec
+  // pins oracleSql.size == queries.size). A query whose candidate set
+  // cannot be replayed in SQL gets a PARTIAL self-referential oracle
+  // instead (re-read the dump's ids via the __DUMP__ token and verify
+  // the returned VALUES — see Similarity's ANN tiers).
 }

@@ -46,6 +46,29 @@ object Tables {
     */
   def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000
 
+  /** Scala-side twin of the engine-stable floor rounding: the SAME IEEE
+    * op sequence (multiply, add, floor, divide) both engines run —
+    * never BigDecimal or round(), whose half-up paths differ per
+    * engine. Used wherever driver-side math must land on the identical
+    * double DuckDB computes (PCA iterates, centroid grids).
+    */
+  private[graft] def stableRound(x: Double, digits: Int): Double = {
+    val p = math.pow(10, digits)
+    math.floor(x * p + 0.5) / p
+  }
+
+  /** The repo's one deterministic rank/keep hash: the first `hexDigits`
+    * md5 hex digits of salt ++ key, as a long. Every operator that
+    * hash-ranks, samples, shards, or buckets uses THIS shape so the
+    * DuckDB twin is always the same one-liner
+    * (('0x' || substring(md5(salt || cast(key AS VARCHAR)), 1, n))::bigint)
+    * — change it here and in every oracle together, never in one place.
+    */
+  private[graft] def saltedHash(salt: String, key: Column,
+      hexDigits: Int): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, hexDigits),
+      16, 10).cast("long")
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

@@ -37,13 +37,22 @@ object MediaHash {
       off >= 54 && off < b.length
     }
 
-  /** aHash64 over the payload's pixel array (bytes from bfOffBits on).
-    * Call only after [[isBmp]]. Overflow headroom: sums ≤ 255·n, so the
-    * cross-products stay < 2^63 for pixel arrays up to ~190 GB.
+  /** Pixel bytes hashed per payload — the "downsample" step every
+    * perceptual hash performs before block statistics (production aHash
+    * resizes to 8×8; here the first MiB stands in). Also the overflow
+    * guard: the bit rule cross-multiplies `sums(i)·n` with
+    * `sums(i) ≤ 255·n/64`, i.e. products ≈ 4·n², which wraps Long past
+    * n ≈ 1.5 GB — capping n at 2^20 keeps products ≤ ~2^42. The DuckDB
+    * oracle replays the same cap.
+    */
+  val MaxHashBytes = 1 << 20
+
+  /** aHash64 over the payload's pixel array (bytes from bfOffBits on,
+    * first [[MaxHashBytes]] of them). Call only after [[isBmp]].
     */
   def aHash64(b: Array[Byte]): Long = {
     val off = leInt(b, 10)
-    val n = b.length - off
+    val n = math.min(b.length - off, MaxHashBytes)
     val sums = new Array[Long](64)
     val cnts = new Array[Long](64)
     var total = 0L

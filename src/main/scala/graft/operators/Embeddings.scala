@@ -146,15 +146,8 @@ object Embeddings {
   private[graft] val PcaIters = 30
   private val Dim = 64
 
-  /** floor(x·10^n + 0.5)/10^n — the ENGINE-STABLE rounding this repo
-    * uses wherever both engines must land on the identical double: the
-    * op sequence (multiply, add, floor, divide) is the same IEEE ops in
-    * both, unlike `round()` whose half-up path differs per engine.
-    */
-  private def stableRound(x: Double, n: Int): Double = {
-    val p = math.pow(10, n)
-    math.floor(x * p + 0.5) / p
-  }
+  private def stableRound(x: Double, n: Int): Double =
+    Tables.stableRound(x, n)
 
   /** Mergeable Gram-matrix partial: each partition folds its vectors'
     * outer products into ONE 64×64 double buffer, and merge is

@@ -248,7 +248,9 @@ object Multimodal {
   private val PhashOracle: String =
     s"""WITH bytes AS (
       |  SELECT doc_id,
-      |    list_transform(range(1, octet_length(encode(text)) + 1),
+      |    list_transform(
+      |      range(1, least(octet_length(encode(text)),
+      |                     ${graft.functions.MediaHash.MaxHashBytes}) + 1),
       |      i -> CAST('0x' || substring(hex(encode(text)), 2*i-1, 2)
       |                AS BIGINT)) AS bs
       |  FROM documents),

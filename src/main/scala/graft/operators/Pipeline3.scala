@@ -24,8 +24,7 @@ object Pipeline3 {
     * exactly representable on both engines' integer paths.
     */
   private def h32(salt: String): Column =
-    conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8),
-      16, 10).cast("long")
+    Tables.saltedHash(salt, col("doc_id"), 8)
 
   val NumShards = 8
 

@@ -44,8 +44,7 @@ object Pipeline6 {
   def pipelineLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val clusters = Dedup.dedupClusters(spark, dir)
-    val h = conv(substring(md5(concat(lit("leak:"),
-      col("group_key").cast("string"))), 1, 2), 16, 10).cast("int")
+    val h = Tables.saltedHash("leak:", col("group_key"), 2)
     docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("group_key", coalesce(col("cluster_rep"), col("doc_id")))
@@ -98,9 +97,7 @@ object Pipeline6 {
   def pipelineReservoirSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        conv(substring(md5(concat(lit("res:"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10)
-          .cast("long").as("rk"))
+        Tables.saltedHash("res:", col("doc_id"), 8).as("rk"))
       .orderBy(col("rk"), col("doc_id"))
       .limit(ReservoirK)
 
@@ -196,12 +193,8 @@ object Pipeline6 {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        conv(substring(md5(concat(lit("shuf:"),
-          col("doc_id").cast("string"))), 1, 8), 16, 10)
-          .cast("long").as("h"),
-        conv(substring(md5(concat(lit("fp:"),
-          col("doc_id").cast("string"))), 1, 13), 16, 10)
-          .cast("long").as("fp"))
+        Tables.saltedHash("shuf:", col("doc_id"), 8).as("h"),
+        Tables.saltedHash("fp:", col("doc_id"), 13).as("fp"))
       .withColumn("shard", pmod(col("h"), lit(Pipeline3.NumShards))
         .cast("long"))
       .groupBy(col("shard"))

@@ -195,7 +195,7 @@ object Similarity {
     Array.tabulate(cents.length) { c =>
       Array.tabulate(64) { p =>
         val v = means.getOrElse((c, p), cents(c)(p).toDouble)
-        (math.floor(v * 1e6 + 0.5) / 1e6).toFloat
+        Tables.stableRound(v, 6).toFloat
       }
     }
   }
@@ -349,7 +349,7 @@ object Similarity {
       .toMap
     Array.tabulate(PqM)(m => Array.tabulate(PqK)(k => Array.tabulate(PqD) { d =>
       val v = means.getOrElse((m, k, d), seeds(m)(k)(d).toDouble)
-      (math.floor(v * 1e6 + 0.5) / 1e6).toFloat
+      Tables.stableRound(v, 6).toFloat
     }))
   }
 

@@ -99,9 +99,7 @@ object Sketches3 {
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val hashed = orders.select(
-      conv(substring(md5(concat(lit("kmv:"),
-        col("o_custkey").cast("string"))), 1, 13), 16, 10)
-        .cast("long").as("h")).distinct()
+      Tables.saltedHash("kmv:", col("o_custkey"), 13).as("h")).distinct()
     val topk = hashed.orderBy(col("h")).limit(KmvK)
       .agg(count(lit(1)).as("n_used"), max(col("h")).as("kth_hash"))
     val exact = orders.agg(

@@ -104,7 +104,7 @@ object ScaleProbe {
   /** Fixture-layout version — bump when buildScaled changes so a cached
     * older layout (e.g. without the `part` table) is rebuilt.
     */
-  private val FixtureVersion = 5
+  private val FixtureVersion = 6
 
   /** Build the key-shifted N× tables once (marker-cached per factor +
     * layout version).
@@ -192,13 +192,17 @@ object ScaleProbe {
 
     // orders: key shift on both keys — distinct customers grow N×, so
     // the KMV probe sees a genuinely larger cardinality, not N copies
-    // of the same key set
+    // of the same key set. o_custkey shifts by CUSTOMER's span (cuSpan,
+    // the same shift the customer replicas got), not by orders' own
+    // max(o_custkey): the spans differ whenever some customers have no
+    // orders, and a mismatched shift would point replica-k orders at
+    // custkeys no customer replica owns — invisible until a future
+    // probe joins the two tables and silently loses every k>0 match
     val or = spark.read.parquet(s"$baseDir/orders.parquet")
     val orSpan = or.agg(max(col("o_orderkey"))).head.getLong(0) + 1
-    val ocSpan = or.agg(max(col("o_custkey"))).head.getLong(0) + 1
     or.crossJoin(reps)
       .withColumn("o_orderkey", col("o_orderkey") + col("k") * orSpan)
-      .withColumn("o_custkey", col("o_custkey") + col("k") * ocSpan)
+      .withColumn("o_custkey", col("o_custkey") + col("k") * cuSpan)
       .drop("k")
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 

@@ -86,6 +86,16 @@ class BenchBaselineSpec extends AnyFunSuite {
       "brand_new" -> 0.7)) // first observation
   }
 
+  test("baseline merge accept-list takes the new value for named queries") {
+    // the escape hatch for INTENTIONAL slowdowns (extra verification
+    // work added by design): without it a deliberately re-priced query
+    // would flag >1.5x forever under pure minima
+    val prev = Map("repriced" -> 1.0, "other" -> 1.0)
+    val warm = Map("repriced" -> 2.0, "other" -> 2.0)
+    val merged = Bench.mergeBaseline(prev, warm, _ => true, _ == "repriced")
+    assert(merged === Map("repriced" -> 2.0, "other" -> 1.0))
+  }
+
   test("baseline merge drops entries for unregistered queries") {
     val prev = Map("kept" -> 1.0, "deleted_query" -> 2.0)
     val merged = Bench.mergeBaseline(prev, Map("kept" -> 1.2), Set("kept"))

@@ -49,6 +49,17 @@ class MediaHashSpec extends AnyFunSuite with SparkTestBase {
     assert(MediaHash.aHash64(padded) === MediaHash.aHash64(std))
   }
 
+  test("hash caps its input: bytes past MaxHashBytes cannot affect it") {
+    // the downsample step doubles as the Long-overflow guard (the bit
+    // rule cross-multiplies ~4n^2); two payloads differing only beyond
+    // the cap must hash identically
+    val n = MediaHash.MaxHashBytes + 4096
+    val p = Array.tabulate(n)(i => ((i * 31 + 7) % 251).toByte)
+    val q = p.clone()
+    q(MediaHash.MaxHashBytes + 100) = 0x55
+    assert(MediaHash.aHash64(bmp(p)) === MediaHash.aHash64(bmp(q)))
+  }
+
   test("non-BMP and truncated payloads are rejected, not hashed") {
     assert(!MediaHash.isBmp(null))
     assert(!MediaHash.isBmp(Array[Byte]('B', 'M', 0)))
