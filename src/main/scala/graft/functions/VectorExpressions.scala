@@ -321,6 +321,7 @@ object VectorExpressions {
     "jaro_winkler" -> (exprs =>
       StringSimilarity.JaroWinkler(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs => MinHashSignature(exprs.head)),
+    "ahash64" -> (exprs => MediaHash.AHash64(exprs.head)),
     "word_shingles3" -> (exprs => WordShingles3(exprs.head)),
     "int8_quant_stats" -> (exprs => Int8QuantStats(exprs.head)),
     "word_ngrams" -> (exprs => exprs match {
