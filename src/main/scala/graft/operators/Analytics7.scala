@@ -24,10 +24,21 @@ object Analytics7 {
     * basis points via long div; the median is the ordinal rank-
     * ⌈n/2⌉ element, never an interpolated float), so the oracle
     * replays it verbatim. Plan: one tokenize pass feeds a per-doc
-    * aggregate, the global exact-dup digests join back doc-keyed, and
-    * the stratum rollup is one hash aggregate + a tiny rank window
-    * per stratum for the median — three shuffles end to end, each on
-    * keys that scale (doc_id, digest, stratum).
+    * aggregate, the global exact-dup digests ride digest-partitioned
+    * windows (the key scales), and the stratum rollup is one hash
+    * aggregate. The median is a TWO-PASS RANK, not a per-stratum
+    * row_number window: a `row_number() OVER (PARTITION BY lang,
+    * source ORDER BY n_toks)` sorts each WHOLE stratum in one task —
+    * stratum cardinality is tiny (~dozens) while stratum size is the
+    * corpus, so at 100 TB one (lang, source) is billions of rows
+    * through a single sort. Instead: (1) histogram — count per
+    * (stratum, n_toks), a hash aggregate that scales on its 3-part
+    * key; (2) cumulative count over the HISTOGRAM rows (distinct
+    * token-length values per stratum — bounded by document length, not
+    * corpus size); the ⌈n/2⌉-th element's value is the smallest
+    * n_toks whose cumulative count reaches ⌈n/2⌉ (equivalently
+    * 2·cum ≥ n over integers). Identical output to the rank window,
+    * no stratum-sized sort task anywhere.
     */
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -44,23 +55,34 @@ object Analytics7 {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("n_toks"),
         (col("grp") > 1 && col("doc_id") =!= col("keeper")).as("is_dup"))
-    val stratum = Window.partitionBy(col("lang"), col("source"))
-    val ranked = dupDocs
-      .withColumn("rk", row_number().over(
-        stratum.orderBy(col("n_toks"), col("doc_id"))))
-      .withColumn("n_in", count(lit(1)).over(stratum))
-    ranked
+      // feeds both the stratum rollup and the median histogram; without
+      // the checkpoint each side re-tokenizes + re-windows the corpus
+      .localCheckpoint()
+    val rolled = dupDocs
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
-        // ordinal lower median: rk·2 = n (even n) or n+1 (odd n) —
-        // exactly one row per stratum satisfies it
-        max(when(col("rk") * 2 === col("n_in") ||
-          col("rk") * 2 === col("n_in") + 1,
-          col("n_toks"))).as("p50_toks"),
         sum(when(col("n_toks") < MinToks, 1L).otherwise(0L)).as("n_short"))
+    // two-pass ordinal lower median: histogram, then a window over the
+    // histogram (rows = distinct n_toks per stratum, NOT docs)
+    val hist = dupDocs
+      .groupBy(col("lang"), col("source"), col("n_toks"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("n_toks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col("lang"), col("source"))
+    val medians = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n_in", sum(col("cnt")).over(wN))
+      // cum ≥ ⌈n/2⌉  ⇔  2·cum ≥ n (integers); min such n_toks is the
+      // value at ordinal rank ⌈n/2⌉ of the (n_toks, doc_id) order
+      .filter(col("cum") * 2 >= col("n_in"))
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("n_toks")).as("p50_toks"))
+    rolled.join(broadcast(medians), Seq("lang", "source"))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         col("n_chars"),
         expr("n_dups * 10000 div n_docs").as("dup_bps"),
@@ -89,8 +111,8 @@ object Analytics7 {
       |  FROM d)
       |SELECT lang, source,
       |  count(*) AS n_docs,
-      |  sum(n_toks) AS n_tokens,
-      |  sum(n_chars) AS n_chars,
+      |  cast(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  cast(sum(n_chars) AS BIGINT) AS n_chars,
       |  cast(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000
       |    // count(*) AS BIGINT) AS dup_bps,
       |  max(CASE WHEN rk * 2 = n_in OR rk * 2 = n_in + 1
@@ -108,7 +130,14 @@ object Analytics7 {
     * cents: each of the k touches gets cents div k and the remainder
     * goes to the most recent touch (a deterministic tie-break instead
     * of the float split whose pennies never re-add). Purchases with no
-    * prior touch in the window credit a 'direct' bucket. Output:
+    * prior touch in the window credit a 'direct' bucket. NONNEGATIVE
+    * VALUES ONLY: the integer split relies on Spark `div`/`%` and
+    * DuckDB `//`/`%` agreeing, which holds for cents ≥ 0 but diverges
+    * on negatives (truncate-toward-zero vs floor semantics) and would
+    * break the remainder-conservation invariant — so refund/chargeback
+    * rows are filtered out explicitly (in BOTH the query and the
+    * oracle; a real pipeline would attribute refunds in a separate
+    * signed pass). Output:
     * credited revenue and touch count per channel (touch event_type /
     * direct). Shape: the purchase→touch candidate join is user-keyed
     * equi-join + time-range predicate (q17's range-join discipline —
@@ -123,6 +152,7 @@ object Analytics7 {
         col("ts").as("p_ts"),
         col("value").cast(DecimalType(12, 2)).*(100).cast("long")
           .as("cents"))
+      .filter(col("cents") >= 0)
     val touches = ev.filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("ts").as("t_ts"),
         col("event_type").as("channel"), col("event_id").as("t_id"))
@@ -157,7 +187,8 @@ object Analytics7 {
     s"""WITH p AS (
       |  SELECT event_id AS p_id, user_id, ts AS p_ts,
       |    cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
-      |  FROM events WHERE event_type = 'purchase'),
+      |  FROM events WHERE event_type = 'purchase'
+      |    AND cast(cast(value AS DECIMAL(12,2)) * 100 AS BIGINT) >= 0),
       |t AS (
       |  SELECT user_id, ts AS t_ts, event_type AS channel,
       |    event_id AS t_id
@@ -179,7 +210,7 @@ object Analytics7 {
       |    END AS credit
       |  FROM k)
       |SELECT channel, count(*) AS n_touches,
-      |  sum(credit) AS credited_cents
+      |  cast(sum(credit) AS BIGINT) AS credited_cents
       |FROM c GROUP BY channel ORDER BY channel""".stripMargin
 
   /** DECILE LIFT — the model-evaluation table for any ranked-targeting
@@ -190,26 +221,68 @@ object Analytics7 {
     * revenue share and CUMULATIVE share in exact integer basis points.
     * Lift(d) = cum share at d vs d/10 of population is read straight
     * off the table. Shape: one user aggregate (hash, scales on
-    * user_id), the decile assignment is a window over the aggregated
-    * frame (|users| rows, not |events|), rollup to 10 rows. All
+    * user_id), then the decile assignment via the DISTRIBUTED
+    * global-rank idiom (the pipeline_pack_sequences prefix-sum
+    * pattern): an unpartitioned `ntile(10) OVER (ORDER BY ...)` would
+    * funnel ALL |users| rows through one window task — fatal at 1e9
+    * users. Instead: order-preserving range buckets on cents (desc),
+    * per-bucket counts → tiny exclusive-offset window (≤33 rows),
+    * within-bucket row_number + broadcast offset = exact global rank,
+    * and the decile is ntile's EXACT bucket arithmetic on (rank, n)
+    * — the first n mod 10 tiles take ⌊n/10⌋+1 rows, the rest ⌊n/10⌋ —
+    * so the output is bit-identical to the ntile formulation the
+    * oracle replays, at bucket-count parallelism. Rollup to 10 rows;
+    * the final share/cum windows run over those 10 rows only. All
     * integer arithmetic — share divisions are long `div` on
-    * cents×10000, replayed verbatim. 100 TB note: an unpartitioned
-    * ntile window funnels all |users| rows through one task; at 1e9
-    * users swap it for the distributed global-rank idiom this repo
-    * already ships (range-partitioned sort + per-partition offset
-    * prefix sum, pipeline_pack_sequences) with decile = rank·10 div n
-    * — same assignment, no single-task sort. ntile here keeps the
-    * query one window expression at gate scale.
+    * cents×10000, replayed verbatim.
     */
   def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint: the aggregated frame feeds both the bucket-offset agg
+    // and the ranked join side (same idiom as packByBudget)
     val perUser = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast(DecimalType(12, 2)).*(100).cast("long"))
         .as("cents"))
-    val tiled = perUser.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("cents").desc, col("user_id")))
-        .cast("long"))
+      .localCheckpoint()
+    // order-preserving bucketing for the (cents DESC, user_id) total
+    // order: equal-width value ranges on cents, descending — every row
+    // of a bucket precedes every row of the next, and ties (same cents)
+    // land in the same bucket, so within-bucket (cents desc, user_id)
+    // ordering composes to the global order. Bounded driver state: one
+    // 2-value min/max row (the packByBudget contract).
+    val bounds = perUser.agg(min(col("cents")), max(col("cents"))).head()
+    val tiled = if (bounds.isNullAt(0)) {
+      perUser.withColumn("decile", lit(0L)) // empty corpus: keep schema
+    } else {
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val nBuckets = 32L
+      val width = math.max(1L, (hi - lo) / nBuckets + 1L)
+      val bucketed = perUser
+        .withColumn("bkt", ((lit(hi) - col("cents")) / width).cast("long"))
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+      val offsets = bucketed.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("bkt_n"))
+        .withColumn("offset", coalesce(sum(col("bkt_n")).over(wOff), lit(0L)))
+        .withColumn("n", sum(col("bkt_n")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("bkt"), col("offset"), col("n"))
+      val wIn = Window.partitionBy(col("bkt"))
+        .orderBy(col("cents").desc, col("user_id"))
+      // ntile(10)'s exact assignment from the 1-based global rank rk:
+      // q = n div 10, m = n mod 10; ranks 1..m·(q+1) fall in the first
+      // m (larger) tiles, the rest in size-q tiles.
+      bucketed.join(broadcast(offsets), Seq("bkt"))
+        .withColumn("rk", row_number().over(wIn).cast("long") + col("offset"))
+        .withColumn("q", expr("n div 10"))
+        .withColumn("m", col("n") % 10)
+        .withColumn("decile",
+          when(col("rk") <= col("m") * (col("q") + 1),
+            expr("(rk - 1) div (q + 1)") + 1)
+            .otherwise(col("m") + expr("(rk - m * (q + 1) - 1) div q") + 1))
+    }
     val deciles = tiled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
     val w = Window.partitionBy() // 10 post-agg rows
@@ -235,12 +308,14 @@ object Analytics7 {
       |      AS decile
       |  FROM u),
       |d AS (
-      |  SELECT decile, count(*) AS n_users, sum(cents) AS cents
+      |  SELECT decile, count(*) AS n_users,
+      |    cast(sum(cents) AS BIGINT) AS cents
       |  FROM t GROUP BY decile)
       |SELECT decile, n_users, cents,
-      |  cents * 10000 // (SELECT sum(cents) FROM d) AS share_bps,
-      |  sum(cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
-      |    * 10000 // (SELECT sum(cents) FROM d) AS cum_bps
+      |  cast(cents * 10000 // (SELECT sum(cents) FROM d) AS BIGINT)
+      |    AS share_bps,
+      |  cast(sum(cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+      |    * 10000 // (SELECT sum(cents) FROM d) AS BIGINT) AS cum_bps
       |FROM d ORDER BY decile""".stripMargin
 
   val registry: Seq[QueryDef] = Seq(

@@ -211,7 +211,8 @@ object Pipeline6 {
       |    ('0x' || substring(md5('fp:' || cast(doc_id AS VARCHAR)), 1, 13))::bigint
       |      AS fp
       |  FROM documents)
-      |SELECT shard, count(*) AS n_docs, sum(n_chars) AS n_chars,
+      |SELECT shard, count(*) AS n_docs,
+      |  cast(sum(n_chars) AS BIGINT) AS n_chars,
       |  bit_xor(fp) AS fingerprint
       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
 

@@ -258,18 +258,27 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     var cents = seedCentroids(emb)
     for (_ <- 1 to 3) cents = lloydStep(emb, cents)
-    // each row carries its assigned centroid (16 distinct arrays,
-    // dictionary-encoded by parquet) so the PARTIAL oracle can verify
-    // the assignment step: DuckDB re-reads the dump, recovers the 16
-    // (cluster, centroid) pairs, and re-derives every vector's argmax
-    // cosine assignment — the Lloyd refinement itself (iterative float
-    // means) stays SQL-unreplayable, but "every vector sits in the
-    // cluster of its nearest dumped centroid" is now hash-checked.
-    val centArr = typedLit(cents.map(_.toSeq).toSeq)
+    // each row carries its assigned centroid AS A STRING (16 distinct
+    // values, dictionary-encoded by parquet) so the PARTIAL oracle can
+    // verify the assignment step: DuckDB re-reads the dump, recovers
+    // the 16 (cluster, centroid) pairs, string_split-parses each back
+    // to doubles, and re-derives every vector's argmax cosine
+    // assignment — the Lloyd refinement itself (iterative float means)
+    // stays SQL-unreplayable, but "every vector sits in the cluster of
+    // its nearest dumped centroid" is hash-checked. The string is
+    // comma-joined Double.toString of each component's WIDENED float:
+    // shortest-round-trip decimal, so DuckDB's correctly-rounded
+    // VARCHAR→DOUBLE cast recovers the exact doubles the Spark cosine
+    // kernel computed with — the oracle argmax sees bit-identical
+    // inputs, no near-tie drift from a lossy re-quantization. (A raw
+    // float-array column here crashes the driver's pandas row sort:
+    // ndarray cells are unhashable — the r8 ERR.)
+    val centStrs: Seq[String] =
+      cents.toSeq.map(_.map(_.toDouble.toString).mkString(","))
     emb.select(col("vec_id"),
         nearestCentroidIdx(cents, col("embedding")).cast("long").as("cluster"))
       .withColumn("centroid",
-        element_at(centArr, (col("cluster") + 1).cast("int")))
+        element_at(typedLit(centStrs), (col("cluster") + 1).cast("int")))
       .orderBy(col("vec_id"))
   }
 
@@ -439,13 +448,16 @@ object Similarity {
     */
   private val KmeansPartialOracle: String =
     """WITH dump AS (SELECT * FROM read_parquet('__DUMP__/cluster_kmeans/*.parquet')),
-      |cents AS (SELECT DISTINCT cluster, centroid FROM dump),
+      |cents AS (SELECT DISTINCT cluster, centroid,
+      |    list_transform(string_split(centroid, ','),
+      |      x -> cast(x AS DOUBLE)) AS cvec
+      |  FROM dump),
       |best AS (
       |  SELECT e.vec_id, c.cluster, c.centroid,
       |    row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY list_cosine_similarity(
       |          list_transform(e.embedding, x -> cast(x AS DOUBLE)),
-      |          list_transform(c.centroid, x -> cast(x AS DOUBLE))) DESC,
+      |          c.cvec) DESC,
       |        c.cluster DESC) AS rn
       |  FROM embeddings e CROSS JOIN cents c)
       |SELECT vec_id, cluster, centroid FROM best WHERE rn = 1

@@ -78,4 +78,53 @@ class Analytics7Spec extends AnyFunSuite with SparkTestBase {
     // top decile must actually concentrate (lift > 1 ⇔ > 1000 bps)
     assert(out.head._4 > 1000L)
   }
+
+  test("decile lift: distributed rank assignment == single-window ntile") {
+    import org.apache.spark.sql.expressions.Window
+    // the scale-safe path (range buckets + prefix-sum rank + exact
+    // ntile arithmetic) must reproduce ntile(10) OVER (ORDER BY cents
+    // DESC, user_id) bit-for-bit. sf0.001 has 15 purchase users
+    // (10 ∤ n — exercises the remainder tiles, first n mod 10 one row
+    // larger); sf0.01 has 150 (the even path).
+    val uneven = (for (dir <- Seq(sf0001, sf001)) yield {
+      val perUser = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      val naive = perUser.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("cents").desc, col("user_id")))
+            .cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+        .orderBy(col("decile")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val dist = Analytics7.decileLift(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(dist.toSeq === naive.toSeq, s"dir=$dir")
+      perUser.count() % 10 != 0
+    }).exists(identity)
+    assert(uneven, "no fixture exercised the uneven-tile branch")
+  }
+
+  test("dataset card: two-pass median == per-stratum rank-window median") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf001)
+    val perDoc = docs.select(col("lang"), col("source"), col("doc_id"),
+      size(filter(split(lower(col("text")), " ", -1), w => w =!= ""))
+        .cast("long").as("n_toks"))
+    val stratum = Window.partitionBy(col("lang"), col("source"))
+    val naive = perDoc
+      .withColumn("rk", row_number().over(
+        stratum.orderBy(col("n_toks"), col("doc_id"))))
+      .withColumn("n_in", count(lit(1)).over(stratum))
+      .filter(col("rk") * 2 === col("n_in") ||
+        col("rk") * 2 === col("n_in") + 1)
+      .select(col("lang"), col("source"), col("n_toks"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val card = Analytics7.datasetCard(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+    assert(card === naive)
+  }
 }

@@ -152,6 +152,31 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(a.forall { case (_, c) => c >= 0 && c < 16 })
   }
 
+  test("kmeans dump: centroid is a scalar string that round-trips to doubles") {
+    // the r8 dump carried a raw float-array column, which crashed the
+    // driver's pandas row sort (ndarray cells are unhashable); the
+    // contract now is ONE scalar string per row — comma-joined
+    // shortest-round-trip doubles — that DuckDB's VARCHAR→DOUBLE cast
+    // parses back to the exact values the Spark cosine kernel used
+    val rows = Similarity.clusterKmeans(spark, sf0001)
+      .select("cluster", "centroid").distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length === rows.map(_._1).distinct.length,
+      "one centroid string per cluster")
+    rows.foreach { case (_, s) =>
+      val parts = s.split(",")
+      assert(parts.length === 64)
+      parts.foreach { p =>
+        val d = java.lang.Double.parseDouble(p)
+        assert(!d.isNaN && !d.isInfinite)
+        // shortest-repr round trip: re-printing the parsed double gives
+        // the dumped token back, so any correctly-rounded parser (DuckDB
+        // strtod included) recovers the identical double
+        assert(d.toString === p)
+      }
+    }
+  }
+
   test("dedup_clusters: transitive closure over candidate pairs") {
     val pairs = Dedup.dedupMinhashLsh(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -3,12 +3,24 @@
 then execute each oracle SQL in DuckDB over the same parquet tables and
 compare (columns sorted by name, rows sorted, values hashed).
 
+DRIVER FIDELITY (round 9): the driver converts both sides to pandas,
+does a sort_values over all columns, and hashes the RENDERED values.
+Two divergence classes slipped through the old 1e-9-rounding replica:
+  1. dtype drift — DuckDB sum(BIGINT) returns HUGEINT, pandas renders
+     it float64 ("16853.0") while Spark's int64 renders "16853"; the
+     value hash differs even though the numbers are equal. We therefore
+     compare pandas-rendered reprs EXACTLY (no rounding, no folding).
+  2. array-valued cells — pandas sort_values dies with "unhashable
+     type: 'numpy.ndarray'". We detect list/struct/ndarray cells and
+     fail the query with ARRAY-COLUMN the way the driver would ERR.
+
 Usage: python3 tools/local_verify.py [sfdir] [outdir] [--skip-spark]
 """
-import json, math, subprocess, sys
+import json, subprocess, sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 import pyarrow as pa
 
@@ -25,30 +37,45 @@ def run_spark():
         print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
 
 
-def norm_val(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # kill -0.0 and fold float32/float64 repr noise at 1e-9 grain
-        v = v + 0.0
-        return round(v, 9)
+class ArrayColumn(Exception):
+    pass
+
+
+def render(v):
+    """The pandas-rendered value the driver hashes. Calibrated against
+    CORRECTNESS_r08: integer WIDTH is folded (spark int32 5 and duck
+    int64 5 both hash as '5' — the driver passes those), but the
+    int-vs-float RENDERING boundary is not ('16853' vs a HUGEINT
+    routed through float64 as '16853.0' hash-fails — r8's four new
+    reds). So: numpy scalars normalize to python int/float, then repr —
+    no rounding, no grain. A DuckDB HUGEINT that arrives as
+    decimal.Decimal reprs as "Decimal('16853')", also a mismatch, which
+    is correct: the driver's conversion never leaves it integer."""
+    if isinstance(v, (np.ndarray, list, tuple, dict)):
+        raise ArrayColumn(type(v).__name__)
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
-        return tuple(norm_val(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, norm_val(x)) for k, x in v.items()))
-    return str(v)
+    if isinstance(v, np.integer):
+        return repr(int(v))
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, float):
+        return "NaN" if v != v else repr(v)
+    return repr(v)
 
 
 def canon(tbl: pa.Table):
-    cols = sorted(tbl.column_names)
-    pydict = {c: tbl.column(c).to_pylist() for c in cols}
-    n = tbl.num_rows
-    rows = [tuple(norm_val(pydict[c][i]) for c in cols) for i in range(n)]
-    return cols, rows, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+    """(sorted column names, dtype map, rows sorted as repr-tuples).
+    Goes through pandas exactly like the driver so dtype coercions
+    (HUGEINT->float64, timestamp units) happen identically."""
+    df = tbl.to_pandas()
+    cols = sorted(df.columns)
+    dtypes = {c: str(df[c].dtype) for c in cols}
+    rows = []
+    for tup in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(render(v) for v in tup))
+    rows.sort()
+    return cols, dtypes, rows
 
 
 def main():
@@ -76,19 +103,23 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-SQL-ERROR: {e}"
             continue
-        sc, sraw, sr = canon(spark_tbl)
-        dc, draw, dr = canon(duck_tbl)
+        try:
+            sc, sdt, sr = canon(spark_tbl)
+            dc, ddt, dr = canon(duck_tbl)
+        except ArrayColumn as e:
+            # the driver's pandas sort_values crashes on these -> ERR row
+            results[name] = f"ARRAY-COLUMN (driver would ERR: unhashable {e})"
+            continue
+        dtinfo = ", ".join(f"{c}: spark={sdt[c]} duck={ddt[c]}"
+                           for c in sc if c in ddt and sdt[c] != ddt[c])
         if sc != dc:
             results[name] = f"SCHEMA-MISMATCH spark={sc} duck={dc}"
         elif len(sr) != len(dr):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(sr)} duck={len(dr)}"
         elif sr != dr:
             diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            results[name] = f"VALUE-MISMATCH first-diffs={diffs}"
-        elif sraw != draw:
-            # sorted-equal but order differs: hash-safe only if the driver
-            # sorts rows; flag it so the ORDER BY gets fixed.
-            results[name] = f"ORDER-DIFF ({len(sr)} rows; sorted rows equal)"
+            results[name] = (f"VALUE-MISMATCH first-diffs={diffs}"
+                             + (f" [dtypes: {dtinfo}]" if dtinfo else ""))
         else:
             results[name] = f"OK ({len(sr)} rows)"
     for name in sorted(oracle):
