@@ -54,6 +54,12 @@ object ScaleProbe {
     "pipeline_tokenizer_coverage", "sketch_kmv_distinct",
     "stream_kmv_distinct")
 
+  /** The queries the skew sweep times — the two whose worst case is a
+    * single hot near-dup cluster (one giant LSH bucket / one
+    * boilerplate window key).
+    */
+  private val SkewQueries = Seq("dedup_minhash_lsh", "dedup_substring")
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -71,8 +77,6 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    buildScaled(spark, baseDir, outDir, factor)
-
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def median(xs: Seq[Double]): Double = {
@@ -89,6 +93,31 @@ object ScaleProbe {
       })
     }
 
+    if (sys.env.contains("SPARK_GRAFT_SCALE_SKEW")) {
+      // SKEW SWEEP: one global hot near-dup cluster (5% of docs share a
+      // template) at 1× and N× — the uniform replicas above never
+      // exercise the bucket-cap/anchor-star path at bench scale because
+      // each replica's buckets stay original-sized. Here the hot
+      // cluster is NOT replica-suffixed, so it grows with the factor:
+      // 250 docs in one cluster at 1× (sf0.1), 2 500 at 10× — far past
+      // MaxLshBucket=32 (star linking) and MaxSpanDocs=32 (boilerplate
+      // window drop). Linear-ish ratio = the caps hold under skew.
+      val skew1 = s"${outDir}_skew1x"
+      val skewN = s"${outDir}_skew${factor}x"
+      buildSkewedDocs(spark, baseDir, skew1, 1)
+      buildSkewedDocs(spark, baseDir, skewN, factor)
+      SkewQueries.foreach { q =>
+        val b = time(q, skew1)
+        val s = time(q, skewN)
+        println(f"""{"q":"$q","skew":true,"base_warm":$b%.3f,""" +
+          f""""scaled_warm":$s%.3f,"ratio":${s / b}%.3f,"factor":$factor}""")
+      }
+      spark.stop()
+      return
+    }
+
+    buildScaled(spark, baseDir, outDir, factor)
+
     // SPARK_GRAFT_SCALE_ONLY: same comma/prefix spec as everywhere else
     // — re-measure a subset without paying for the full sweep
     val only = graft.SparkEntry.onlyFilter(sys.env.get("SPARK_GRAFT_SCALE_ONLY"))
@@ -99,6 +128,52 @@ object ScaleProbe {
         f""""ratio":${s / b}%.3f,"factor":$factor}""")
     }
     spark.stop()
+  }
+
+  /** Skewed-documents fixture: every doc with (original) doc_id % 20 == 0
+    * — 5% of the corpus — has its text replaced by ONE 60-word template
+    * plus a per-doc unique tail token, making the 5% one global near-dup
+    * cluster (shared shingles ⇒ shared minhash bands; shared 8-token
+    * windows ⇒ one boilerplate window key). The remaining 95% follow the
+    * uniform-replica discipline (token-suffixed per replica, disjoint
+    * shingle spaces) so the background load still scales with the
+    * factor. Crucially the template is NOT replica-suffixed: the hot
+    * cluster is global and grows ×factor — the adversarial shape the
+    * anchor-star cap exists for. Only documents.parquet is written (the
+    * two skew-swept queries read nothing else).
+    */
+  private def buildSkewedDocs(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    val marker = new java.io.File(outDir, "_READY")
+    val stamp = s"skew;factor=$factor;v=$FixtureVersion"
+    if (marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == stamp) return
+    new java.io.File(outDir).mkdirs()
+    val reps = broadcast(spark.range(factor).select(col("id").as("k")))
+    val template = (1 to 60).map(i => s"hotw$i").mkString(" ")
+    val docs = graft.Tables.documents(spark, baseDir)
+    val docSpan = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("k") * docSpan).as("doc_id"),
+        col("doc_id").as("orig_id"), col("k"),
+        col("text"), col("lang"), col("source"))
+      .withColumn("text",
+        when(col("orig_id") % 20 === 0,
+          // hot: global template + unique tail (a near-dup, not an
+          // exact dup — exact-digest tiers would collapse it for free)
+          concat(lit(template), lit(" uid"), col("doc_id")))
+          .otherwise(when(col("k") === 0, col("text")).otherwise(
+            array_join(transform(split(col("text"), " ", -1),
+              t => when(
+                t.isin(graft.operators.TextAnalysis3.StopWords: _*), t)
+                .otherwise(concat(t, lit("~"), col("k")))), " "))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    ()
   }
 
   /** Fixture-layout version — bump when buildScaled changes so a cached
