@@ -64,7 +64,31 @@ object MediaHeaders {
       parseWav(payload)
     else if (payload.length >= 8 &&
       (0 until 8).forall(i => payload(i) == PngMagic(i))) parsePng(payload)
+    else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
+      parseGif(payload)
     else Unsupported("unrecognized magic bytes")
+
+  /** GIF: 6-byte version magic (`GIF87a`/`GIF89a`), then the Logical
+    * Screen Descriptor — canvas width and height as LITTLE-endian
+    * uint16 at fixed offsets 6-7 and 8-9 (GIF is the one mainstream
+    * big-name format that is little-endian throughout), then packed
+    * flags / background index / aspect byte. Fixed-offset arithmetic,
+    * no chunk walk needed for geometry — the simplest header in the
+    * family. `dataBytes` = everything after the 13-byte header (global
+    * color table + blocks; separating those would require walking the
+    * block stream, which a geometry pass doesn't need).
+    */
+  private def parseGif(b: Array[Byte]): Probe = {
+    if (b.length < 13) return Unsupported("GIF truncated before screen descriptor")
+    val ver = new String(b, 0, 6, "US-ASCII")
+    if (ver != "GIF87a" && ver != "GIF89a")
+      return Unsupported(s"unknown GIF version '$ver'")
+    val width = leShort(b, 6)
+    val height = leShort(b, 8)
+    if (width <= 0 || height <= 0)
+      Unsupported(s"implausible GIF geometry w=$width h=$height")
+    else ImageInfo("gif", width, height, b.length - 13)
+  }
 
   /** PNG: 8-byte magic, then big-endian chunks (`length type data crc`).
     * IHDR (must come first per spec) carries width/height; the reported
@@ -215,6 +239,25 @@ object MediaHeaders {
     bb.putInt(0)
     bb.put("IEND".getBytes("US-ASCII"))
     bb.putInt(0)                           // IEND CRC
+    bb.array()
+  }
+
+  /** Build a real GIF89a container around arbitrary bytes: version
+    * magic + Logical Screen Descriptor (LE uint16 dims, no global color
+    * table, background 0, default aspect) followed by the payload —
+    * the GIF twin of [[bmpWrap]]. Block structure inside the payload is
+    * content-synthetic, which header-level decoding never inspects.
+    */
+  def gifWrap(data: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(13 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF89a".getBytes("US-ASCII"))
+    bb.putShort(width.toShort)
+    bb.putShort(height.toShort)
+    bb.put(0.toByte)  // packed: no global color table
+    bb.put(0.toByte)  // background color index
+    bb.put(0.toByte)  // pixel aspect ratio: default
+    bb.put(data)
     bb.array()
   }
 

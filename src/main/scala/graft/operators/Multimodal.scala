@@ -151,17 +151,19 @@ object Multimodal {
         col("height").cast("long").as("height"), col("out_w"), col("out_h"))
       .orderBy(col("doc_id"))
 
-  /** Mixed-container synthesis for [[mmDecodeMixed]]: one third of the
-    * corpus each as PNG / BMP / RIFF-WAVE by `doc_id % 3`, with declared
-    * geometry a fixed function of the byte length — the formulas the
-    * oracle replays.
+  /** Mixed-container synthesis for [[mmDecodeMixed]]: one quarter of
+    * the corpus each as PNG / BMP / RIFF-WAVE / GIF by `doc_id % 4`,
+    * with declared geometry a fixed function of the byte length — the
+    * formulas the oracle replays. GIF dims stay within uint16 by
+    * construction (LE uint16 fields in the Logical Screen Descriptor).
     */
   private val mixedContainer = udf { (docId: Long, bytes: Array[Byte]) =>
     val n = bytes.length
-    (docId % 3).toInt match {
+    (docId % 4).toInt match {
       case 0 => MediaHeaders.pngWrap(bytes, 32 + n % 641, 32 + (n * 17) % 409)
       case 1 => MediaHeaders.bmpWrap(bytes, 64 + n % 577, 64 + (n * 31) % 353)
-      case _ => MediaHeaders.wavWrap(bytes, 8000 + (n % 5) * 4000, 1 + n % 2, 16)
+      case 2 => MediaHeaders.wavWrap(bytes, 8000 + (n % 5) * 4000, 1 + n % 2, 16)
+      case _ => MediaHeaders.gifWrap(bytes, 16 + n % 509, 16 + (n * 13) % 257)
     }
   }
 
@@ -169,7 +171,8 @@ object Multimodal {
     * corpus MIXING image and audio containers flows through ONE decode
     * pass; `MediaHeaders.probe` sniffs each payload's magic and routes
     * it to the right parser (PNG big-endian chunk walk summing IDAT
-    * lengths, BMP little-endian DIB header, RIFF chunk walk), and the
+    * lengths, BMP little-endian DIB header, RIFF chunk walk, GIF
+    * fixed-offset LE uint16 screen descriptor), and the
     * unified schema carries zeros for the columns a format doesn't
     * declare. Every reported value is genuinely parsed from container
     * bytes; the oracle replays the synthesis formulas.
@@ -306,17 +309,18 @@ object Multimodal {
     QueryDef("mm_phash_dedup", mmPhashDedup _, PhashOracle),
     QueryDef("mm_decode_mixed", mmDecodeMixed _,
       // synthesis-formula replay per container family: geometry is a
-      // function of the UTF-8 byte length n and doc_id % 3; Spark earns
-      // the same values by parsing the PNG/BMP/WAV bytes it wrapped
+      // function of the UTF-8 byte length n and doc_id % 4; Spark earns
+      // the same values by parsing the PNG/BMP/WAV/GIF bytes it wrapped
       """WITH d AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,
-        |    doc_id % 3 AS fam FROM documents)
+        |    doc_id % 4 AS fam FROM documents)
         |SELECT doc_id,
-        |  CASE fam WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CASE fam WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+        |    ELSE 'gif' END AS format,
         |  CASE fam WHEN 0 THEN 32 + n % 641 WHEN 1 THEN 64 + n % 577
-        |    ELSE 0 END AS width,
+        |    WHEN 3 THEN 16 + n % 509 ELSE 0 END AS width,
         |  CASE fam WHEN 0 THEN 32 + (n * 17) % 409 WHEN 1 THEN 64 + (n * 31) % 353
-        |    ELSE 0 END AS height,
+        |    WHEN 3 THEN 16 + (n * 13) % 257 ELSE 0 END AS height,
         |  CASE fam WHEN 2 THEN 8000 + (n % 5) * 4000 ELSE 0 END AS sample_rate,
         |  cast(CASE fam WHEN 2 THEN n // ((1 + n % 2) * 2) ELSE 0 END AS BIGINT) AS n_samples,
         |  cast(CASE fam WHEN 2 THEN n - n % ((1 + n % 2) * 2)

@@ -7,8 +7,10 @@ import graft.{QueryDef, Tables}
 /** Row-pattern matching over per-key event sequences — the
   * MATCH_RECOGNIZE capability of Trino/Flink/ISO SQL:2016, which Spark
   * SQL lacks. A pattern is a sequence of tokens, each a set of event
-  * types with a quantifier (`one`, `?`, `*`, `+`); matching is anchored
-  * and greedy, with the AFTER MATCH policy a compile-time option
+  * types with a quantifier (`one`, `?`, `*`, `+`, and the reluctant
+  * `??`, `*?`, `+?`); matching is anchored and greedy (reluctant
+  * tokens yield to their successor — see [[Quant]]), with the AFTER
+  * MATCH policy a compile-time option
   * ([[SkipMode]]): SKIP PAST LAST ROW (the ISO default —
   * non-overlapping) or SKIP TO NEXT ROW (overlapping run suffixes).
   *
@@ -37,6 +39,19 @@ object RowPattern {
   case object Opt extends Quant
   case object Star extends Quant
   case object Plus extends Quant
+  // reluctant (lazy) variants — `??` / `*?` / `+?` (ISO MATCH_RECOGNIZE
+  // / Flink CEP surface): consume as FEW rows as possible. Their
+  // compile-time meaning is that restriction 3 is LIFTED: a reluctant
+  // token's class may overlap its successor's, and on an overlapping
+  // row the SUCCESSOR wins — deterministic single-pass resolution via
+  // a constant-cost token lookahead, no backtracking. (With disjoint
+  // classes reluctant ≡ greedy, which is exactly why the greedy
+  // grammar could require disjointness; reluctance is how a pattern
+  // like `signup noise*? purchase` gets to put `purchase` in the noise
+  // class and still mean "stop at the FIRST purchase".)
+  case object OptRel extends Quant
+  case object StarRel extends Quant
+  case object PlusRel extends Quant
 
   /** AFTER MATCH SKIP policy (ISO MATCH_RECOGNIZE):
     * [[SkipPastLastRow]] resumes after the matched span (the default,
@@ -58,22 +73,33 @@ object RowPattern {
 
   final case class Tok(types: Set[String], quant: Quant) {
     /** May this token consume zero rows outright? */
-    def zeroOk: Boolean = quant == Opt || quant == Star
+    def zeroOk: Boolean =
+      quant == Opt || quant == Star || quant == OptRel || quant == StarRel
+    /** Reluctant (lazy) quantifier — successor priority on overlap. */
+    def reluctant: Boolean =
+      quant == OptRel || quant == StarRel || quant == PlusRel
   }
 
   /** Parse `"signup (view|click)* purchase"` → token list. Grammar per
     * whitespace-separated atom: `name` or `(a|b|c)`, optionally suffixed
-    * `?`, `*` or `+`.
+    * `?`, `*`, `+` (greedy) or `??`, `*?`, `+?` (reluctant).
     */
   def compile(pattern: String): IndexedSeq[Tok] = {
     require(pattern.trim.nonEmpty, "empty pattern")
     val toks = pattern.trim.split("\\s+").toIndexedSeq.map { atom =>
-      val (body, quant) = atom.last match {
-        case '?' => (atom.dropRight(1), Opt: Quant)
-        case '*' => (atom.dropRight(1), Star: Quant)
-        case '+' => (atom.dropRight(1), Plus: Quant)
-        case _   => (atom, One: Quant)
-      }
+      // two-char reluctant suffixes first — `b*?` must not parse as
+      // an Opt-quantified atom named "b*"
+      val (body, quant) =
+        if (atom.length > 2 && atom.endsWith("??"))
+          (atom.dropRight(2), OptRel: Quant)
+        else if (atom.endsWith("*?")) (atom.dropRight(2), StarRel: Quant)
+        else if (atom.endsWith("+?")) (atom.dropRight(2), PlusRel: Quant)
+        else atom.last match {
+          case '?' => (atom.dropRight(1), Opt: Quant)
+          case '*' => (atom.dropRight(1), Star: Quant)
+          case '+' => (atom.dropRight(1), Plus: Quant)
+          case _   => (atom, One: Quant)
+        }
       val types =
         if (body.startsWith("(") && body.endsWith(")"))
           body.substring(1, body.length - 1).split("\\|").map(_.trim).toSet
@@ -84,7 +110,9 @@ object RowPattern {
     require(toks.nonEmpty, "empty pattern")
     // leading `a+` desugars to `a a*` — MATCH_RECOGNIZE's one-or-more
     // anchored at the first occurrence; leading `?`/`*` stay rejected
-    // (a zero-width start is genuinely unanchored)
+    // (a zero-width start is genuinely unanchored), and so do the
+    // leading RELUCTANT forms — `a+?` would need the SkipToNextRow
+    // run-buffer machinery to stay sound, deliberately out of scope
     val anchored =
       if (toks.head.quant == Plus)
         Tok(toks.head.types, One) +: Tok(toks.head.types, Star) +: toks.tail
@@ -102,7 +130,11 @@ object RowPattern {
       require(leadingRun || (t.types & anchored.head.types).isEmpty,
         s"token $i overlaps the start class — the single-pass matcher " +
           "would miss matches beginning at consumed rows")
-      if (t.quant != One && i + 1 < anchored.length)
+      // restriction 3 binds GREEDY quantifiers only: a reluctant
+      // token resolves an overlapping row in the successor's favor
+      // (that determinism is the whole point of `*?`); greedy overlap
+      // stays rejected because greedy would eat the successor's rows
+      if (t.quant != One && !t.reluctant && i + 1 < anchored.length)
         require((t.types & anchored(i + 1).types).isEmpty,
           s"quantified token $i overlaps its successor — greedy " +
             "consumption would eat the successor's rows")
@@ -158,6 +190,22 @@ object RowPattern {
       * a skip chain that exhausts the tokens completes the attempt at
       * the previously consumed row, then re-tries.
       */
+    /** Can any token from `from` onward consume a `tp` row, walking
+      * only through zero-consumable tokens? O(pattern length) — the
+      * constant-cost lookahead that keeps reluctant matching
+      * backtrack-free: the reluctant token asks this BEFORE consuming,
+      * and defers iff the answer is yes.
+      */
+    private def canConsumeAhead(from: Int, tp: String): Boolean = {
+      var j = from
+      while (j < toks.length) {
+        if (toks(j).types.contains(tp)) return true
+        if (!toks(j).zeroOk) return false
+        j += 1
+      }
+      false
+    }
+
     def feed(tp: String, us: Long): List[Match] = {
       var out: List[Match] = Nil
       var again = true
@@ -175,16 +223,23 @@ object RowPattern {
           again = true // this row may start a fresh match
         } else {
           val t = toks(ti)
-          if (t.types.contains(tp)) {
+          val mayLeave = t.zeroOk ||
+            ((t.quant == Plus || t.quant == PlusRel) && plusSatisfied)
+          if (t.reluctant && mayLeave && canConsumeAhead(ti + 1, tp)) {
+            // successor priority: the reluctant token declines a row
+            // some LATER reachable token can consume (shortest match)
+            ti += 1; plusSatisfied = false
+            again = true
+          } else if (t.types.contains(tp)) {
             n += 1; endUs = us
             if (trackStarts && ti == 1) runStarts += us // still in the run
             t.quant match {
-              case One | Opt => ti += 1; plusSatisfied = false
-              case Plus      => plusSatisfied = true
-              case Star      => ()
+              case One | Opt | OptRel => ti += 1; plusSatisfied = false
+              case Plus | PlusRel     => plusSatisfied = true
+              case Star | StarRel     => ()
             }
             if (ti == toks.length) out = complete()
-          } else if (t.zeroOk || (t.quant == Plus && plusSatisfied)) {
+          } else if (mayLeave) {
             ti += 1; plusSatisfied = false
             again = true // same row against the next token (or completion)
           } else {
@@ -226,7 +281,8 @@ object RowPattern {
       if (ti < 0) Nil
       else {
         val from =
-          if (ti < toks.length && toks(ti).quant == Plus && plusSatisfied) ti + 1
+          if (ti < toks.length && plusSatisfied &&
+            (toks(ti).quant == Plus || toks(ti).quant == PlusRel)) ti + 1
           else ti
         val ok = (from until toks.length).forall(toks(_).zeroOk)
         if (ok) complete() else { reset(); Nil }
@@ -417,9 +473,57 @@ object RowPattern {
       |WHERE e.event_type = 'purchase'
       |ORDER BY s.user_id, start_ts, end_ts""".stripMargin
 
+  /** Fourth registered pattern, exercising the RELUCTANT star:
+    * `signup (view|click|error|purchase)*? purchase` — signup to the
+    * FIRST subsequent purchase, tolerating any non-signup noise
+    * between (q101's greedy form resets on an intervening `error`;
+    * this one rides through it). The star class deliberately CONTAINS
+    * the terminator: under greedy rules that pattern is rejected
+    * (restriction 3), under reluctance the successor wins every
+    * overlapping row, so the star never actually consumes a purchase
+    * and the match ends at the first one. The oracle replays the
+    * resulting relational semantics: a signup matches iff its first
+    * following row outside the consumable noise classes — i.e. the
+    * first later `signup`-or-`purchase` row — is a purchase
+    * (an intervening signup resets the attempt and starts its own,
+    * exactly the single-pass restart rule).
+    */
+  def q121ReluctantFunnel(spark: SparkSession, dir: String): DataFrame =
+    matchPattern(Tables.events(spark, dir),
+      "signup (view|click|error|purchase)*? purchase")
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("start_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+        date_format(timestamp_micros(col("end_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
+        col("n_rows").cast("long").as("n_rows"))
+      .orderBy(col("user_id"), col("start_ts"))
+
+  private val ReluctantFunnelOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |sig AS (SELECT user_id, rn AS srn, ts AS start_raw FROM ev
+      |  WHERE event_type = 'signup'),
+      |stopr AS (
+      |  SELECT s.user_id, s.srn, s.start_raw, min(e.rn) AS stop_rn
+      |  FROM sig s JOIN ev e ON e.user_id = s.user_id AND e.rn > s.srn
+      |    AND e.event_type IN ('signup', 'purchase')
+      |  GROUP BY 1, 2, 3)
+      |SELECT n.user_id,
+      |  strftime(n.start_raw, '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+      |  cast(e.rn - n.srn + 1 AS BIGINT) AS n_rows
+      |FROM stopr n JOIN ev e ON e.user_id = n.user_id AND e.rn = n.stop_rn
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY n.user_id, start_ts""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q101_row_pattern", q101RowPattern _, RowPatternOracle),
     QueryDef("q105_click_burst", q105ClickBurst _, ClickBurstOracle),
-    QueryDef("q106_click_trails", q106ClickTrails _, ClickTrailsOracle)
+    QueryDef("q106_click_trails", q106ClickTrails _, ClickTrailsOracle),
+    QueryDef("q121_reluctant_funnel", q121ReluctantFunnel _,
+      ReluctantFunnelOracle)
   )
 }

@@ -108,6 +108,33 @@ class MediaHeadersSpec extends AnyFunSuite {
       0, 0, 0, 0)).isInstanceOf[Unsupported])
   }
 
+  test("gifWrap round-trips through the parser") {
+    val gif = MediaHeaders.gifWrap(Array.fill[Byte](77)(3), 320, 200)
+    assert(MediaHeaders.probe(gif) === ImageInfo("gif", 320, 200, 77))
+    // LE uint16 dims: values past the int16 sign bit must read unsigned
+    val wide = MediaHeaders.gifWrap(Array.fill[Byte](5)(1), 40000, 33000)
+    assert(MediaHeaders.probe(wide) === ImageInfo("gif", 40000, 33000, 5))
+    // hand-built GIF87a variant parses too
+    val bb = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GIF87a".getBytes("US-ASCII"))
+    bb.putShort(12.toShort).putShort(34.toShort)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)
+    assert(MediaHeaders.probe(bb.array()) === ImageInfo("gif", 12, 34, 0))
+  }
+
+  test("malformed GIFs quarantine, never throw") {
+    // GIF magic, bogus version
+    assert(MediaHeaders.probe("GIF99a0123456789".getBytes("US-ASCII"))
+      .isInstanceOf[Unsupported])
+    // truncated before the screen descriptor completes
+    val gif = MediaHeaders.gifWrap(Array.fill[Byte](4)(1), 10, 10)
+    assert(MediaHeaders.probe(gif.take(12)).isInstanceOf[Unsupported])
+    // zero dims are implausible geometry
+    assert(MediaHeaders.probe(MediaHeaders.gifWrap(Array.empty[Byte], 0, 5))
+      .isInstanceOf[Unsupported])
+  }
+
   test("poison payloads are data, not exceptions") {
     assert(MediaHeaders.probe(null).isInstanceOf[Unsupported])
     assert(MediaHeaders.probe(Array[Byte](1, 2, 3)).isInstanceOf[Unsupported])

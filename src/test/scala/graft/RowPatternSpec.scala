@@ -46,6 +46,52 @@ class RowPatternSpec extends AnyFunSuite with SparkTestBase {
     assert(m("a b* c", "a", "b") === Seq.empty)
   }
 
+  test("reluctant quantifiers: successor priority, shortest match") {
+    // with classes disjoint from the successor, reluctant ≡ greedy
+    assert(m("a b*? c", "a", "b", "b", "c") === Seq((0, 3, 4)))
+    assert(m("a b*? c", "a", "c") === Seq((0, 1, 2)))
+    // the reluctant star's class CONTAINS the terminator (greedy
+    // rejects this shape): the successor wins every overlapping row,
+    // so the match ends at the FIRST c and the star never eats one
+    assert(m("a (b|c)*? c", "a", "b", "c", "c") === Seq((0, 2, 3)))
+    assert(m("a (b|c)*? c", "a", "c") === Seq((0, 1, 2)))
+    assert(m("a (b|c)*? c", "a", "c", "c") === Seq((0, 1, 2)))
+    // +? must consume at least one row before it may defer
+    assert(m("a (b|c)+? c", "a", "c", "c") === Seq((0, 2, 3)))
+    assert(m("a (b|c)+? c", "a", "c") === Seq.empty)
+    // ?? prefers zero rows when the successor can take the row — over
+    // [a b b] the SHORTEST match (a, first b) completes immediately and
+    // the second b cannot start a new one
+    assert(m("a b?? b", "a", "b") === Seq((0, 1, 2)))
+    assert(m("a b?? b", "a", "b", "b") === Seq((0, 1, 2)))
+    // ...whereas the greedy-legal disjoint form consumes the optional:
+    assert(m("a c? b", "a", "c", "b") === Seq((0, 2, 3)))
+    // four-token chain: deferral only helps if the REST of the chain
+    // accepts; a One token failing after the handoff resets the attempt
+    assert(m("a b*? c d", "a", "b", "c", "d") === Seq((0, 3, 4)))
+    assert(m("a b*? c d", "a", "c", "c", "d") === Seq.empty)
+    // a row no reachable token consumes still resets the attempt
+    assert(m("a (b|c)*? c", "a", "x", "c") === Seq.empty)
+    // trailing reluctant star behaves like greedy at end of stream
+    assert(m("a b*?", "a", "b", "b") === Seq((0, 2, 3)))
+    // reluctant plus tail: satisfied completes on flush
+    assert(m("a b+?", "a", "b") === Seq((0, 1, 2)))
+    assert(m("a b+?", "a") === Seq.empty)
+  }
+
+  test("reluctant compile rules: restriction 3 lifted, the rest kept") {
+    // the shape greedy rejects is the reluctant grammar's point
+    RowPattern.compile("a (b|c)*? c")
+    RowPattern.compile("a (b|c)+? c")
+    RowPattern.compile("a b?? b")
+    // start-class disjointness (restriction 2) still binds
+    intercept[IllegalArgumentException](RowPattern.compile("a (a|b)*? c"))
+    // leading reluctant quantifiers stay rejected
+    intercept[IllegalArgumentException](RowPattern.compile("a*? b"))
+    intercept[IllegalArgumentException](RowPattern.compile("a+? b"))
+    intercept[IllegalArgumentException](RowPattern.compile("a?? b"))
+  }
+
   test("compile rejects patterns the single-pass matcher cannot honor") {
     intercept[IllegalArgumentException](RowPattern.compile("a* b"))
     intercept[IllegalArgumentException](RowPattern.compile("a? b"))
