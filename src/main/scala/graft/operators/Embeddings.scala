@@ -241,6 +241,20 @@ object Embeddings {
   /** The oracle unrolls the same [[PcaIters]] iterations as chained
     * CTEs over the identically-rounded Gram matrix — every rounding is
     * the same floor(x·10^n + 0.5)/10^n double-op sequence Spark ran.
+    *
+    * KNOWN near-tie assumption (deliberate): the two engines' GRAM
+    * sums are not the same IEEE op sequence (DuckDB parallel hash
+    * aggregate vs GramAgg's fixed-index loops + partition-order
+    * merge), so a Gram entry landing within an ulp of a rounding-grid
+    * .5 boundary could round differently and cascade through the
+    * chained iterations. Empirically stable across every round at
+    * both gate SFs. The coordination-free fixes were each rejected:
+    * `SET threads=1;` prefixed to this oracle would persist on the
+    * driver's shared DuckDB connection and serialize every
+    * alphabetically-later oracle replay; interpolating Spark's rounded
+    * G as SQL literals needs runtime values inside a statically-built
+    * oracle string. If this ever flakes, the first lever is the
+    * harness pinning DuckDB threads for the whole verify run.
     */
   private val PcaOracle: String = {
     val iters = (1 to PcaIters).map { k =>

@@ -445,6 +445,15 @@ object Similarity {
     * produced; the centroid refinement itself is the irreducible
     * iterative-float part (determinism + monotone-improvement are
     * spec-pinned in DedupSimilaritySpec).
+    *
+    * Near-tie posture: the string dump hands DuckDB the EXACT doubles
+    * Spark's kernel used (shortest-round-trip repr, correctly-rounded
+    * parse), so the only residual cross-engine asymmetry is
+    * list_cosine_similarity's internal accumulation order vs the
+    * kernel's index-order loop — the same pairing every ANN partial
+    * oracle has hash-matched since round 8. A vector would need two
+    * centroids' cosines within that sub-ulp noise to flake; exact
+    * ties are covered by the cluster-DESC tie-break.
     */
   private val KmeansPartialOracle: String =
     """WITH dump AS (SELECT * FROM read_parquet('__DUMP__/cluster_kmeans/*.parquet')),

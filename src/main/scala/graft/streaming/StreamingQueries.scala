@@ -56,36 +56,40 @@ object StreamingQueries {
 
   /** Checkpoint dirs awaiting JVM-exit cleanup, drained by ONE shared
     * shutdown hook (a hook per invocation would accumulate an unbounded
-    * thread list over a long bench/verify JVM). Keyed by prefix so a
-    * NEW run of the same query can reclaim the previous run's
-    * checkpoint immediately instead of letting /tmp grow for the whole
-    * JVM lifetime.
+    * thread list over a long bench/verify JVM). `pendingCheckpoints`
+    * holds the LIVE generation per query prefix; `staleCheckpoints`
+    * holds superseded generations, which are NOT reclaimed inline —
+    * see [[tempCheckpointDir]].
     */
   private val pendingCheckpoints =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  private val staleCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       pendingCheckpoints.values.forEach { p =>
         try rmTree(p.toFile) catch { case _: Throwable => () }
       }
+      staleCheckpoints.forEach { p =>
+        try rmTree(p.toFile) catch { case _: Throwable => () }
+      }
     }))
   }
 
-  /** CONTRACT: at most one outstanding lazily-read statestore DataFrame
-    * per query — invoking the same query again reclaims the previous
-    * run's checkpoint immediately, so a still-unconsumed DataFrame from
-    * the earlier invocation would hit FileNotFound on its deferred
-    * read. Every harness caller (Verify dump, Bench noop-force, the
-    * specs) consumes eagerly before re-invoking; a caller that wants to
-    * hold two generations reads the first into memory (collect/cache)
-    * before re-running.
+  /** A fresh checkpoint dir for `prefix`. The PREVIOUS generation for
+    * the same query is moved to the stale list and reclaimed only at
+    * JVM exit — never inline: a still-unconsumed lazily-read statestore
+    * DataFrame from an earlier invocation of the same query (e.g. a
+    * plan-capture pass that defers evaluation) must not hit
+    * FileNotFound on its deferred read just because the query ran
+    * again. The cost is bounded /tmp growth for the JVM's lifetime
+    * (one superseded tiny RocksDB checkpoint per re-invocation),
+    * traded for removing a caller-convention failure mode entirely.
     */
   private def tempCheckpointDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     val prev = pendingCheckpoints.put(prefix, dir)
-    // the previous run of this query is over (its lazily-read statestore
-    // DataFrame is superseded) — reclaim its RocksDB SSTs now
-    if (prev != null) try rmTree(prev.toFile) catch { case _: Throwable => () }
+    if (prev != null) staleCheckpoints.add(prev)
     dir.toString
   }
 
@@ -454,14 +458,20 @@ object StreamingQueries {
           TimeMode.None(), OutputMode.Append())
       runToMemory(spark, updated.toDF("user_id", "n_events", "cents", "l_us"),
         "stream_tws_state_inspect_sink", "append", Some(ckpt))
-      spark.read.format("statestore")
+      val st = spark.read.format("statestore")
         .option("path", ckpt)
         .option("stateVarName", "acc")
         .load()
-        .select(col("key.value").as("user_id"),
-          col("value._1").as("n_events"),
-          col("value._2").as("cents"),
-          date_format(timestamp_micros(col("value._3")),
+      // resolve the value struct's field names from the ACTUAL schema
+      // the statestore source reports instead of hard-coding the tuple
+      // encoder's _1/_2/_3 — field ORDER is the processor's contract
+      // (count, cents, last-ts), the names are an encoder detail
+      val vf = st.schema("value").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      st.select(col("key.value").as("user_id"),
+          col(s"value.${vf(0)}").as("n_events"),
+          col(s"value.${vf(1)}").as("cents"),
+          date_format(timestamp_micros(col(s"value.${vf(2)}")),
             "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"))
         .orderBy(col("user_id"))
     }

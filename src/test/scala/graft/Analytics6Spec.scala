@@ -47,6 +47,12 @@ class Analytics6Spec extends AnyFunSuite with SparkTestBase {
     } yield (ia, ib, d2)).toSet
     assert(blocked === brute)
     assert(brute.nonEmpty, "fixture regression: no in-radius pairs at sf0.01")
+    // the 3×3 neighborhood sweep is sufficient ONLY while the radius
+    // fits inside one cell — pin the constants' relationship so a
+    // future radius bump cannot silently drop cross-cell pairs
+    assert(Analytics6.Radius2 <=
+      Analytics6.CellSize.toLong * Analytics6.CellSize,
+      "radius exceeds cell size: 3×3 cell blocking would miss pairs")
   }
 
   test("q114: merged partials equal the direct recompute, avg derived post-merge") {
