@@ -86,6 +86,21 @@ object PlanAudit {
       // all profile aggregates fuse into ONE scan (multi-distinct
       // Expand), not one pass per column
       "q74_dq_profile" -> Seq(("single-scan", m => m("scans") == 1)),
+      // r9 rewrite: the per-stratum median is a two-pass histogram rank
+      // — NO row_number window over whole strata, NO single-partition
+      // exchange anywhere in the plan
+      "q118_dataset_card" -> Seq(
+        ("two-pass-median-no-stratum-sort",
+          m => m("rownum") == 0 && m("spx") == 0)),
+      // r9 rewrite: decile assignment is the distributed range-bucket
+      // prefix-sum rank (row_number partitioned by bucket) — the global
+      // ntile is GONE. The only single-partition exchanges left feed
+      // BOUNDED mini-frames: the ≤33-row bucket-offset prefix window
+      // and the 10-row post-aggregation share/cum stage — never the
+      // |users|-scale frame (that one rides the bkt-partitioned rank)
+      "q120_decile_lift" -> Seq(
+        ("distributed-rank-not-global-ntile",
+          m => m("ntile") == 0 && m("rownum") >= 1 && m("spx") <= 2)),
       // FK rules are anti-joins against broadcast key sets; the fact
       // tables are never SMJ-shuffled for the checks
       "q75_dq_checks" -> Seq(
@@ -305,6 +320,12 @@ object PlanAudit {
         "wholeStage" -> codegenSpans,
         "takeOrdered" -> count("TakeOrderedAndProject"),
         "wgl" -> count("WindowGroupLimit"),
+        // single-partition exchanges (a global Window funnels ALL rows
+        // through one task) and the window functions whose global forms
+        // the r9 rewrites removed — the q118/q120 assertions pin them
+        "spx" -> count("Exchange SinglePartition"),
+        "ntile" -> count("ntile\\("),
+        "rownum" -> count("row_number\\("),
         "stateOps" -> count("StateStore|SessionWindowStateStore|StreamingDeduplicate|TransformWithState|FlatMapGroupsWithState|StreamingSymmetricHashJoin"))
       println(s"== $name")
       println(s"   final=$finalTag scans=${m("scans")} " +
