@@ -499,7 +499,10 @@ object RowPattern {
         col("n_rows").cast("long").as("n_rows"))
       .orderBy(col("user_id"), col("start_ts"))
 
-  private val ReluctantFunnelOracle: String =
+  /** Shared with the streaming twin (`stream_reluctant_funnel`), same
+    * emitted-exactly-once argument as [[RowPatternOracle]].
+    */
+  private[graft] val ReluctantFunnelOracle: String =
     """WITH ev AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

@@ -499,8 +499,24 @@ object StreamingQueries {
   def streamRowPattern(spark: SparkSession, dir: String): DataFrame =
     streamRowPatternFrom(spark, MultiBatchFileSource(dir), "stream_row_pattern")
 
+  /** Streaming twin of q121: the RELUCTANT pattern (successor-priority
+    * star whose class contains the terminator) run live through the
+    * same TWS processor. Reluctance is a pure compile-time matcher mode
+    * — it adds ZERO state fields (the successor-priority decision is a
+    * per-row token lookahead), so the 5-field snapshot/restore contract
+    * and the per-user O(1) state story carry over unchanged; only
+    * SkipToNextRow remains batch-only. Shares q121's oracle: matches
+    * are emitted exactly once, when completed, regardless of
+    * micro-batch boundaries.
+    */
+  def streamReluctantFunnel(spark: SparkSession, dir: String): DataFrame =
+    streamRowPatternFrom(spark, MultiBatchFileSource(dir),
+      "stream_reluctant_funnel",
+      "signup (view|click|error|purchase)*? purchase")
+
   private[graft] def streamRowPatternFrom(spark: SparkSession,
-      src: EventSource, name: String): DataFrame = {
+      src: EventSource, name: String,
+      pattern: String = "signup (view|click)* purchase"): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
     withRocksDB(spark) {
@@ -510,7 +526,7 @@ object StreamingQueries {
         .as[(Long, Long, Long, String)]
       val matched = ds.groupByKey(_._1)
         .transformWithState(
-          new RowPatternProcessor("signup (view|click)* purchase"),
+          new RowPatternProcessor(pattern),
           TimeMode.None(), OutputMode.Append())
       val out = runToMemory(spark,
         matched.toDF("user_id", "start_us", "end_us", "n_rows"),
@@ -1040,6 +1056,8 @@ object StreamingQueries {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
     QueryDef("stream_row_pattern", sized(streamRowPattern _),
       graft.operators.RowPattern.RowPatternOracle),
+    QueryDef("stream_reluctant_funnel", sized(streamReluctantFunnel _),
+      graft.operators.RowPattern.ReluctantFunnelOracle),
     QueryDef("stream_tws", sized(streamTransformWithState _),
       """SELECT user_id, count(*) AS n_events,
         |  cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,

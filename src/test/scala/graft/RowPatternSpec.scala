@@ -212,6 +212,16 @@ class RowPatternSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming reluctant funnel equals the q121 batch operator") {
+    // reluctance adds no matcher state, so the TWS processor's 5-field
+    // snapshot carries reluctant attempts across micro-batches unchanged
+    val streamed = graft.streaming.StreamingQueries
+      .streamReluctantFunnel(spark, sf0001).collect().map(_.toSeq)
+    val batch = graft.operators.RowPattern
+      .q121ReluctantFunnel(spark, sf0001).collect().map(_.toSeq)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("plan: one shuffle on the key, no global sort") {
     val df = RowPattern
       .matchPattern(Tables.events(spark, sf0001), "signup (view|click)* purchase")
