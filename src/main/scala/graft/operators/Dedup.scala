@@ -383,6 +383,133 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Jaccard threshold for the EXACT prefix-filtered similarity join. */
+  private[graft] val PrefixJaccardT = 0.5
+
+  /** EXACT set-similarity self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin family) — the exact-guarantee complement to the
+    * MinHash-LSH tier: every pair with shingle-Jaccard ≥
+    * [[PrefixJaccardT]] is returned, no probabilistic misses, no
+    * banding parameters to tune.
+    *
+    * The principle: order every doc's shingle set by a GLOBAL canonical
+    * order (ascending document frequency, ties by shingle — rarest
+    * first), and keep each doc's PREFIX of length
+    * |S| − ⌈t·|S|⌉ + 1. For J(A,B) ≥ t the required overlap is
+    * α ≥ ⌈t/(1+t)·(|A|+|B|)⌉ ≥ ⌈t·|A|⌉ (via the size filter
+    * |B| ≥ t·|A|), and a pair whose prefixes are disjoint can overlap
+    * in at most ⌈t·|S|⌉ − 1 < α elements — so candidates = pairs
+    * sharing ≥1 PREFIX shingle are a guaranteed superset, further
+    * pruned by the size and POSITIONAL filters (PPJoin) inside the
+    * join — each drops only pairs provably below t. Verification is
+    * RELATIONAL: the exact overlap count via id-keyed joins, never
+    * per-pair array intersections. The ORACLE deliberately verifies
+    * from the UNPRUNED prefix-candidate set with a literal
+    * list_intersect Jaccard — hash equality doubles as an independent
+    * proof that the size/positional filters dropped nothing.
+    *
+    * 100 TB shape: the df aggregate and the prefix self-join both key
+    * on the shingle (scales); per-doc ranking windows partition by
+    * doc_id (bounded by document length, never corpus-sized). The join
+    * touches only PREFIX shingles — by construction each doc's RAREST
+    * ones, so bucket sizes stay small without any cap, and unlike the
+    * LSH star-cap, exactness is preserved. Residual skew (a corpus of
+    * docs made entirely of ubiquitous shingles) degrades toward
+    * all-pairs — inherent to any exact join, and the reason the
+    * approximate tier exists beside this one. Completeness vs LSH is
+    * spec-pinned; the oracle replays df-order, prefix, join, and
+    * verification verbatim.
+    */
+  /** α/(sum-of-sizes) coefficient: J ≥ t requires overlap ≥
+    * ⌈t/(1+t)·(|A|+|B|)⌉. The double constant is interpolated into the
+    * oracle verbatim so both engines compute the identical bound; its
+    * sub-ulp under-rounding can only WEAKEN the filter (a smaller α
+    * prunes less), never break the superset guarantee.
+    */
+  private val PrefixAlpha = PrefixJaccardT / (1 + PrefixJaccardT)
+
+  def dedupPrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // per-doc shingle rows (wordShingles3 is already distinct per doc);
+    // checkpointed: feeds the df aggregate, the ranked prefix side, AND
+    // both sides of the overlap-count verification
+    val shRows = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .localCheckpoint()
+    val dfreq = shRows.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = shRows.join(dfreq, Seq("s"))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .withColumn("rn", row_number().over(
+        wDoc.orderBy(col("df"), col("s"))))
+    val prefix = ranked
+      .filter(col("rn") <=
+        col("sz") - ceil(col("sz") * PrefixJaccardT).cast("long") + 1)
+      .select(col("doc_id"), col("s"), col("rn"), col("sz"))
+    // candidate join with the PPJoin pruning stack applied IN the join:
+    //   size filter  — J ≥ t needs |B| ≥ ⌈t·|A|⌉ (and symmetrically);
+    //   positional   — a shared prefix shingle at positions (rn_a, rn_b)
+    //                  caps the achievable overlap at
+    //                  min(sz_a−rn_a, sz_b−rn_b)+1, which must reach α.
+    // Both are restrictions of the candidate SET, not the guarantee: a
+    // pair they drop provably cannot reach J ≥ t.
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= ceil(col("a.sz") * PrefixJaccardT).cast("long") &&
+          col("a.sz") >= ceil(col("b.sz") * PrefixJaccardT).cast("long") &&
+          least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn")) + 1 >=
+            ceil((col("a.sz") + col("b.sz")) * PrefixAlpha).cast("long"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .distinct()
+    // exact verification RELATIONALLY: overlap = count of shared
+    // shingles via two id-keyed joins over the checkpointed shingle
+    // rows — no per-pair array intersections (the string-array
+    // merge was the measured hot spot), no width skew; then
+    // J = ov / (|A| + |B| − ov) from the exact integer counts.
+    val shared = cand
+      .join(shRows.select(col("doc_id").as("id_a"), col("s")), Seq("id_a"))
+      .join(shRows.select(col("doc_id").as("id_b"), col("s")),
+        Seq("id_b", "s"))
+    shared.groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("ov"))
+      .withColumn("jac", col("ov").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ov")).cast("double"))
+      .filter(col("jac") >= PrefixJaccardT)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private[graft] val PrefixJaccardOracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM t),
+      |shx AS (SELECT doc_id, unnest(g) AS s FROM sh WHERE len(g) > 0),
+      |dfreq AS (SELECT s, count(*) AS df FROM shx GROUP BY s),
+      |rk AS (
+      |  SELECT shx.doc_id, shx.s,
+      |    row_number() OVER (PARTITION BY shx.doc_id
+      |      ORDER BY dfreq.df, shx.s) AS rn,
+      |    count(*) OVER (PARTITION BY shx.doc_id) AS sz
+      |  FROM shx JOIN dfreq USING (s)),
+      |pre AS (SELECT doc_id, s FROM rk
+      |  WHERE rn <= sz - ceil(sz * $PrefixJaccardT) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT c.id_a, c.id_b,
+      |    cast(len(list_intersect(sa.g, sb.g)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(sa.g, sb.g))) AS jac
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b)
+      |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
+      |WHERE jac >= $PrefixJaccardT ORDER BY id_a, id_b""".stripMargin
+
   /** The MinHash-LSH pipeline as shared oracle CTEs, ending in
     * `vp(id_a, id_b, jaccard)` — the verified near-dup pairs. Used by
     * the dedup_minhash_lsh / dedup_clusters / dedup_survivors oracles
@@ -457,6 +584,8 @@ object Dedup {
   }
 
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("dedup_prefix_jaccard", dedupPrefixJaccard _,
+      PrefixJaccardOracle),
     // components over the (now SQL-expressible) verified pairs: the
     // recursive closure is the oracle's approach, label propagation the
     // scale path — same split as q109_components

@@ -177,6 +177,38 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("prefix-filtered exact join == brute-force all-pairs (sf0.001)") {
+    // the prefix filter is a CANDIDATE superset, so the verified output
+    // must equal the O(N²) ground truth exactly — no LSH-style misses
+    val out = Dedup.dedupPrefixJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Dedup.shinglesPublic(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val brute = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= Dedup.PrefixJaccardT
+    } yield (ia, ib, math.floor(j * 10000 + 0.5) / 10000)).toSet
+    assert(out === brute)
+    assert(brute.nonEmpty, "fixture regression: no J>=0.5 pairs at sf0.001")
+  }
+
+  test("prefix join is complete over the LSH tier's verified pairs") {
+    // every LSH-verified pair at or above the exact tier's threshold
+    // must appear in the exact output (the converse need not hold:
+    // banding can miss pairs the exact join guarantees)
+    val exact = Dedup.dedupPrefixJaccard(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshAtT = Dedup.dedupMinhashLsh(spark, sf001).collect()
+      .filter(_.getDouble(2) >= Dedup.PrefixJaccardT)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshAtT.subsetOf(exact),
+      s"exact tier missing LSH-verified pairs: ${lshAtT -- exact}")
+    assert(lshAtT.nonEmpty, "fixture regression: no LSH pairs at threshold")
+  }
+
   test("dedup_clusters: transitive closure over candidate pairs") {
     val pairs = Dedup.dedupMinhashLsh(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -99,4 +99,49 @@ object PropertySpec extends Properties("graft") {
         graft.functions.ShingleUtil.wordShingles3(a2).toSeq(
           org.apache.spark.sql.types.StringType)
     }
+
+  // --- reluctant-quantifier algebra (round 9) ---------------------------
+  // Under the module's restrictions, a reluctant mid-token whose class
+  // may CONTAIN the terminator is exactly expressible as the greedy form
+  // with the terminator subtracted from the class: the successor wins
+  // every overlapping row, so the reluctant token never consumes a
+  // terminator-class row. These laws pin the new matcher mode against
+  // the long-trusted greedy path on arbitrary sequences — far beyond the
+  // hand fixtures. 'a' anchors, 'c' terminates, B ⊆ {b,d,e} (+c half
+  // the time); x is outside every class, exercising attempt resets.
+
+  import graft.operators.RowPattern
+
+  private val cepSeq: Gen[List[String]] =
+    Gen.choose(0, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "x")))
+
+  private val cepMid: Gen[Set[String]] = for {
+    base <- Gen.someOf(Seq("b", "d", "e")).suchThat(_.nonEmpty)
+    withC <- Gen.oneOf(true, false)
+  } yield base.toSet ++ (if (withC) Set("c") else Set.empty[String])
+
+  private def cls(ts: Set[String]): String =
+    if (ts.size == 1) ts.head else ts.toSeq.sorted.mkString("(", "|", ")")
+
+  property("CEP: a B*? c ≡ a (B∖c)* c") = forAll(cepMid, cepSeq) { (bs, xs) =>
+    RowPattern.matchSeq(s"a ${cls(bs)}*? c", xs) ==
+      RowPattern.matchSeq(s"a ${cls(bs - "c")}* c", xs)
+  }
+
+  property("CEP: a B+? c ≡ a B (B∖c)* c") = forAll(cepMid, cepSeq) { (bs, xs) =>
+    RowPattern.matchSeq(s"a ${cls(bs)}+? c", xs) ==
+      RowPattern.matchSeq(s"a ${cls(bs)} ${cls(bs - "c")}* c", xs)
+  }
+
+  property("CEP: a B?? c ≡ a (B∖c)? c") = forAll(cepMid, cepSeq) { (bs, xs) =>
+    RowPattern.matchSeq(s"a ${cls(bs)}?? c", xs) ==
+      RowPattern.matchSeq(s"a ${cls(bs - "c")}? c", xs)
+  }
+
+  property("CEP: reluctant ≡ greedy when the class avoids the terminator") =
+    forAll(cepMid.map(_ - "c"), cepSeq) { (bs, xs) =>
+      RowPattern.matchSeq(s"a ${cls(bs)}*? c", xs) ==
+        RowPattern.matchSeq(s"a ${cls(bs)}* c", xs)
+    }
 }
