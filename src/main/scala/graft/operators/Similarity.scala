@@ -282,6 +282,72 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cosine floor above which two same-cluster embeddings count as
+    * semantic near-duplicates (fixture-scaled; production SemDeDup
+    * runs ~0.95+ on real text embeddings).
+    */
+  private[graft] val SemDedupTau = 0.4
+
+  /** SEMANTIC DEDUP at corpus scale (the SemDeDup recipe): assign every
+    * embedding to its nearest IVF centroid (broadcast argmax — no
+    * shuffle), then apply the within-cluster drop rule — a vector is
+    * dropped iff some LOWER-id member of ITS cluster sits at cosine ≥
+    * [[SemDedupTau]]; the lowest id of every near-dup group survives.
+    * Output: (vec_id, cluster, kept) for the whole corpus — the
+    * embedding-space sibling of [[Dedup.dedupSurvivors]].
+    *
+    * Scale shape: clustering makes the quadratic step LOCAL — pairwise
+    * cosine runs per cluster (one cluster-keyed shuffle), never
+    * all-pairs across the corpus; at 100 TB you size k so clusters stay
+    * bounded (k ≈ N/1e4 in the published recipe) and the per-cluster
+    * join cost is Σ|c|² with |c| capped by construction, the same
+    * budget discipline as the LSH bucket cap — but here a hot cluster
+    * is a modeling choice (k too small), not an adversary.
+    *
+    * PARTIAL oracle, one step stronger than cluster_kmeans's: the dump
+    * carries each row's cluster id, and the oracle re-derives every
+    * kept flag from EXACT cosines over the corpus embeddings within
+    * the dumped partition — no centroid round-trip at all; only the
+    * assignment itself (iterative Lloyd floats) stays SQL-unreplayable,
+    * and vec→argmax-centroid assignment is already hash-verified by
+    * cluster_kmeans's own oracle.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(spark, dir)
+    // checkpoint: the assigned frame feeds BOTH sides of the
+    // within-cluster join and the final kept-flag join
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        nearestCentroidIdx(cents, col("embedding")).cast("long")
+          .as("cluster"))
+      .localCheckpoint()
+    val dropped = emb.as("x").join(emb.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .filter(VectorExpressions.cosineSimilarity(
+        col("x.embedding"), col("y.embedding")) >= SemDedupTau)
+      .select(col("x.vec_id").as("d")).distinct()
+    emb.join(dropped, col("vec_id") === col("d"), "left")
+      .select(col("vec_id"), col("cluster"), col("d").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val SemanticDedupOracle: String =
+    s"""WITH dump AS (
+      |  SELECT * FROM read_parquet('__DUMP__/dedup_semantic/*.parquet')),
+      |m AS (
+      |  SELECT d.vec_id, d.cluster,
+      |    list_transform(e.embedding, x -> cast(x AS DOUBLE)) AS v
+      |  FROM dump d JOIN embeddings e USING (vec_id)),
+      |drops AS (
+      |  SELECT a.vec_id FROM m a JOIN m b
+      |    ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= $SemDedupTau
+      |  GROUP BY a.vec_id)
+      |SELECT m.vec_id, m.cluster, (d.vec_id IS NULL) AS kept
+      |FROM m LEFT JOIN drops d ON d.vec_id = m.vec_id
+      |ORDER BY m.vec_id""".stripMargin
+
   /** Embedding near-duplicate pairs (cosine ≥ threshold) on a bounded
     * slice — the exact verifier that, at scale, runs per LSH bucket
     * rather than all-pairs (see [[Dedup]] for the text-side analogue).
@@ -493,6 +559,7 @@ object Similarity {
     QueryDef("sim_ann_ivf", simAnnIvf _, annPartialOracle("sim_ann_ivf")),
     QueryDef("sim_ann_pq", simAnnPq _, annPartialOracle("sim_ann_pq")),
     QueryDef("cluster_kmeans", clusterKmeans _, KmeansPartialOracle),
+    QueryDef("dedup_semantic", dedupSemantic _, SemanticDedupOracle),
     QueryDef("dedup_embedding_cosine", dedupEmbeddingCosine _,
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(

@@ -209,6 +209,37 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(lshAtT.nonEmpty, "fixture regression: no LSH pairs at threshold")
   }
 
+  test("semantic dedup: kept flags equal the exact within-cluster recompute") {
+    val out = Similarity.dedupSemantic(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.length === emb.size, "every embedding gets a verdict")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (id, cl, kept) =>
+      val expectDrop = byCluster(cl).exists { case (o, _, _) =>
+        o < id && cos(emb(o), emb(id)) >= Similarity.SemDedupTau
+      }
+      assert(kept === !expectDrop, s"vec $id in cluster $cl")
+    }
+    // the lowest id of every cluster always survives
+    byCluster.values.foreach { ms =>
+      val lowest = ms.minBy(_._1)
+      assert(lowest._3, s"lowest id ${lowest._1} must be kept")
+    }
+    assert(out.exists(!_._3), "fixture regression: no semantic drops")
+  }
+
   test("dedup_clusters: transitive closure over candidate pairs") {
     val pairs = Dedup.dedupMinhashLsh(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
