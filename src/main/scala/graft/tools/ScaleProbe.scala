@@ -52,7 +52,15 @@ object ScaleProbe {
     // two KMV min-k folds (batch TakeOrdered / per-micro-batch partials)
     "pipeline_leakage_split", "mm_phash_dedup", "emb_pca_power",
     "pipeline_tokenizer_coverage", "sketch_kmv_distinct",
-    "stream_kmv_distinct")
+    "stream_kmv_distinct",
+    // round-9 addition: the exact prefix-filtered similarity join —
+    // replica shingle spaces are disjoint, so df-ordered prefixes,
+    // candidates, and verification all stay per-replica and the probe
+    // measures the true corpus-growth path. (dedup_semantic is NOT
+    // probed: replicating identical vectors makes every replica an
+    // exact within-cluster dup — the probe fixture would measure the
+    // k-too-small pathology the operator's k knob exists to prevent.)
+    "dedup_prefix_jaccard")
 
   /** The queries the skew sweep times — the two whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one
