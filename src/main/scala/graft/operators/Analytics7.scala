@@ -258,8 +258,11 @@ object Analytics7 {
       val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
       val nBuckets = 32L
       val width = math.max(1L, (hi - lo) / nBuckets + 1L)
+      // exact integer bucket id: `div` on longs, never double
+      // true-division (FP rounding above ~2^53 cents spread could shift
+      // a boundary; integer arithmetic is exact by construction)
       val bucketed = perUser
-        .withColumn("bkt", ((lit(hi) - col("cents")) / width).cast("long"))
+        .withColumn("bkt", expr(s"(${hi}L - cents) div ${width}L"))
       val wOff = Window.orderBy(col("bkt"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
       val offsets = bucketed.groupBy(col("bkt"))
@@ -281,7 +284,11 @@ object Analytics7 {
         .withColumn("decile",
           when(col("rk") <= col("m") * (col("q") + 1),
             expr("(rk - 1) div (q + 1)") + 1)
-            .otherwise(col("m") + expr("(rk - m * (q + 1) - 1) div q") + 1))
+            // greatest(q,1): the branch is reachable only when
+            // rk > m·(q+1), impossible for q=0 (then m=n ≥ every rk) —
+            // but ansi mode would evaluate the division anyway, so the
+            // divisor must be non-zero by construction
+            .otherwise(col("m") + expr("(rk - m * (q + 1) - 1) div greatest(q, 1)") + 1))
     }
     val deciles = tiled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
