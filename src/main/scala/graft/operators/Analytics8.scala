@@ -56,29 +56,45 @@ object Analytics8 {
     * user aggregate (shuffles on user_id), one histogram aggregate
     * (shuffles on score), one window over DISTINCT scores (dozens of
     * rows — bounded by the score range, never the user count), one
-    * global fold to a single row. Overflow headroom: 2·ΣR_pos ≤ 2·P·N
-    * ≤ n², and n²·10⁴ must fit a long — fine to ~10⁷ users; past that
-    * move the two final divisions to DECIMAL(38,0) (same integer
-    * semantics, the only change is the container).
+    * global fold to a single row. Overflow: the doubled rank-sum and
+    * both divisions run in DECIMAL(38,0) — same integer semantics
+    * (every operand has scale 0 and `div` is integral divide either
+    * way), but the n²·10⁴-magnitude intermediates fit to n ~ 10¹⁷
+    * users instead of a long's ~10⁷ ceiling, matching the 1e9-user
+    * posture. Per-term widening happens INSIDE the sum (np and the
+    * rank term cast before the multiply): a long product np·2n would
+    * already have overflowed at ~2·10⁹ users before any outer cast.
+    * AucDecimalSpec exercises synthetic counts past 2³¹.
     */
-  def aucRoc(spark: SparkSession, dir: String): DataFrame = {
-    val hist = scoredUsers(spark, dir)
+  def aucRoc(spark: SparkSession, dir: String): DataFrame =
+    aucFromHistogram(scoredUsers(spark, dir)
       .groupBy(col("score"))
-      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("np"))
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("np")))
+
+  /** The histogram→AUC fold, split out so the decimal container can be
+    * exercised directly with synthetic counts past 2³¹ (see aucRoc's
+    * overflow note). `hist`: one row per distinct score with `cnt`
+    * users and `np` positives (longs).
+    */
+  private[graft] def aucFromHistogram(hist: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
     val wBefore = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
     hist
       .withColumn("cum_before", coalesce(sum(col("cnt")).over(wBefore),
         lit(0L)))
       .agg(
-        sum(col("np") * (col("cum_before") * 2 + col("cnt") + 1)).as("r2"),
+        sum(col("np").cast(d38) *
+          (col("cum_before").cast(d38) * 2 + col("cnt") + 1)).as("r2"),
         sum(col("np")).as("p"), sum(col("cnt")).as("n"))
       .select(col("p").as("n_pos"), (col("n") - col("p")).as("n_neg"),
         when(col("p") > 0 && col("n") > col("p"),
-          expr("(r2 - p * (p + 1)) * 10000 div (2 * p * (n - p))"))
+          expr("(r2 - cast(p AS DECIMAL(38,0)) * (p + 1)) * 10000" +
+            " div (2 * cast(p AS DECIMAL(38,0)) * (n - p))"))
           .as("auc_bps"),
         when(col("p") > 0 && col("n") > col("p"),
-          expr("(r2 - p * (p + 1)) * 10000 div (p * (n - p)) - 10000"))
+          expr("(r2 - cast(p AS DECIMAL(38,0)) * (p + 1)) * 10000" +
+            " div (cast(p AS DECIMAL(38,0)) * (n - p)) - 10000"))
           .as("gini_bps"))
   }
 

@@ -47,6 +47,42 @@ class Analytics8Spec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("auc: DECIMAL(38,0) container survives counts past 2^31 users") {
+    import spark.implicits._
+    // BigInt replay of the exact histogram rank-sum formula — the spec's
+    // own oracle, free of any integer-width ceiling
+    def expect(hist: Seq[(Long, Long, Long)]): (Long, Long) = {
+      var cum = BigInt(0); var r2 = BigInt(0)
+      var p = BigInt(0); var n = BigInt(0)
+      hist.sortBy(_._1).foreach { case (_, cnt, np) =>
+        r2 += BigInt(np) * (cum * 2 + cnt + 1)
+        cum += cnt; p += np; n += cnt
+      }
+      val num = (r2 - p * (p + 1)) * 10000
+      (((num / (2 * p * (n - p))).toLong),
+        (num / (p * (n - p)) - 10000).toLong)
+    }
+    // 6e9 users in one tied group: the old long form overflowed at the
+    // np*(cnt+1) product (1.8e19 > 2^63); all-tied AUC is exactly 1/2
+    val tied = Seq((1L, 6000000000L, 3000000000L))
+    // perfect separation at 3e9 per class: AUC = 1
+    val sep = Seq((1L, 3000000000L, 0L), (2L, 3000000000L, 3000000000L))
+    // messy 3-group mixture, expectation from the BigInt replay only
+    val mix = Seq((1L, 2500000000L, 400000000L),
+      (2L, 3100000000L, 1700000000L), (3L, 2200000000L, 1900000000L))
+    for ((hist, label) <- Seq((tied, "tied"), (sep, "sep"), (mix, "mix"))) {
+      val row = Analytics8.aucFromHistogram(
+        hist.toDF("score", "cnt", "np")).collect().head
+      val (eAuc, eGini) = expect(hist)
+      assert(row.getLong(2) === eAuc, s"auc $label")
+      assert(row.getLong(3) === eGini, s"gini $label")
+      assert(row.getLong(0) === hist.map(_._3).sum, s"n_pos $label")
+      assert(!row.isNullAt(2), s"overflow->null $label")
+    }
+    assert(expect(tied)._1 === 5000L)
+    assert(expect(sep)._1 === 10000L)
+  }
+
   test("calibration: bins conserve users and weighted gap == ece") {
     val out = Analytics8.calibration(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
