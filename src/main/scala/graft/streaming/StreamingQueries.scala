@@ -63,33 +63,66 @@ object StreamingQueries {
     */
   private val pendingCheckpoints =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
-  private val staleCheckpoints =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private val staleCheckpoints = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.ArrayDeque[java.nio.file.Path]]()
+  /** Superseded generations kept per prefix before inline reclamation
+    * kicks in. >1 so a deferred lazy read of the IMMEDIATELY-superseded
+    * checkpoint stays safe; small enough that a long-lived JVM
+    * re-invoking streaming queries holds O(prefixes·K) dirs, not
+    * O(invocations).
+    */
+  private val StaleGenerationsKept = 3
+  /** Orphaned checkpoints from killed JVMs (shutdown hooks never run on
+    * SIGKILL/OOM-kill) are reclaimed by this startup sweep: any
+    * `graft_*` temp dir older than this many hours predates every
+    * process that could still read it (a bench/verify/test JVM lives
+    * minutes), so deleting it cannot race a concurrent live run.
+    */
+  private val OrphanSweepHours = 12L
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       pendingCheckpoints.values.forEach { p =>
         try rmTree(p.toFile) catch { case _: Throwable => () }
       }
-      staleCheckpoints.forEach { p =>
-        try rmTree(p.toFile) catch { case _: Throwable => () }
+      staleCheckpoints.values.forEach { dq =>
+        dq.forEach(p => try rmTree(p.toFile) catch { case _: Throwable => () })
       }
     }))
+    try {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis - OrphanSweepHours * 3600 * 1000L
+      val orphans = tmp.listFiles()
+      if (orphans != null) orphans.foreach { f =>
+        if (f.isDirectory && f.getName.startsWith("graft_") &&
+          f.lastModified < cutoff) try rmTree(f) catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
   }
 
   /** A fresh checkpoint dir for `prefix`. The PREVIOUS generation for
-    * the same query is moved to the stale list and reclaimed only at
-    * JVM exit — never inline: a still-unconsumed lazily-read statestore
-    * DataFrame from an earlier invocation of the same query (e.g. a
-    * plan-capture pass that defers evaluation) must not hit
-    * FileNotFound on its deferred read just because the query ran
-    * again. The cost is bounded /tmp growth for the JVM's lifetime
-    * (one superseded tiny RocksDB checkpoint per re-invocation),
-    * traded for removing a caller-convention failure mode entirely.
+    * the same query is moved to the stale list, which keeps the last
+    * [[StaleGenerationsKept]] generations per prefix: a still-unconsumed
+    * lazily-read statestore DataFrame from an earlier invocation of the
+    * same query (e.g. a plan-capture pass that defers evaluation) must
+    * not hit FileNotFound on its deferred read just because the query
+    * ran again — but a generation K invocations old has no live reader
+    * by construction, so reclaiming IT inline bounds /tmp growth for a
+    * long-lived JVM (previously every superseded checkpoint survived to
+    * the shutdown hook, which never runs on SIGKILL — the startup sweep
+    * above catches those).
     */
   private def tempCheckpointDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     val prev = pendingCheckpoints.put(prefix, dir)
-    if (prev != null) staleCheckpoints.add(prev)
+    if (prev != null) {
+      val dq = staleCheckpoints.computeIfAbsent(prefix,
+        _ => new java.util.ArrayDeque[java.nio.file.Path]())
+      val evicted = dq.synchronized {
+        dq.addLast(prev)
+        if (dq.size > StaleGenerationsKept) Some(dq.pollFirst()) else None
+      }
+      evicted.foreach(p => try rmTree(p.toFile) catch { case _: Throwable => () })
+    }
     dir.toString
   }
 
