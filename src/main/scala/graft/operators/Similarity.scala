@@ -285,6 +285,23 @@ object Similarity {
   /** Cosine floor above which two same-cluster embeddings count as
     * semantic near-duplicates (fixture-scaled; production SemDeDup
     * runs ~0.95+ on real text embeddings).
+    *
+    * TAU-BOUNDARY FLAKE LEVER: dedup_semantic's oracle re-derives every
+    * kept flag with DuckDB's list_cosine_similarity over widened
+    * doubles, and this hard `>= tau` cutoff means a pair whose cosine
+    * differs between engines ACROSS tau flips a kept flag and fails the
+    * hash compare. The exposure is bounded by the kernel match: both
+    * sides accumulate dot/norms in DOUBLE in index order
+    * ([[graft.functions.VectorExpressions.CosineSimilarity]] widens
+    * each float before multiply), so the only residual divergence is
+    * the denominator form (`sqrt(na)*sqrt(nb)` here vs whatever DuckDB
+    * composes) — a few ulps, ~1e-16 relative. A flake needs a pair
+    * within that distance of tau: measure-zero in practice (probed
+    * empirically in SCALE.md "cosine kernel parity"), and rounding to a
+    * coarser grain would NOT shrink it — round(x,4) >= tau just moves
+    * the single boundary to 0.39995 with the same ulp exposure. If a
+    * flake ever materializes, nudge tau off the observed value, don't
+    * add rounding.
     */
   private[graft] val SemDedupTau = 0.4
 
