@@ -131,6 +131,29 @@ object Bench {
     BigDecimal(s(1)).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  /** Per-query JVM-cost snapshot for cold-lane attribution (see the
+    * SPARK_GRAFT_BENCH_DIAG note in [[main]]). All counters are
+    * process-cumulative; the diag lane records per-query DELTAS.
+    */
+  private[graft] final case class JvmCosts(
+      gcMs: Long, jitMs: Long, codegenCompiles: Long, classesLoaded: Long,
+      heapUsedMb: Long)
+
+  private[graft] def jvmCosts(): JvmCosts = {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+    val jit = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    val cg = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    val cl = ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
+    val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    JvmCosts(gc, jit, cg, cl, heap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -152,6 +175,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the default 100-entry codegen class cache thrashes under a
+      // 219-query workload: the r10 diag lane measured ~4,050 Janino
+      // compiles in EVERY pass, warm included — driver-thread time paid
+      // serially inside each query. 8192 holds the whole suite's
+      // generated classes (~4k), so warm passes compile ~nothing. The
+      // same sizing applies to any long-lived production driver running
+      // a wide query mix (static conf — must be set before the session
+      // exists; metaspace cost is a few KB per cached class).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -166,15 +198,35 @@ object Bench {
       force(SparkEntry.queries("sim_topk_bruteforce")(spark, sfDir))
     } catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_BENCH_DIAG=1: record per-query JVM-cost deltas (GC ms,
+    // JIT ms, codegen compile count, classes loaded, heap) in EVERY lane
+    // to bench_diag.json — the attribution instrument for cold-vs-warm
+    // deltas that per-query wall time alone cannot explain (round 9's
+    // +75% cold-only inflation). Off by default: reading MXBeans per
+    // query is cheap but the diag file is ~100 KB of nobody's business
+    // on a normal run.
+    val diagOn = sys.env.get("SPARK_GRAFT_BENCH_DIAG").exists(_.nonEmpty)
+    val diag = scala.collection.mutable.ListBuffer.empty[String]
+
     // one pass = per-query seconds for SUCCESSFUL queries only; failures
     // go to `errors` (tagged with the pass) and contribute no timing
     def pass(tag: String,
         errors: scala.collection.mutable.ListBuffer[String])
         : Map[String, Double] = benchQueries.flatMap { case (name, fn) =>
+      val before = if (diagOn) Some(jvmCosts()) else None
       val t0 = System.nanoTime()
       try {
         force(fn(spark, sfDir))
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        before.foreach { b =>
+          val a = jvmCosts()
+          diag += s"""{"q":"$name","lane":"$tag","sec":${r3(sec)},""" +
+            s""""gc_ms":${a.gcMs - b.gcMs},"jit_ms":${a.jitMs - b.jitMs},""" +
+            s""""codegen":${a.codegenCompiles - b.codegenCompiles},""" +
+            s""""classes":${a.classesLoaded - b.classesLoaded},""" +
+            s""""heap_mb":${a.heapUsedMb}}"""
+        }
+        Some(name -> sec)
       } catch { case e: Throwable =>
         errors += name
         System.err.println(s"[bench:$tag] $name failed: ${e.getMessage}")
@@ -203,6 +255,14 @@ object Bench {
       }.toMap
 
     val calibMs = calibrate()
+
+    if (diagOn) try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_diag.json"),
+        (diag.mkString("[\n", ",\n", "\n]") + "\n").getBytes("UTF-8"))
+      System.err.println("[bench] wrote bench_diag.json")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_diag.json: ${e.getMessage}")
+    }
 
     // regression gate: read the previous warm medians and flag any query
     // whose warm median grew >1.5x round-over-round. Sub-50ms priors are

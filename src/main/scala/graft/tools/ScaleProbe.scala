@@ -60,13 +60,25 @@ object ScaleProbe {
     // probed: replicating identical vectors makes every replica an
     // exact within-cluster dup — the probe fixture would measure the
     // k-too-small pathology the operator's k knob exists to prevent.)
-    "dedup_prefix_jaccard")
+    "dedup_prefix_jaccard",
+    // round-10 addition: the IVF ANN probe (replicated embeddings grow
+    // the bucketed corpus scan while centroids/codebooks stay
+    // driver-bounded) — part of the two-decade 1×/10×/100× sweep over
+    // the headline dedup/ANN tiers
+    "sim_ann_ivf")
 
-  /** The queries the skew sweep times — the two whose worst case is a
+  /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one
-    * boilerplate window key).
+    * boilerplate window key / one ubiquitous-shingle prefix group).
+    * dedup_prefix_jaccard joined in round 10: unlike the capped
+    * approximate tiers, its OUTPUT on the hot cluster is itself
+    * quadratic (every hot pair is a genuine J≈0.97 match the exact
+    * contract must emit), so the ratio to watch is wasted-candidate
+    * growth vs output growth, which the sweep prints alongside wall
+    * time (see prefixJaccardWaste).
     */
-  private val SkewQueries = Seq("dedup_minhash_lsh", "dedup_substring")
+  private val SkewQueries = Seq("dedup_minhash_lsh", "dedup_substring",
+    "dedup_prefix_jaccard")
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,6 +92,8 @@ object ScaleProbe {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // hold the full suite's generated classes (see graft.Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -119,6 +133,21 @@ object ScaleProbe {
         val s = time(q, skewN)
         println(f"""{"q":"$q","skew":true,"base_warm":$b%.3f,""" +
           f""""scaled_warm":$s%.3f,"ratio":${s / b}%.3f,"factor":$factor}""")
+      }
+      // prefix-join waste accounting: on a hot cluster the exact tier's
+      // OUTPUT is quadratic by contract (every hot pair is a genuine
+      // match), so wall-time ratio alone can't distinguish "inherent
+      // output cost" from "filter stack stopped pruning". Count
+      // candidates vs verified pairs at both volumes: waste =
+      // cand/output staying ~flat means the prefix+size+positional
+      // filters remain selectivity-optimal under the adversarial shape.
+      Seq(skew1 -> "1x", skewN -> s"${factor}x").foreach { case (d, tag) =>
+        val (_, cand) = graft.operators.Dedup.prefixJaccardStage(spark, d)
+        val nCand = cand.count()
+        val nOut = SparkEntry.queries("dedup_prefix_jaccard")(spark, d).count()
+        println(f"""{"q":"dedup_prefix_jaccard","skew":true,"vol":"$tag",""" +
+          f""""candidates":$nCand,"verified":$nOut,""" +
+          f""""waste":${nCand.toDouble / math.max(1L, nOut)}%.3f}""")
       }
       spark.stop()
       return

@@ -20,6 +20,8 @@ object SparkTestBase {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // hold the full suite's generated classes (see graft.Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
