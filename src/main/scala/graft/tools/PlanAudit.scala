@@ -46,6 +46,8 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // hold the full suite's generated classes (see graft.Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -230,7 +232,40 @@ object PlanAudit {
         ("one-hash-no-join", m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
       // range-split planning: one scan, one sort-agg, never a join
       "q104_range_split" -> Seq(
-        ("single-scan-no-join", m => m("scans") == 1 && m("smj") == 0 && m("bhj") == 0))
+        ("single-scan-no-join", m => m("scans") == 1 && m("smj") == 0 && m("bhj") == 0)),
+      // exact AUC (r9): the heavy passes are the user aggregate and the
+      // score-histogram aggregate — exactly two hash shuffles, never a
+      // join, and NO per-row global rank (rownum=0/ntile=0 is the whole
+      // point of the histogram rank-sum form); the single-partition
+      // exchanges feed only histogram rows + the final 1-row fold
+      "q122_auc" -> Seq(
+        ("histogram-rank-sum",
+          m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0 &&
+            m("rownum") == 0 && m("ntile") == 0)),
+      // calibration: user aggregate + ≤20-bin aggregate — two hash
+      // shuffles; the ECE windows ride the bin rows only, never a join
+      "q123_calibration" -> Seq(
+        ("two-aggs-bin-windows",
+          m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0 &&
+            m("rownum") == 0 && m("ntile") == 0)),
+      // Kaplan–Meier: user aggregate + duration-histogram aggregate —
+      // two hash shuffles; risk-set window + KM fold touch histogram
+      // rows only (distinct minutes), never a join or per-user rank
+      "q124_survival_km" -> Seq(
+        ("two-aggs-histogram-fold",
+          m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0 &&
+            m("rownum") == 0 && m("ntile") == 0)),
+      // mixture weights: ONE corpus aggregate on the stratum key; the
+      // share windows move only stratum rows (dozens) — no join
+      "pipeline_mixture_weights" -> Seq(
+        ("one-agg-stratum-windows",
+          m => m("hx") == 1 && m("smj") == 0 && m("bhj") == 0)),
+      // upsample: the dozens-row mixture table BROADCASTS onto the doc
+      // scan (never an SMJ of the corpus) and the copy explosion is
+      // narrow — no hash shuffle beyond the shared stratum aggregate
+      "pipeline_upsample_repeat" -> Seq(
+        ("broadcast-mixture-narrow-explode",
+          m => m("hx") == 1 && m("bhj") >= 1 && m("smj") == 0))
     )
 
     // BroadcastNestedLoopJoin is allowed ONLY where one side is provably
