@@ -428,7 +428,14 @@ object Dedup {
     */
   private val PrefixAlpha = PrefixJaccardT / (1 + PrefixJaccardT)
 
-  def dedupPrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** The shingle-rows + candidate stage of [[dedupPrefixJaccard]],
+    * exposed so the skew probe can measure wasted-candidate growth
+    * (candidates that fail verification) separately from the quadratic
+    * OUTPUT a hot near-dup cluster forces by semantics. Returns
+    * (checkpointed shingle rows, distinct candidate pairs).
+    */
+  private[graft] def prefixJaccardStage(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     // per-doc shingle rows (wordShingles3 is already distinct per doc);
     // checkpointed: feeds the df aggregate, the ranked prefix side, AND
@@ -462,6 +469,11 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct()
+    (shRows, cand)
+  }
+
+  def dedupPrefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (shRows, cand) = prefixJaccardStage(spark, dir)
     // exact verification RELATIONALLY: overlap = count of shared
     // shingles via two id-keyed joins over the checkpointed shingle
     // rows — no per-pair array intersections (the string-array
