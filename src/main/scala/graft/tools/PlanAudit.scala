@@ -265,7 +265,23 @@ object PlanAudit {
       // narrow — no hash shuffle beyond the shared stratum aggregate
       "pipeline_upsample_repeat" -> Seq(
         ("broadcast-mixture-narrow-explode",
-          m => m("hx") == 1 && m("bhj") >= 1 && m("smj") == 0))
+          m => m("hx") == 1 && m("bhj") >= 1 && m("smj") == 0)),
+      // URL canonicalization dedup (r10): one narrow codegen pass over
+      // the scan, then the two-exchange distinct-count aggregate on the
+      // canonical key — never a join; the rx is the oracle order
+      "dedup_url" -> Seq(
+        ("narrow-canonicalize-one-agg",
+          m => m("scans") == 1 && m("hx") == 2 &&
+            m("smj") == 0 && m("bhj") == 0)),
+      // cross-doc line dedup (r10): single-scan form — the exploded line
+      // stream is checkpointed (scans=0: both consumers read the
+      // checkpoint, the parquet scan happens once at checkpoint build),
+      // hot lines broadcast back as a flag (bhj, never an smj of the
+      // corpus), totals + kept text fold in one doc aggregate
+      "pipeline_line_dedup" -> Seq(
+        ("checkpoint-broadcast-hot-one-fold",
+          m => m("scans") == 0 && m("bhj") >= 1 && m("smj") == 0 &&
+            m("hx") <= 3))
     )
 
     // BroadcastNestedLoopJoin is allowed ONLY where one side is provably
