@@ -498,6 +498,126 @@ object Similarity {
       .select(col("vec_id"), round(col("sim_exact"), 4).as("sim"))
   }
 
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** Number of coarse cells the IVF-PQ query probes (of 16). */
+  private val IvfPqProbes = 4
+
+  /** IVF-PQ model: coarse centroids trained in NORMALIZED space (16
+    * vec_id seeds + one fused Lloyd step, same recipe as
+    * [[ivfCentroids]] but over unit vectors, because the PQ codebooks
+    * quantize residuals and residual scale must be the unit sphere's),
+    * plus residual codebooks (per subspace, the first 16 docs'
+    * residual subvectors refined by ONE Lloyd step). The refinement
+    * pass runs the [[graft.functions.IvfPqEncode]] kernel itself with
+    * the seed books — one fused coarse-assign + residual-encode loop
+    * per row — then averages residual subvectors per (subspace, code).
+    * Components rounded to 6 decimals so the model is identical under
+    * any partitioning; driver state is 16×64 + 8×16×8 floats.
+    */
+  private[graft] def ivfPqModel(spark: SparkSession, dir: String)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val embN = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), normalized(col("embedding")).as("embedding"))
+    val cents = lloydStep(embN, seedCentroids(embN))
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val residOf: Column = zip_with(col("embedding"),
+      element_at(centsLit, element_at(col("enc"), 1) + 1), (a, b) => a - b)
+    val seedEnc = graft.functions.IvfPqEncode(col("embedding"), cents,
+      Array.fill(PqM)(Array.fill(1)(Array.fill(PqD)(0f))))
+    val seeds: Array[Array[Array[Float]]] = {
+      val rows = embN.filter(col("vec_id") < PqK)
+        .select(col("vec_id"), col("embedding"), seedEnc.as("enc"))
+        .select(col("vec_id"), residOf.as("r")).orderBy(col("vec_id"))
+        .collect().map(_.getSeq[Float](1).toArray)
+      Array.tabulate(PqM)(m => rows.map(_.slice(m * PqD, m * PqD + PqD)))
+    }
+    val enc = graft.functions.IvfPqEncode(col("embedding"), cents, seeds)
+    val means = embN
+      .select(col("embedding"), enc.as("enc"))
+      .select(residOf.as("resid"),
+        posexplode(slice(col("enc"), 2, PqM)).as(Seq("m", "code")))
+      .select(col("m"), col("code"),
+        posexplode(slice(col("resid"), col("m") * PqD + 1, lit(PqD))))
+      .groupBy(col("m"), col("code"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("v"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3)))
+      .toMap
+    val books = Array.tabulate(PqM)(m => Array.tabulate(PqK)(k =>
+      Array.tabulate(PqD) { d =>
+        val v = means.getOrElse((m, k, d), seeds(m)(k)(d).toDouble)
+        Tables.stableRound(v, 6).toFloat
+      }))
+    (cents, books)
+  }
+
+  /** IVF-PQ ANN top-10 — the combined billion-vector production recipe
+    * (IVFADC): the IVF tier's partition pruning AND the PQ tier's 32×
+    * code compression in one index. Corpus side, one fused kernel call
+    * per row ([[graft.functions.IvfPqEncode]]) yields the coarse cell
+    * and the 8 residual nibble codes; at 100 TB only that 9-int encode
+    * survives as the index — the raw vectors stay in cold storage for
+    * the final re-rank. Query side, everything is driver math: probe
+    * the [[IvfPqProbes]] nearest cells, build the shared
+    * query-to-residual-codeword inner-product table (8×16 doubles) and
+    * the per-cell `dot(q, centroid)` constants, fold both in as
+    * literals. Scoring a row is then one array lookup for the cell
+    * constant + 8 lookups for the residual codes — approximate cosine
+    * `dot(q,c) + Σ_m dot(q_m, codeword_m)` (corpus vectors are unit,
+    * so IP = cosine). Cell filter prunes ~12/16 of the scan BEFORE
+    * scoring (at scale: the probe is a partition-pruned read of the
+    * codes table, the other cells are never touched). ADC shortlist
+    * (top 50) re-ranks exactly — the sketch-then-verify discipline of
+    * every approximate tier. Rows-only (iterative-float training has
+    * no SQL twin); the partial oracle re-verifies every returned
+    * cosine, and the spec pins determinism + a recall floor.
+    */
+  def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    simAnnIvfPqFor(spark, dir, 0L)
+
+  private[graft] def simAnnIvfPqFor(spark: SparkSession, dir: String,
+      qid: Long): DataFrame = {
+    val (cents, books) = ivfPqModel(spark, dir)
+    val q = queryVector(spark, dir, qid)
+    val qn = {
+      val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+      if (n == 0) q.map(_.toDouble) else q.map(_ / n)
+    }
+    // probe order: cosine desc, tie → larger cell id (the kernel's >=
+    // argmax prefers larger ids, so the probe set matches assignment)
+    val cellConst: Array[Double] = cents.map { c =>
+      val dot = qn.indices.map(i => qn(i) * c(i)).sum
+      val nc = math.sqrt(c.map(x => x.toDouble * x).sum)
+      if (nc == 0) 0.0 else dot / nc
+    }
+    val probes = cellConst.zipWithIndex.sortBy { case (s, i) => (-s, -i) }
+      .take(IvfPqProbes).map(_._2)
+    val lut: Array[Double] = Array.tabulate(PqM * PqK) { i =>
+      val m = i / PqK; val k = i % PqK
+      (0 until PqD).map(d => qn(m * PqD + d) * books(m)(k)(d)).sum
+    }
+    val lutCol = typedLit(lut)
+    val constCol = typedLit(cellConst)
+    val enc = graft.functions.IvfPqEncode(col("embedding"), cents, books)
+    val adcIp = element_at(constCol, element_at(col("enc"), 1) + 1) +
+      aggregate(
+        transform(slice(col("enc"), 2, PqM), (c, m) =>
+          element_at(lutCol, (m * PqK + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), enc.as("enc"))
+      .filter(element_at(col("enc"), 1)
+        .isin(probes.map(Integer.valueOf).toSeq: _*))
+      .withColumn("adc_ip", adcIp)
+      .orderBy(col("adc_ip").desc, col("vec_id"))
+      .limit(50)
+      .withColumn("sim_exact", simTo(q))
+      .orderBy(col("sim_exact").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("sim_exact"), 4).as("sim"))
+  }
+
   /** PARTIAL oracle for an ANN tier: the candidate set (float-sign LSH
     * buckets / Lloyd-refined coarse centroids / trained PQ codebooks)
     * is not SQL-replayable, but every RETURNED row's value is — the
@@ -575,6 +695,7 @@ object Similarity {
     QueryDef("sim_ann_lsh", simAnnLsh _, annPartialOracle("sim_ann_lsh")),
     QueryDef("sim_ann_ivf", simAnnIvf _, annPartialOracle("sim_ann_ivf")),
     QueryDef("sim_ann_pq", simAnnPq _, annPartialOracle("sim_ann_pq")),
+    QueryDef("sim_ann_ivfpq", simAnnIvfPq _, annPartialOracle("sim_ann_ivfpq")),
     QueryDef("cluster_kmeans", clusterKmeans _, KmeansPartialOracle),
     QueryDef("dedup_semantic", dedupSemantic _, SemanticDedupOracle),
     QueryDef("dedup_embedding_cosine", dedupEmbeddingCosine _,

@@ -281,7 +281,35 @@ object PlanAudit {
       "pipeline_line_dedup" -> Seq(
         ("checkpoint-broadcast-hot-one-fold",
           m => m("scans") == 0 && m("bhj") >= 1 && m("smj") == 0 &&
-            m("hx") <= 3))
+            m("hx") <= 3)),
+      // IVF-PQ ANN (r10): the whole index path is ONE corpus scan of
+      // narrow kernel work (fused coarse-assign + residual-encode, LUT
+      // scoring) — zero exchanges of any kind; shortlist and exact
+      // re-rank are TakeOrderedAndProject (bounded driver results)
+      "sim_ann_ivfpq" -> Seq(
+        ("one-scan-zero-shuffle-topk",
+          m => m("scans") == 1 && m("ex") == 0 && m("hx") == 0 &&
+            m("smj") == 0 && m("bhj") == 0 && m("takeOrdered") >= 2)),
+      // fuzzy eval decontamination (r10): the eval side is benchmark-
+      // sized, so candidate generation AND both verify attaches are
+      // broadcast joins — the corpus band stream is never SMJ-shuffled
+      "pipeline_contamination_fuzzy" -> Seq(
+        ("eval-side-broadcast-no-smj",
+          m => m("bhj") >= 3 && m("smj") == 0)),
+      // per-domain cap (r10): top-k-per-group with the row_number≤k
+      // filter compiled to WindowGroupLimit BOTH map-side (partial) and
+      // post-shuffle (final) — a hot domain ships k rows per input
+      // partition, never its full page count; one domain-keyed shuffle
+      "pipeline_domain_cap" -> Seq(
+        ("window-group-limit-one-shuffle",
+          m => m("wgl") >= 2 && m("hx") == 1 && m("smj") == 0 &&
+            m("bhj") == 0)),
+      // HTML extraction (r10): pure narrow regexp/string codegen over
+      // the scan — zero hash shuffles; the rx is the oracle order
+      "text_html_extract" -> Seq(
+        ("narrow-extract-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0))
     )
 
     // BroadcastNestedLoopJoin is allowed ONLY where one side is provably

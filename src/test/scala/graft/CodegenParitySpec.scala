@@ -157,4 +157,38 @@ class CodegenParitySpec extends AnyFunSuite with SparkTestBase {
       .head().getSeq[Int](0)
     assert(z.length === 8)
   }
+
+  test("ivfpq_encode: codegen == interpreted, coarse cell matches IVF argmax") {
+    val (cents, books) = graft.operators.Similarity.ivfPqModel(spark, sf0001)
+    def run: Array[Seq[Int]] =
+      Tables.embeddings(spark, sf0001)
+        .select(graft.functions.IvfPqEncode(col("embedding"), cents, books)
+          .as("c"))
+        .collect().map(_.getSeq[Int](0))
+    val (gen, interp) = inBothModes(run)
+    assert(gen.toSeq === interp.toSeq)
+    // geometry: 1 coarse cell + 8 residual codes, all in range
+    assert(gen.forall(c => c.length === 9 &&
+      c.head >= 0 && c.head < 16 &&
+      c.tail.forall(k => k >= 0 && k < 16)))
+    // the kernel's fused coarse argmax (dot/||c|| over the normalized
+    // vector, tie → larger idx) must agree with a driver replay of the
+    // same arithmetic on every corpus vector
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    vecs.zip(gen).foreach { case (v, code) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val vn = if (n == 0) v.map(_.toDouble) else v.map(_ / n)
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        var dot = 0.0; var cn = 0.0
+        var j = 0
+        while (j < 64) { dot += vn(j) * c(j); cn += c(j).toDouble * c(j); j += 1 }
+        val s = if (cn == 0) 0.0 else dot / math.sqrt(cn)
+        if (s >= bestS) { bestS = s; best = i }
+      }
+      assert(code.head === best)
+    }
+  }
 }

@@ -71,4 +71,70 @@ class Dedup2Spec extends AnyFunSuite with SparkTestBase {
     val rebuilt = out.find(_.getLong(0) == untouchedId).get.getString(3)
     assert(rebuilt === orig)
   }
+
+  test("pipeline_contamination_fuzzy: fuzzy-only values, no false positives, self-recall") {
+    val out = graft.operators.Dedup2.pipelineContaminationFuzzy(spark, sf001)
+      .collect()
+    assert(out.nonEmpty)
+    // every reported overlap is genuinely FUZZY: at or above the
+    // verification floor, strictly below exact (the 5+5-token trim
+    // guarantees no corpus doc equals an eval item shingle-for-shingle)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0.2 && r.getDouble(2) < 1.0)
+      assert(r.getLong(3) % 50 == 0, "eval ids are the sampled sources")
+    }
+    // ground truth driver-side: exact shingle Jaccard of every doc
+    // against every perturbed eval item
+    def shingleSet(s: String): Set[String] = {
+      val t = s.toLowerCase.split(" ", -1)
+      if (t.length < 3) Set.empty else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalSh = docs.filter(_._1 % 50 == 0).map { case (id, txt) =>
+      val t = txt.split(" ", -1)
+      id -> shingleSet(
+        if (t.length > 10) t.slice(5, t.length - 5).mkString(" ") else "")
+    }
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 0.0
+      else (a & b).size.toDouble / (a ++ b).size
+    out.foreach { r =>
+      val sh = shingleSet(docs(r.getLong(0)))
+      val trueJ = evalSh.values.map(jac(sh, _)).toSeq
+      // LSH-caught hits are a subset of the true hits, and the reported
+      // max is EXACTLY one of the true jaccards (rounded half-up to 4)
+      assert(r.getLong(1) <= trueJ.count(_ >= 0.2))
+      assert(trueJ.exists(j =>
+        BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .doubleValue == r.getDouble(2)),
+        s"doc ${r.getLong(0)}: reported ${r.getDouble(2)} not among $trueJ")
+    }
+    // self-recall: the perturbed item keeps J≈0.55–0.9 with its own
+    // source, so 8 LSH bands catch the large majority of sources
+    val sources = docs.keys.filter(_ % 50 == 0).toSeq
+    val found = out.map(_.getLong(0)).toSet
+    assert(sources.count(found.contains) * 10 >= sources.size * 7,
+      s"found ${sources.count(found.contains)} of ${sources.size} sources")
+  }
+
+  test("pipeline_domain_cap: survivors are the true per-domain top-k") {
+    val out = graft.operators.Dedup2.pipelineDomainCap(spark, sf001).collect()
+    // ground truth driver-side from the same fixture arithmetic
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).length.toLong).toMap
+    val byDomain = docs.toSeq
+      .groupBy { case (id, _) => s"site${id / 4 % 37}.example.com" }
+    val expect = byDomain.flatMap { case (dom, ds) =>
+      ds.sortBy { case (id, len) => (-len, id) }.take(3).zipWithIndex
+        .map { case ((id, len), i) => (dom, id, (i + 1).toLong, len) }
+    }.toSet
+    assert(out.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      === expect)
+    // cap honored, and every fixture domain is represented
+    val perDomain = out.groupBy(_.getString(0))
+    assert(perDomain.values.forall(_.length <= 3))
+    assert(perDomain.size === byDomain.size)
+  }
 }

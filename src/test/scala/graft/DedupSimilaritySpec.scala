@@ -480,6 +480,44 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       && math.abs(self.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("sim_ann_ivfpq: recall@10 floor, determinism, and model geometry") {
+    // model deterministic across invocations, correct geometry
+    val (c1, b1) = Similarity.ivfPqModel(spark, sf0001)
+    val (c2, b2) = Similarity.ivfPqModel(spark, sf0001)
+    assert(c1.length === 16 && c1.forall(_.length === 64))
+    assert(b1.length === 8 && b1.forall(_.length === 16)
+      && b1.forall(_.forall(_.length === 8)))
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq === b2.map(_.map(_.toSeq).toSeq).toSeq)
+    // coarse centroids live in normalized space: unit-ish norms (cell
+    // means of unit vectors are inside the ball, not far outside it)
+    c1.foreach { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x).sum)
+      assert(n > 0.0 && n <= 1.0 + 1e-6, s"centroid norm $n")
+    }
+
+    // recall@10 vs brute force over the standard query sweep; the ADC
+    // shortlist re-ranks exactly, so every returned sim is exact
+    val qids = Seq(0L, 123L, 456L)
+    val recalls = qids.map { qid =>
+      val exact = Similarity.simTopkBruteforceFor(spark, sf0001, qid)
+        .collect().map(_.getLong(0)).toSet
+      val out = Similarity.simAnnIvfPqFor(spark, sf0001, qid).collect()
+      val sims = out.map(_.getDouble(1))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      qid -> out.map(_.getLong(0)).count(exact.contains) / 10.0
+    }
+    recalls.foreach { case (qid, r) =>
+      assert(r >= 0.3, s"IVFPQ recall@10 for qid=$qid: $r (all: $recalls)")
+    }
+    assert(recalls.exists(_._2 >= 0.5), s"suspiciously flat: $recalls")
+    // the query vector itself must survive cell probe, ADC shortlist,
+    // and exact re-rank
+    val self = Similarity.simAnnIvfPq(spark, sf0001).collect()
+    assert(self.head.getLong(0) === 0L
+      && math.abs(self.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("emb_pca_power: unit eigenvector, dominant eigenpair, deterministic") {
     val out = graft.operators.Embeddings.embPcaPower(spark, sf0001).collect()
     assert(out.length === 64)
