@@ -66,7 +66,61 @@ object MediaHeaders {
       (0 until 8).forall(i => payload(i) == PngMagic(i))) parsePng(payload)
     else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
       parseGif(payload)
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+      parseJpeg(payload)
     else Unsupported("unrecognized magic bytes")
+
+  private def beShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** SOF0–SOF15 minus the three non-frame C-row markers (DHT C4,
+    * JPG C8, DAC CC) — any of these carries the frame geometry.
+    */
+  private def isSofMarker(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  /** JPEG/JFIF: unlike every other format in this family the geometry
+    * sits at NO fixed offset — segments (APP0, COM, DQT, …) carry
+    * big-endian self-declared lengths and the Start-Of-Frame marker
+    * lands wherever the preceding segments end, so decoding requires a
+    * genuine marker WALK: sync on 0xFF, hop `length` bytes per
+    * segment, read height/width from the first SOFn, and stop at SOS
+    * (after which entropy-coded data runs to the trailing EOI;
+    * `dataBytes` = that span). Standalone markers (RST/TEM) never
+    * precede SOS in a baseline stream, so every hop has a length
+    * field. Malformed streams — lost marker sync, a segment overruning
+    * the payload, SOS before any SOF — quarantine as [[Unsupported]]
+    * rows, never task failures.
+    */
+  private def parseJpeg(b: Array[Byte]): Probe = {
+    var off = 2
+    var width = -1
+    var height = -1
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff)
+        return Unsupported(s"JPEG marker sync lost at offset $off")
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd9)
+        return Unsupported("JPEG reached EOI before any scan")
+      val len = beShort(b, off + 2)
+      if (len < 2 || off + 2 + len > b.length)
+        return Unsupported(s"JPEG segment $marker at $off overruns payload (len=$len)")
+      if (isSofMarker(marker)) {
+        if (len < 8) return Unsupported("JPEG SOF shorter than its geometry fields")
+        height = beShort(b, off + 5)
+        width = beShort(b, off + 7)
+      } else if (marker == 0xda) {
+        if (width <= 0 || height <= 0)
+          return Unsupported("JPEG SOS before any usable SOF")
+        val dataStart = off + 2 + len
+        val dataBytes = b.length - dataStart - 2 // entropy stream, minus EOI
+        return if (dataBytes < 0) Unsupported("JPEG truncated inside the scan header")
+          else ImageInfo("jpeg", width, height, dataBytes)
+      }
+      off += 2 + len
+    }
+    Unsupported("JPEG ended before SOS")
+  }
 
   /** GIF: 6-byte version magic (`GIF87a`/`GIF89a`), then the Logical
     * Screen Descriptor — canvas width and height as LITTLE-endian
@@ -258,6 +312,51 @@ object MediaHeaders {
     bb.put(0.toByte)  // background color index
     bb.put(0.toByte)  // pixel aspect ratio: default
     bb.put(data)
+    bb.array()
+  }
+
+  /** Build a real baseline JPEG/JFIF stream around arbitrary bytes:
+    * SOI, a spec-faithful APP0/JFIF segment, a COM segment of caller-
+    * chosen length (this is what makes the fixture honest — the SOF
+    * offset varies per row, so a fixed-offset read cannot fake the
+    * marker walk), a DQT, the SOF0 carrying the declared geometry,
+    * SOS, the payload as the "entropy-coded" stream, and EOI. The
+    * stream is content-synthetic (no real Huffman data), which a
+    * header-level walk never inspects.
+    */
+  def jpegWrap(data: Array[Byte], width: Int, height: Int,
+      commentLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(2 + 18 + 4 + commentLen + 69 + 19 + 14 + data.length + 2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def marker(m: Int): Unit = { bb.put(0xff.toByte); bb.put(m.toByte) }
+    marker(0xd8)                               // SOI
+    marker(0xe0); bb.putShort(16)              // APP0, len 16
+    bb.put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+    bb.put(1.toByte).put(1.toByte)             // version 1.1
+    bb.put(0.toByte)                           // density units: none
+    bb.putShort(1).putShort(1)                 // x/y density
+    bb.put(0.toByte).put(0.toByte)             // no thumbnail
+    marker(0xfe); bb.putShort((2 + commentLen).toShort) // COM
+    var i = 0
+    while (i < commentLen) { bb.put('x'.toByte); i += 1 }
+    marker(0xdb); bb.putShort(67)              // DQT: pq/tq + 64 entries
+    bb.put(0.toByte)
+    i = 0
+    while (i < 64) { bb.put(1.toByte); i += 1 }
+    marker(0xc0); bb.putShort(17)              // SOF0
+    bb.put(8.toByte)                           // precision
+    bb.putShort(height.toShort).putShort(width.toShort)
+    bb.put(3.toByte)                           // 3 components
+    (1 to 3).foreach { c =>
+      bb.put(c.toByte).put(0x11.toByte).put(0.toByte)
+    }
+    marker(0xda); bb.putShort(12)              // SOS
+    bb.put(3.toByte)
+    (1 to 3).foreach { c => bb.put(c.toByte).put(0.toByte) }
+    bb.put(0.toByte).put(63.toByte).put(0.toByte) // ss/se/ah-al
+    bb.put(data)                               // "entropy-coded" stream
+    marker(0xd9)                               // EOI
     bb.array()
   }
 

@@ -286,7 +286,74 @@ object Embeddings {
       |FROM vf ORDER BY dim""".stripMargin
   }
 
+  /** Matryoshka truncation ladder for [[embMatryoshka]]. */
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka (MRL) truncation diagnostics — the modern embedding-
+    * compression audit: for each prefix length m in [[MrlDims]], how
+    * much of every vector's energy the first m components retain
+    * (`Σ_{i<m} x_i² / Σ x_i²` — for L2 search this IS the quality
+    * knob: cos(full, truncated) = √ratio). A serving stack reads this
+    * table to pick the shortest prefix that clears its recall budget
+    * before re-indexing at the smaller dimension.
+    *
+    * Scale shape: one corpus scan, a 4-way per-row explode (the
+    * ladder), ONE m-keyed aggregate — no joins, no per-vector output.
+    * Float discipline: per-vector ratios fold squared components in
+    * index order (left fold both engines), then are pinned to integer
+    * BASIS POINTS per vector before any cross-row aggregation, so
+    * every corpus-level stat (mean/min/max/count) is exact integer
+    * arithmetic — summation order across rows can never move the
+    * result (the q82/NOTES-14 discipline, applied one level earlier).
+    * Zero vectors count as fully preserved at every m (ratio 1) rather
+    * than NULLing the corpus stats.
+    */
+  def embMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val sqOf = (c: Column) => aggregate(c, lit(0.0), (a, x) => a + x * x)
+    val ratio = when(col("total") === 0.0, lit(1.0))
+      .otherwise(col("pref") / col("total"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        explode(typedLit(MrlDims)).as("m"))
+      .withColumn("pref", sqOf(slice(col("v"), lit(1), col("m"))))
+      .withColumn("total", sqOf(col("v")))
+      .withColumn("bps", floor(ratio * 10000 + 0.5).cast("long"))
+      .groupBy(col("m").cast("long").as("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("bps")).as("sum_bps"),
+        min(col("bps")).as("min_bps"),
+        max(col("bps")).as("max_bps"),
+        sum(when(col("bps") >= 9000, 1L).otherwise(0L)).as("n_ge_9000"))
+      .select(col("m"), col("n_vecs"),
+        expr("sum_bps div n_vecs").as("mean_bps"),
+        col("min_bps"), col("max_bps"), col("n_ge_9000"))
+      .orderBy(col("m"))
+  }
+
+  private val MatryoshkaOracle: String =
+    """WITH r AS (
+      |  SELECT vec_id, m,
+      |    list_sum(list_transform(embedding[1:m],
+      |      x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) AS pref,
+      |    list_sum(list_transform(embedding,
+      |      x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))) AS total
+      |  FROM embeddings, unnest([8, 16, 32, 64]) AS t(m)),
+      |b AS (
+      |  SELECT vec_id, m,
+      |    cast(floor(CASE WHEN total = 0.0 THEN 1.0
+      |      ELSE pref / total END * 10000 + 0.5) AS BIGINT) AS bps
+      |  FROM r)
+      |SELECT cast(m AS BIGINT) AS m,
+      |  cast(count(*) AS BIGINT) AS n_vecs,
+      |  cast(sum(bps) // count(*) AS BIGINT) AS mean_bps,
+      |  min(bps) AS min_bps, max(bps) AS max_bps,
+      |  cast(sum(CASE WHEN bps >= 9000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_ge_9000
+      |FROM b GROUP BY m ORDER BY m""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("emb_matryoshka", embMatryoshka _, MatryoshkaOracle),
     QueryDef("emb_pca_power", embPcaPower _, PcaOracle),
     QueryDef("emb_negative_sample", embNegativeSample _,
       """WITH e AS (SELECT vec_id, label FROM embeddings),

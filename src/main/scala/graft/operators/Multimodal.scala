@@ -200,6 +200,45 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** JPEG fixture synthesis: a real JFIF stream whose COM segment
+    * length varies with the byte length, so the SOF offset differs per
+    * row and only a genuine marker walk can find the geometry (the
+    * other containers park it at fixed offsets — JPEG is the family's
+    * variable-offset member). Dims stay inside uint16 by construction.
+    */
+  private val jpegContainer = udf { bytes: Array[Byte] =>
+    val n = bytes.length
+    MediaHeaders.jpegWrap(bytes, 16 + n % 1021, 16 + (n * 7) % 739, n % 23)
+  }
+
+  /** Header-level JPEG decode — the marker-WALK member of the decode
+    * family: segments carry self-declared big-endian lengths and the
+    * SOF lands at no fixed offset, so [[MediaHeaders.probe]] hops
+    * APP0 → COM → DQT to reach the geometry, then stops at SOS and
+    * reports the entropy-stream span as `n_bytes`. Same narrow
+    * mapPartitions shape (and 100 TB posture) as [[mmDecode]]; the
+    * oracle replays the synthesis formulas from the byte length while
+    * Spark earns the values by walking the bytes it wrapped.
+    */
+  def mmDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        jpegContainer(col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaHeaders.probe(payload) match {
+            case MediaHeaders.ImageInfo(f, w, h, nb) => (id, f, w, h, nb)
+            case MediaHeaders.AudioInfo(f, _, _, _, _) => (id, f, 0, 0, 0)
+            case MediaHeaders.Unsupported(_) => (id, "unsupported", 0, 0, 0)
+          }
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "n_bytes")
+      .orderBy(col("doc_id"))
+  }
+
   /** Ranking depth for [[mmPhashDedup]]. */
   private[graft] val PhashTopK = 20
 
@@ -366,6 +405,15 @@ object Multimodal {
       """SELECT doc_id, 'bmp' AS format,
         |  64 + octet_length(encode(text)) % 577 AS width,
         |  64 + (octet_length(encode(text)) * 31) % 353 AS height,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin),
+    QueryDef("mm_decode_jpeg", mmDecodeJpeg _,
+      // synthesis-formula replay: declared dims are fixed functions of
+      // the UTF-8 byte length; Spark earns the same values by WALKING
+      // the JFIF markers (variable SOF offset via the COM segment)
+      """SELECT doc_id, 'jpeg' AS format,
+        |  16 + octet_length(encode(text)) % 1021 AS width,
+        |  16 + (octet_length(encode(text)) * 7) % 739 AS height,
         |  octet_length(encode(text)) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin),
     QueryDef("mm_frame_sample", mmFrameSample _,

@@ -121,6 +121,145 @@ object TextAnalysis4 {
       |    AS text_ratio
       |FROM ext ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- BM25
+
+  /** Query-doc cadence (every Nth doc is a retrieval query). */
+  private val Bm25QueryEvery = 50
+
+  /** Query terms per query / retrieved docs per query. */
+  private val Bm25Terms = 3
+  private val Bm25TopK = 10
+
+  /** BM25 retrieval — the RAG-era scoring stage over an inverted
+    * index: every [[Bm25QueryEvery]]th doc poses a query (its first
+    * [[Bm25Terms]] distinct tokens, in document order), candidates are
+    * every doc sharing a query term, and each (query, doc) pair gets
+    * the Okapi BM25 score with k1=1.2, b=0.75 (Lucene's non-negative
+    * `ln(1 + (N-df+0.5)/(df+0.5))` idf). The top [[Bm25TopK]] docs per
+    * query are ranked by EXACT INTEGER keys — matched-term count,
+    * total matched tf, doc length, doc id — with the float score
+    * attached as a VALUE column, deliberately: float-rank order is
+    * engine-nondeterministic at ties (the repo's standing discipline —
+    * tfidf's scaladoc), and the integer keys are BM25's own dominant
+    * factors, so the ordering is a faithful deterministic surrogate; a
+    * production consumer flips one orderBy to rank by the float.
+    *
+    * Scale shape: tf and dl are one doc-keyed combine each; df
+    * re-aggregates tf's distinct pairs (no second corpus scan). The
+    * query side is benchmark-sized, so candidate generation is a
+    * BROADCAST join against the tf table (term-keyed inverted-index
+    * probe — at 100 TB this is the posting-list read), df (≤|vocab|
+    * rows) broadcasts, the scalars ride one-row attaches, and the
+    * top-k filter lowers to WindowGroupLimit so each map task ships k
+    * rows per query. Float discipline: every score input (tf, df, dl,
+    * N, Σdl) is an exact integer; the per-term contribution runs the
+    * identical IEEE op sequence in both engines, the per-pair sum
+    * folds in sorted term order (collect → sort_array → fold, the q82
+    * idiom), and only then is the r4 grain applied — ln carries the
+    * documented rule-14 drift budget, value-pinned, never rank-ordered.
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // both corpus scalars in ONE aggregate pass (one 1-row broadcast
+    // attach, not two): Σdl re-derived as per-doc non-empty token-array
+    // sizes — exact integers, equal to sum(dl) by construction
+    val scalars = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(filter(split(col("text"), " ", -1), w => w =!= "")))
+        .cast("long").as("sumdl"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("min_pos"))
+    val qterms = tok.filter(col("doc_id") % Bm25QueryEvery === 0)
+      .groupBy(col("doc_id"), col("w")).agg(min(col("pos")).as("min_pos"))
+      .select(col("doc_id").as("query_id"), col("w"), col("min_pos"))
+      .withColumn("qrn", row_number().over(wq))
+      .filter(col("qrn") <= Bm25Terms)
+      .select(col("query_id"), col("w"))
+    val avgdl = col("sumdl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * ((col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl").cast("double") / avgdl))))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_match").desc, col("tot_tf").desc, col("dl"),
+        col("doc_id"))
+    tf.join(broadcast(qterms), Seq("w"))
+      .join(broadcast(dfT), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("contrib", contrib)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_match"), sum(col("tf")).as("tot_tf"),
+        min(col("dl")).as("dl"),
+        sort_array(collect_list(struct(col("w"), col("contrib")))).as("cl"))
+      .withColumn("score", Tables.r4(aggregate(col("cl"), lit(0.0),
+        (acc, x) => acc + x.getField("contrib"))))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_match"),
+        col("tot_tf"), col("dl"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val Bm25Oracle: String =
+    s"""WITH tokarr AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (
+      |  SELECT doc_id, i AS pos, t[i] AS w
+      |  FROM tokarr, unnest(generate_series(1, len(t))) AS s(i)
+      |  WHERE t[i] <> ''),
+      |tf AS (
+      |  SELECT doc_id, w, cast(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY doc_id, w),
+      |dl AS (
+      |  SELECT doc_id, cast(count(*) AS BIGINT) AS dl
+      |  FROM tok GROUP BY doc_id),
+      |dfr AS (SELECT w, cast(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      |sc AS (
+      |  SELECT cast(count(*) AS BIGINT) AS n_docs,
+      |    (SELECT cast(sum(dl) AS BIGINT) FROM dl) AS sumdl
+      |  FROM documents),
+      |qt AS (
+      |  SELECT query_id, w FROM (
+      |    SELECT doc_id AS query_id, w,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY min_pos) AS qrn
+      |    FROM (
+      |      SELECT doc_id, w, min(pos) AS min_pos FROM tok
+      |      WHERE doc_id % $Bm25QueryEvery = 0 GROUP BY doc_id, w))
+      |  WHERE qrn <= $Bm25Terms),
+      |con AS (
+      |  SELECT qt.query_id, tf.doc_id, tf.w, tf.tf, dl.dl,
+      |    ln(1.0 + (sc.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+      |      ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 +
+      |        0.75 * (dl.dl / (cast(sc.sumdl AS DOUBLE) / sc.n_docs)))))
+      |      AS contrib
+      |  FROM qt JOIN tf USING (w) JOIN dfr USING (w)
+      |    JOIN dl ON dl.doc_id = tf.doc_id, sc),
+      |g AS (
+      |  SELECT query_id, doc_id,
+      |    cast(count(*) AS BIGINT) AS n_match,
+      |    cast(sum(tf) AS BIGINT) AS tot_tf,
+      |    min(dl) AS dl,
+      |    list_reduce(list_prepend(0.0, list(contrib ORDER BY w)),
+      |      (a, b) -> a + b) AS score
+      |  FROM con GROUP BY query_id, doc_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY n_match DESC, tot_tf DESC, dl, doc_id) AS rnk
+      |  FROM g)
+      |SELECT query_id, cast(rnk AS BIGINT) AS rank, doc_id, n_match,
+      |  tot_tf, dl, floor(score * 10000 + 0.5) / 10000 AS score
+      |FROM r WHERE rnk <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
-    QueryDef("text_html_extract", textHtmlExtract _, HtmlExtractOracle))
+    QueryDef("text_html_extract", textHtmlExtract _, HtmlExtractOracle),
+    QueryDef("text_bm25", textBm25 _, Bm25Oracle))
 }

@@ -309,7 +309,27 @@ object PlanAudit {
       "text_html_extract" -> Seq(
         ("narrow-extract-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
-            m("bhj") == 0))
+            m("bhj") == 0)),
+      // JPEG decode (r10): same narrow mapPartitions shape as mm_decode
+      // — one scan, no joins, no hash shuffle (rx is the oracle order)
+      "mm_decode_jpeg" -> Seq(
+        ("narrow-decode-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0)),
+      // MRL diagnostics (r10): one corpus scan, the 4-way ladder
+      // explode, ONE m-keyed aggregate — no joins, no per-vector output
+      "emb_matryoshka" -> Seq(
+        ("one-scan-one-agg-no-join",
+          m => m("scans") == 1 && m("hx") == 1 && m("smj") == 0 &&
+            m("bhj") == 0)),
+      // BM25 (r10): the query side, df table, and corpus scalars all
+      // BROADCAST (the inverted-index probe never SMJ-shuffles the tf
+      // table), and BOTH row_number<=k filters (query-term cut, final
+      // top-k) lower to WindowGroupLimit map-side + post-shuffle
+      "text_bm25" -> Seq(
+        ("broadcast-probe-group-limits",
+          m => m("bhj") >= 3 && m("smj") == 0 && m("wgl") >= 4 &&
+            m("bnlj") <= 1))
     )
 
     // BroadcastNestedLoopJoin is allowed ONLY where one side is provably
@@ -334,7 +354,10 @@ object PlanAudit {
       "q116_point_in_time",
       // KMV joins its two 1-row aggregates (min-k fold × exact count)
       // — a 1×1 scalar attach
-      "sketch_kmv_distinct")
+      "sketch_kmv_distinct",
+      // BM25 attaches its one-row (N, Σdl) corpus-scalar frame via
+      // broadcast — a bounded scalar attach
+      "text_bm25")
 
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(only)

@@ -65,7 +65,14 @@ object ScaleProbe {
     // the bucketed corpus scan while centroids/codebooks stay
     // driver-bounded) — part of the two-decade 1×/10×/100× sweep over
     // the headline dedup/ANN tiers
-    "sim_ann_ivf")
+    "sim_ann_ivf",
+    // round-10 batch 2: BM25 retrieval — replica-suffixed tokens keep
+    // each replica's vocabulary disjoint, so the query count, the tf
+    // table, AND the per-query posting lists all grow ×factor while
+    // cross-replica matches stay impossible: the probe measures the
+    // true inverted-index growth path (broadcast side grows too — the
+    // ratio watches whether the term-keyed probe stays join-bound)
+    "text_bm25")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one

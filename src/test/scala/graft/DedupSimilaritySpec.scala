@@ -518,6 +518,34 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       && math.abs(self.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("emb_matryoshka: driver recompute, monotone ladder, full-dim identity") {
+    val out = graft.operators.Embeddings.embMatryoshka(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.map(_._1).toSeq === Seq(8L, 16L, 32L, 64L))
+    // energy is cumulative: the mean retained ratio is non-decreasing
+    // in m, and the full dimension retains everything exactly
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted)
+    val full = out.last
+    assert(full._3 === 10000L && full._4 === 10000L && full._5 === 10000L)
+    assert(full._6 === full._2) // every vector >= 90% at m=64
+    // exact recompute: same index-order fold, same per-vector bps pin
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    Seq(8, 16, 32, 64).zip(out).foreach { case (m, row) =>
+      val bps = vecs.map { e =>
+        val pref = e.take(m).foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        val total = e.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+        val ratio = if (total == 0.0) 1.0 else pref / total
+        math.floor(ratio * 10000 + 0.5).toLong
+      }
+      assert(row._2 === vecs.length.toLong)
+      assert(row._3 === bps.sum / vecs.length)
+      assert(row._4 === bps.min && row._5 === bps.max)
+      assert(row._6 === bps.count(_ >= 9000).toLong)
+    }
+  }
+
   test("emb_pca_power: unit eigenvector, dominant eigenpair, deterministic") {
     val out = graft.operators.Embeddings.embPcaPower(spark, sf0001).collect()
     assert(out.length === 64)

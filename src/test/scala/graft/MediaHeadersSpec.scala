@@ -135,6 +135,49 @@ class MediaHeadersSpec extends AnyFunSuite {
       .isInstanceOf[Unsupported])
   }
 
+  test("jpegWrap round-trips through the marker walk at the operator formulas") {
+    val payload = "the quick brown fox jumps over".getBytes("UTF-8")
+    val n = payload.length
+    val jpg = MediaHeaders.jpegWrap(payload,
+      16 + n % 1021, 16 + (n * 7) % 739, n % 23)
+    assert(MediaHeaders.probe(jpg) ===
+      ImageInfo("jpeg", 16 + n % 1021, 16 + (n * 7) % 739, n))
+    // zero-length comment (COM len=2) still walks: the SOF offset
+    // contracts by the comment bytes and the walk must not care
+    val jpg0 = MediaHeaders.jpegWrap(payload, 100, 50, 0)
+    assert(MediaHeaders.probe(jpg0) === ImageInfo("jpeg", 100, 50, n))
+    // empty entropy stream: EOI directly after SOS
+    val empty = MediaHeaders.jpegWrap(Array.empty[Byte], 8, 8, 5)
+    assert(MediaHeaders.probe(empty) === ImageInfo("jpeg", 8, 8, 0))
+  }
+
+  test("progressive SOF2 carries geometry like SOF0; DHT (C4) does not") {
+    val jpg = MediaHeaders.jpegWrap(Array.fill[Byte](9)(1), 30, 20, 3)
+    // rewrite the SOF0 marker byte to SOF2 (progressive) in place: the
+    // SOF sits after SOI(2) + APP0(18) + COM(4+3) + DQT(69)
+    val sofAt = 2 + 18 + 7 + 69
+    assert((jpg(sofAt + 1) & 0xff) === 0xc0)
+    jpg(sofAt + 1) = 0xc2.toByte
+    assert(MediaHeaders.probe(jpg) === ImageInfo("jpeg", 30, 20, 9))
+    // a DHT (0xC4) in the C-row is NOT a frame header: retagging the
+    // SOF as DHT leaves no geometry, so SOS must quarantine the stream
+    val noSof = MediaHeaders.jpegWrap(Array.fill[Byte](9)(1), 30, 20, 3)
+    noSof(sofAt + 1) = 0xc4.toByte
+    assert(MediaHeaders.probe(noSof).isInstanceOf[Unsupported])
+  }
+
+  test("malformed JPEGs quarantine, never throw") {
+    val jpg = MediaHeaders.jpegWrap(Array.fill[Byte](40)(1), 25, 25, 7)
+    // truncation mid-segment: the declared length overruns the payload
+    assert(MediaHeaders.probe(jpg.take(15)).isInstanceOf[Unsupported])
+    // marker sync lost: a non-FF byte where a marker must start
+    val desynced = jpg.clone(); desynced(2) = 0x00.toByte
+    assert(MediaHeaders.probe(desynced).isInstanceOf[Unsupported])
+    // EOI immediately after SOI: no scan ever starts
+    assert(MediaHeaders.probe(Array(0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xd9.toByte)).isInstanceOf[Unsupported])
+  }
+
   test("poison payloads are data, not exceptions") {
     assert(MediaHeaders.probe(null).isInstanceOf[Unsupported])
     assert(MediaHeaders.probe(Array[Byte](1, 2, 3)).isInstanceOf[Unsupported])

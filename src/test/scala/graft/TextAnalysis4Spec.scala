@@ -26,4 +26,48 @@ class TextAnalysis4Spec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) < 1.0)
     }
   }
+
+  test("text_bm25: brute-force top-10 parity and a driver score recompute") {
+    val out = TextAnalysis4.textBm25(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)
+        .split(" ", -1).filter(_.nonEmpty).toSeq).toMap
+    // brute-force the whole retrieval by the exact integer rank keys:
+    // for every query, score ALL docs sharing a term and take the same
+    // top-10 — the distributed inverted-index form must agree exactly
+    byQuery.foreach { case (qid, rows) =>
+      val qws = docs(qid).distinct.take(3)
+      val expect = docs.toSeq.flatMap { case (did, toks) =>
+        val matched = qws.filter(toks.contains)
+        if (matched.isEmpty) None
+        else Some((did, matched.size.toLong,
+          matched.map(w => toks.count(_ == w).toLong).sum,
+          toks.length.toLong))
+      }.sortBy { case (did, nm, tt, dlv) => (-nm, -tt, dlv, did) }
+        .take(10)
+      val got = rows.sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(got.toSeq === expect, s"query $qid top-10 mismatch")
+    }
+    val n = docs.size.toLong
+    val sumdl = docs.values.map(_.length.toLong).sum
+    val avgdl = sumdl.toDouble / n.toDouble
+    val dfm = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val probe = out.head
+    val (qid, did) = (probe.getLong(0), probe.getLong(2))
+    val qws = docs(qid).distinct.take(3)
+    val dtoks = docs(did)
+    val dlD = dtoks.length.toDouble
+    val score = qws.filter(dtoks.contains).sorted.map { w =>
+      val tf = dtoks.count(_ == w).toDouble
+      val idf = math.log(1.0 + (n - dfm(w) + 0.5) / (dfm(w) + 0.5))
+      idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dlD / avgdl))))
+    }.foldLeft(0.0)(_ + _)
+    assert(probe.getDouble(6) === math.floor(score * 10000 + 0.5) / 10000,
+      s"query $qid doc $did score recompute")
+  }
 }
