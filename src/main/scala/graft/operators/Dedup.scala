@@ -595,7 +595,85 @@ object Dedup {
       |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.2)""".stripMargin
   }
 
+  /** Tier calibration: MinHash-LSH recall against the EXACT prefix-join
+    * ground truth, by similarity band — the audit a dedup pipeline runs
+    * on a sample before trusting the approximate tier on the full
+    * corpus. Ground truth = every pair with J ≥ [[PrefixJaccardT]]
+    * (the exact tier is COMPLETE above t, so it is a true reference,
+    * not another estimate); a pair counts as found if the LSH tier's
+    * verified-pair stream contains it (id-keyed join — no float
+    * compare can flip membership). Output: per 0.1-wide Jaccard bucket
+    * (J=1.0 folds into bucket 9), ground-truth pairs, found pairs, and
+    * recall in integer basis points. Expected shape: recall rises with
+    * J (banding theory: P(≥1 of 8 bands collides) = 1−(1−J⁴)⁸), which
+    * is exactly the curve an operator reads off this table. (At the
+    * gate SF the fixture's near-dups all sit in the 0.9 bucket with
+    * recall 10000 — the curve gets its lower bands on corpora with
+    * mid-similarity pairs; the spec recomputes whatever bands exist.)
+    *
+    * Scale: runs both substrates ONCE each (the composite price is the
+    * sum, not a product — the join between them is pair-keyed and
+    * tiny), and at 100 TB this is the query you run on a SAMPLE: both
+    * parents scale independently, the calibration join never exceeds
+    * the ground-truth pair count. Bucketing multiplies the ROUNDED r4
+    * jaccard (bit-identical both engines) by 10 and floors — exact by
+    * the shared-double argument, no knife edge.
+    */
+  def dedupTierRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = dedupPrefixJaccard(spark, dir)
+    val lsh = verifiedPairs(docs)
+      .select(col("id_a"), col("id_b"), lit(1L).as("found"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .withColumn("bucket",
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_lsh_found"))
+      .withColumn("recall_bps", expr("n_lsh_found * 10000 div n_exact"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Oracle for [[dedupTierRecall]]: the MinHash stack (→ vp) and the
+    * prefix stack share their t/sh/shx head; the prefix tail is
+    * inlined with renamed CTEs (pcand/exact) to avoid the `cand`
+    * collision between the two published stacks.
+    */
+  private val TierRecallOracle: String =
+    s"""WITH $MinhashPipelineCtes,
+      |dfreq AS (SELECT s, count(*) AS df FROM shx GROUP BY s),
+      |rk AS (
+      |  SELECT shx.doc_id, shx.s,
+      |    row_number() OVER (PARTITION BY shx.doc_id
+      |      ORDER BY dfreq.df, shx.s) AS rn,
+      |    count(*) OVER (PARTITION BY shx.doc_id) AS sz
+      |  FROM shx JOIN dfreq USING (s)),
+      |pre AS (SELECT doc_id, s FROM rk
+      |  WHERE rn <= sz - ceil(sz * $PrefixJaccardT) + 1),
+      |pcand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pre a JOIN pre b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |exact AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(cast(len(list_intersect(sa.g, sb.g)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(sa.g, sb.g))), 4) AS jaccard
+      |  FROM pcand c JOIN sh sa ON sa.doc_id = c.id_a
+      |  JOIN sh sb ON sb.doc_id = c.id_b
+      |  WHERE cast(len(list_intersect(sa.g, sb.g)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(sa.g, sb.g))) >= $PrefixJaccardT),
+      |mrk AS (
+      |  SELECT e.jaccard,
+      |    CASE WHEN vp.id_a IS NOT NULL THEN 1 ELSE 0 END AS found
+      |  FROM exact e LEFT JOIN vp
+      |    ON vp.id_a = e.id_a AND vp.id_b = e.id_b)
+      |SELECT least(cast(floor(jaccard * 10) AS BIGINT), 9) AS bucket,
+      |  cast(count(*) AS BIGINT) AS n_exact,
+      |  cast(sum(found) AS BIGINT) AS n_lsh_found,
+      |  cast(sum(found) * 10000 // count(*) AS BIGINT) AS recall_bps
+      |FROM mrk GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
+    QueryDef("dedup_tier_recall", dedupTierRecall _, TierRecallOracle),
     QueryDef("dedup_prefix_jaccard", dedupPrefixJaccard _,
       PrefixJaccardOracle),
     // components over the (now SQL-expressible) verified pairs: the

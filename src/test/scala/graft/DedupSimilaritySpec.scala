@@ -518,6 +518,27 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
       && math.abs(self.head.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("dedup_tier_recall: bucket table recomputes from the two parent tiers") {
+    val out = Dedup.dedupTierRecall(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exact = Dedup.dedupPrefixJaccard(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = Dedup.dedupMinhashLsh(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no exact pairs — probe nothing")
+    val expect = exact.groupBy { case (_, _, j) =>
+      math.min(math.floor(j * 10).toLong, 9L)
+    }.map { case (b, ps) =>
+      val found = ps.count(p => lsh.contains((p._1, p._2))).toLong
+      (b, ps.length.toLong, found, found * 10000 / ps.length)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq === expect)
+    // recall is a fraction; found pairs never exceed ground truth
+    out.foreach { case (_, n, f, bps) =>
+      assert(f <= n && bps <= 10000L)
+    }
+  }
+
   test("emb_matryoshka: driver recompute, monotone ladder, full-dim identity") {
     val out = graft.operators.Embeddings.embMatryoshka(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
