@@ -153,10 +153,16 @@ object TextAnalysis4 {
     * top-k filter lowers to WindowGroupLimit so each map task ships k
     * rows per query. Float discipline: every score input (tf, df, dl,
     * N, Σdl) is an exact integer; the per-term contribution runs the
-    * identical IEEE op sequence in both engines, the per-pair sum
-    * folds in sorted term order (collect → sort_array → fold, the q82
-    * idiom), and only then is the r4 grain applied — ln carries the
-    * documented rule-14 drift budget, value-pinned, never rank-ordered.
+    * identical IEEE op sequence in both engines and is then pinned to
+    * an exact integer NANO-unit (floor(c·1e9 + 0.5) as long) BEFORE the
+    * per-pair sum — integer addition is order-independent, so the score
+    * can never move with partitioning, with no per-group array
+    * buffering (the emb_matryoshka discipline; the collect→sort→fold
+    * form this replaced allocated an array per (query, doc) group —
+    * measurable GC pressure at the 100× probe volume). The final
+    * nano→double division and r4 grain are the same op sequence both
+    * engines; ln carries the documented rule-14 drift budget,
+    * value-pinned, never rank-ordered.
     */
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -195,13 +201,14 @@ object TextAnalysis4 {
       .join(broadcast(dfT), Seq("w"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(scalars))
-      .withColumn("contrib", contrib)
+      .withColumn("contrib_nano",
+        floor(contrib * 1e9 + 0.5).cast("long"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_match"), sum(col("tf")).as("tot_tf"),
         min(col("dl")).as("dl"),
-        sort_array(collect_list(struct(col("w"), col("contrib")))).as("cl"))
-      .withColumn("score", Tables.r4(aggregate(col("cl"), lit(0.0),
-        (acc, x) => acc + x.getField("contrib"))))
+        sum(col("contrib_nano")).as("score_nano"))
+      .withColumn("score",
+        Tables.r4(col("score_nano").cast("double") / 1e9))
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= Bm25TopK)
       .select(col("query_id"), col("rank"), col("doc_id"), col("n_match"),
@@ -248,15 +255,17 @@ object TextAnalysis4 {
       |    cast(count(*) AS BIGINT) AS n_match,
       |    cast(sum(tf) AS BIGINT) AS tot_tf,
       |    min(dl) AS dl,
-      |    list_reduce(list_prepend(0.0, list(contrib ORDER BY w)),
-      |      (a, b) -> a + b) AS score
+      |    cast(sum(cast(floor(contrib * 1000000000.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS score_nano
       |  FROM con GROUP BY query_id, doc_id),
       |r AS (
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY n_match DESC, tot_tf DESC, dl, doc_id) AS rnk
       |  FROM g)
       |SELECT query_id, cast(rnk AS BIGINT) AS rank, doc_id, n_match,
-      |  tot_tf, dl, floor(score * 10000 + 0.5) / 10000 AS score
+      |  tot_tf, dl,
+      |  floor(cast(score_nano AS DOUBLE) / 1000000000.0 * 10000 + 0.5)
+      |    / 10000 AS score
       |FROM r WHERE rnk <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
 
   val registry: Seq[QueryDef] = Seq(

@@ -62,12 +62,14 @@ class TextAnalysis4Spec extends AnyFunSuite with SparkTestBase {
     val qws = docs(qid).distinct.take(3)
     val dtoks = docs(did)
     val dlD = dtoks.length.toDouble
-    val score = qws.filter(dtoks.contains).sorted.map { w =>
+    val scoreNano = qws.filter(dtoks.contains).map { w =>
       val tf = dtoks.count(_ == w).toDouble
       val idf = math.log(1.0 + (n - dfm(w) + 0.5) / (dfm(w) + 0.5))
-      idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dlD / avgdl))))
-    }.foldLeft(0.0)(_ + _)
-    assert(probe.getDouble(6) === math.floor(score * 10000 + 0.5) / 10000,
+      val c = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dlD / avgdl))))
+      math.floor(c * 1e9 + 0.5).toLong
+    }.sum
+    assert(probe.getDouble(6) ===
+      math.floor(scoreNano.toDouble / 1e9 * 10000 + 0.5) / 10000,
       s"query $qid doc $did score recompute")
   }
 }
