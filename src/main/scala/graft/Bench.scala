@@ -132,8 +132,12 @@ object Bench {
   }
 
   /** Per-query JVM-cost snapshot for cold-lane attribution (see the
-    * SPARK_GRAFT_BENCH_DIAG note in [[main]]). All counters are
-    * process-cumulative; the diag lane records per-query DELTAS.
+    * SPARK_GRAFT_BENCH_DIAG note in [[main]]). The cumulative counters
+    * (gc/jit/codegen/classes) are recorded as per-query DELTAS; heap is
+    * emitted as `heap_mb_after`, the ABSOLUTE post-query snapshot — a
+    * heap delta without a forced GC is allocation noise, while the
+    * snapshot sequence shows suite-long heap growth, which is what the
+    * diag lane attributes.
     */
   private[graft] final case class JvmCosts(
       gcMs: Long, jitMs: Long, codegenCompiles: Long, classesLoaded: Long,
@@ -224,7 +228,7 @@ object Bench {
             s""""gc_ms":${a.gcMs - b.gcMs},"jit_ms":${a.jitMs - b.jitMs},""" +
             s""""codegen":${a.codegenCompiles - b.codegenCompiles},""" +
             s""""classes":${a.classesLoaded - b.classesLoaded},""" +
-            s""""heap_mb":${a.heapUsedMb}}"""
+            s""""heap_mb_after":${a.heapUsedMb}}"""
         }
         Some(name -> sec)
       } catch { case e: Throwable =>

@@ -114,7 +114,12 @@ object MediaHeaders {
           return Unsupported("JPEG SOS before any usable SOF")
         val dataStart = off + 2 + len
         val dataBytes = b.length - dataStart - 2 // entropy stream, minus EOI
+        // dataBytes assumes a trailing EOI — verify it, else the count is
+        // silently wrong (stream cut mid-scan, or trailing garbage).
+        val hasEoi = b.length >= 2 &&
+          (b(b.length - 2) & 0xff) == 0xff && (b(b.length - 1) & 0xff) == 0xd9
         return if (dataBytes < 0) Unsupported("JPEG truncated inside the scan header")
+          else if (!hasEoi) Unsupported("JPEG scan does not end with EOI")
           else ImageInfo("jpeg", width, height, dataBytes)
       }
       off += 2 + len

@@ -584,21 +584,31 @@ object Similarity {
       val n = math.sqrt(q.map(x => x.toDouble * x).sum)
       if (n == 0) q.map(_.toDouble) else q.map(_ / n)
     }
+    // Two per-cell query constants with distinct jobs: the ADC score
+    // term must be the UN-normalized dot(q, c), because residuals are
+    // defined against the raw centroid (r = normalize(v) - c), so the
+    // exact decomposition is dot(q, v̂) = dot(q, c) + dot(q, r) — a
+    // normalized constant would bias every cell's shortlist scores by
+    // its centroid norm. The normalized cosine is kept ONLY to rank
+    // cells for probe selection (where scale-invariance is what you
+    // want: pick directions, not magnitudes).
+    val cellDot: Array[Double] = cents.map { c =>
+      qn.indices.map(i => qn(i) * c(i)).sum
+    }
     // probe order: cosine desc, tie → larger cell id (the kernel's >=
     // argmax prefers larger ids, so the probe set matches assignment)
-    val cellConst: Array[Double] = cents.map { c =>
-      val dot = qn.indices.map(i => qn(i) * c(i)).sum
+    val cellCos: Array[Double] = cents.zipWithIndex.map { case (c, i) =>
       val nc = math.sqrt(c.map(x => x.toDouble * x).sum)
-      if (nc == 0) 0.0 else dot / nc
+      if (nc == 0) 0.0 else cellDot(i) / nc
     }
-    val probes = cellConst.zipWithIndex.sortBy { case (s, i) => (-s, -i) }
+    val probes = cellCos.zipWithIndex.sortBy { case (s, i) => (-s, -i) }
       .take(IvfPqProbes).map(_._2)
     val lut: Array[Double] = Array.tabulate(PqM * PqK) { i =>
       val m = i / PqK; val k = i % PqK
       (0 until PqD).map(d => qn(m * PqD + d) * books(m)(k)(d)).sum
     }
     val lutCol = typedLit(lut)
-    val constCol = typedLit(cellConst)
+    val constCol = typedLit(cellDot)
     val enc = graft.functions.IvfPqEncode(col("embedding"), cents, books)
     val adcIp = element_at(constCol, element_at(col("enc"), 1) + 1) +
       aggregate(

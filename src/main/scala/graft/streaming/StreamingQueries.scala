@@ -73,12 +73,44 @@ object StreamingQueries {
     */
   private val StaleGenerationsKept = 3
   /** Orphaned checkpoints from killed JVMs (shutdown hooks never run on
-    * SIGKILL/OOM-kill) are reclaimed by this startup sweep: any
-    * `graft_*` temp dir older than this many hours predates every
-    * process that could still read it (a bench/verify/test JVM lives
-    * minutes), so deleting it cannot race a concurrent live run.
+    * SIGKILL/OOM-kill) are reclaimed by this startup sweep. Two guards
+    * make the sweep safe against OTHER live JVMs: (1) scope — only dir
+    * names matching [[OwnedCheckpointPrefixes]], the exact prefixes
+    * [[tempCheckpointDir]] itself creates, are candidates (a `graft_wh`
+    * warehouse dir from the test harness is never touched, however old
+    * its top-level mtime — nested RocksDB writes don't refresh it);
+    * (2) liveness — every dir this module creates carries a
+    * [[OwnerPidFile]] marker, and a dir whose recorded owner process is
+    * still alive is skipped regardless of age. The age cutoff remains
+    * as a backstop for marker-less dirs from pre-marker generations.
     */
   private val OrphanSweepHours = 12L
+
+  /** Checkpoint-dir name prefixes THIS module creates — must list every
+    * [[tempCheckpointDir]] call-site prefix. The orphan sweep deletes
+    * only these.
+    */
+  private val OwnedCheckpointPrefixes = Seq("graft_tws_state", "graft_state_ins")
+  private val OwnerPidFile = "GRAFT_OWNER_PID"
+
+  private def writeOwnerPid(dir: java.nio.file.Path): Unit =
+    try java.nio.file.Files.write(dir.resolve(OwnerPidFile),
+      ProcessHandle.current.pid.toString.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+
+  /** True when the dir carries a pid marker whose process is alive (or
+    * a marker we can't read — keep, be safe). Marker-less dirs return
+    * false: they predate the marker scheme and age alone decides.
+    */
+  private def ownerAlive(dir: java.io.File): Boolean = {
+    val f = new java.io.File(dir, OwnerPidFile)
+    if (!f.exists) false
+    else try {
+      val pid = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+      pid != ProcessHandle.current.pid && ProcessHandle.of(pid).isPresent
+    } catch { case _: Throwable => true }
+  }
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       pendingCheckpoints.values.forEach { p =>
@@ -93,8 +125,10 @@ object StreamingQueries {
       val cutoff = System.currentTimeMillis - OrphanSweepHours * 3600 * 1000L
       val orphans = tmp.listFiles()
       if (orphans != null) orphans.foreach { f =>
-        if (f.isDirectory && f.getName.startsWith("graft_") &&
-          f.lastModified < cutoff) try rmTree(f) catch { case _: Throwable => () }
+        if (f.isDirectory &&
+          OwnedCheckpointPrefixes.exists(f.getName.startsWith) &&
+          f.lastModified < cutoff && !ownerAlive(f))
+          try rmTree(f) catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
   }
@@ -113,6 +147,7 @@ object StreamingQueries {
     */
   private def tempCheckpointDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
+    writeOwnerPid(dir)
     val prev = pendingCheckpoints.put(prefix, dir)
     if (prev != null) {
       val dq = staleCheckpoints.computeIfAbsent(prefix,

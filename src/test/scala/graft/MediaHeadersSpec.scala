@@ -176,6 +176,13 @@ class MediaHeadersSpec extends AnyFunSuite {
     // EOI immediately after SOI: no scan ever starts
     assert(MediaHeaders.probe(Array(0xff.toByte, 0xd8.toByte,
       0xff.toByte, 0xd9.toByte)).isInstanceOf[Unsupported])
+    // missing trailing EOI: dataBytes would be silently wrong, so the
+    // stream must quarantine, not report a corrupted count
+    assert(MediaHeaders.probe(jpg.dropRight(1)).isInstanceOf[Unsupported])
+    assert(MediaHeaders.probe(jpg.dropRight(2)).isInstanceOf[Unsupported])
+    // trailing garbage after EOI: same rule — the count is not the scan
+    assert(MediaHeaders.probe(jpg ++ Array[Byte](0, 0, 0))
+      .isInstanceOf[Unsupported])
   }
 
   test("poison payloads are data, not exceptions") {
