@@ -65,6 +65,91 @@ object Quality {
        |  $mn AS min_value, $mx AS max_value FROM lineitem""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
+  /** Approximate twin of [[dqProfile]] — the registered 100 TB shape.
+    * The exact profile's cost is the multi-distinct Expand: five
+    * `count(distinct)` in one aggregate multiply every row ×5 before
+    * the shuffle, the suite's most expensive lane. This twin replaces
+    * them with one HLL sketch per column (`approx_count_distinct`,
+    * rsd 0.01) so the production scan is a SINGLE pass with NO row
+    * expansion — partial sketches merge map-side, the shuffle ships
+    * five ~24 KB HLL buffers total, and the shape is flat in corpus
+    * size. Oracle discipline (the q32/q37 exact-bracket idiom): the
+    * output carries the exact distinct count plus a boolean pinning
+    * the sketch within 5 % of it — deterministic for fixed data, so
+    * DuckDB replays the boolean as a literal TRUE and a sketch
+    * regression breaks the hash loudly. The exact side is
+    * VERIFICATION cost, not the production shape, and deliberately
+    * avoids the Expand: explode to (column, value-string) pairs —
+    * injective casts, so per-column string distincts equal raw
+    * distincts — then a two-level aggregate whose first level
+    * collapses duplicates map-side before anything shuffles.
+    */
+  /** Per-column HLL precision for [[dqProfileApprox]]. Spark's HLL++
+    * has no sparse-exact small-range mode, so even a cardinality-50
+    * column can read a few percent off at the default rsd 0.05
+    * (measured: l_quantity 47 vs 50 = 6 %, outside the bracket); the
+    * numeric/temporal/key columns therefore carry a tightened 0.02
+    * sketch (measured max error 2.0 % at both test SFs — 2.5× inside
+    * the bracket), while the enum-ish flag columns (cardinality 2–3,
+    * estimated exactly at every rsd) keep the default. Register cost
+    * scales as 1/rsd²; the tightened sketches are the measured
+    * cost/precision knee (0.01 is 3× slower for precision the bracket
+    * doesn't need).
+    */
+  private val ApproxRsd: Map[String, Double] = Map(
+    "l_returnflag" -> 0.05, "l_linestatus" -> 0.05).withDefaultValue(0.02)
+
+  def dqProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def asStr(c: Column, isTs: Boolean): Column =
+      if (isTs) date_format(c, "yyyy-MM-dd HH:mm:ss") else c.cast("string")
+    // production scan: ONE pass, no Expand
+    val aggs = ProfileCols.flatMap { case (c, isTs) =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        approx_count_distinct(col(c), ApproxRsd(c)).as(s"ad_$c"),
+        asStr(min(col(c)), isTs).as(s"mn_$c"),
+        asStr(max(col(c)), isTs).as(s"mx_$c"))
+    }
+    val row = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = s"stack(${ProfileCols.length}, " + ProfileCols.map {
+      case (c, _) => s"'$c', nn_$c, ad_$c, mn_$c, mx_$c"
+    }.mkString(", ") +
+      ") AS (column_name, n_nonnull, n_approx, min_value, max_value)"
+    val approx = row.select(col("n_rows"), expr(stackExpr))
+    // verification side: exact distincts, Expand-free. posexplode keeps
+    // the shuffled key an int (the name string is re-attached to the
+    // final 5 rows from a literal array), and the first-level distinct
+    // collapses duplicate values map-side before anything moves.
+    val nameArr = typedLit(ProfileCols.map(_._1))
+    val exact = li.select(posexplode(array(ProfileCols.map { case (c, _) =>
+        col(c).cast("string")
+      }: _*)).as(Seq("i", "v")))
+      .where(col("v").isNotNull)
+      .distinct()
+      .groupBy(col("i")).agg(count(lit(1)).as("n_distinct"))
+      .select(element_at(nameArr, col("i") + 1).as("column_name"),
+        col("n_distinct"))
+    approx.join(broadcast(exact), Seq("column_name"))
+      .select(col("column_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"),
+        (abs(col("n_approx") - col("n_distinct"))
+          <= col("n_distinct") * 0.05).as("in_bracket"))
+      .orderBy(col("column_name"))
+  }
+
+  private val DqProfileApproxOracle: String = ProfileCols.map { case (c, isTs) =>
+    val mn = if (isTs) s"strftime(min($c), '%Y-%m-%d %H:%M:%S')"
+             else s"cast(min($c) AS VARCHAR)"
+    val mx = if (isTs) s"strftime(max($c), '%Y-%m-%d %H:%M:%S')"
+             else s"cast(max($c) AS VARCHAR)"
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  $mn AS min_value, $mx AS max_value,
+       |  true AS in_bracket FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+
   /** Constraint-validation suite (check_name, n_violations, pass) —
     * uniqueness, referential integrity, and range checks with one row
     * per rule, the output a quality gate alerts on. Scan discipline:
@@ -314,6 +399,7 @@ object Quality {
 
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q74_dq_profile", dqProfile _, DqProfileOracle),
+    QueryDef("q74b_dq_profile_approx", dqProfileApprox _, DqProfileApproxOracle),
     QueryDef("q75_dq_checks", dqChecks _, DqChecksOracle),
     QueryDef("q76_state_diff", stateDiff _, StateDiffOracle),
     QueryDef("q77_triangle_count", triangleCount _, TriangleOracle),

@@ -88,6 +88,13 @@ object PlanAudit {
       // all profile aggregates fuse into ONE scan (multi-distinct
       // Expand), not one pass per column
       "q74_dq_profile" -> Seq(("single-scan", m => m("scans") == 1)),
+      // the approx twin's PRODUCTION scan has NO Expand (HLL sketches,
+      // not multi-distinct); the second scan is the exact-bracket
+      // verification pass, joined back by broadcast — never SMJ
+      "q74b_dq_profile_approx" -> Seq(
+        ("no-expand-broadcast-bracket",
+          m => m("expand") == 0 && m("scans") == 2 &&
+            m("bhj") >= 1 && m("smj") == 0)),
       // r9 rewrite: the per-stratum median is a two-pass histogram rank
       // — NO row_number window over whole strata, NO single-partition
       // exchange anywhere in the plan
@@ -426,6 +433,8 @@ object PlanAudit {
         // through one task) and the window functions whose global forms
         // the r9 rewrites removed — the q118/q120 assertions pin them
         "spx" -> count("Exchange SinglePartition"),
+        // multi-distinct row multiplication — the q74/q74b cost split
+        "expand" -> count("\\bExpand\\b"),
         "ntile" -> count("ntile\\("),
         "rownum" -> count("row_number\\("),
         "stateOps" -> count("StateStore|SessionWindowStateStore|StreamingDeduplicate|TransformWithState|FlatMapGroupsWithState|StreamingSymmetricHashJoin"))

@@ -26,6 +26,25 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       li.select("l_quantity").distinct().count())
   }
 
+  test("dq_profile_approx: exact columns equal the exact twin, brackets hold") {
+    val approx = Quality.dqProfileApprox(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Quality.dqProfile(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // the non-sketch columns are the exact twin's, verbatim
+      assert(a.getLong(1) === e.getLong(1), s"$c n_rows")
+      assert(a.getLong(2) === e.getLong(2), s"$c n_nulls")
+      assert(a.getLong(3) === e.getLong(3), s"$c n_distinct")
+      assert(a.getString(4) === e.getString(4), s"$c min_value")
+      assert(a.getString(5) === e.getString(5), s"$c max_value")
+      // the oracle replays in_bracket as literal TRUE — it must BE true
+      assert(a.getBoolean(6), s"$c HLL estimate outside the 5% bracket")
+    }
+  }
+
   test("dq_checks: clean generated data passes PK/FK; counts recompute") {
     val checks = Quality.dqChecks(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
