@@ -274,6 +274,84 @@ object MediaHeaders {
     bb.array()
   }
 
+  /** A fully decoded 24-bit raster: `content` is the pixel bytes in
+    * LOGICAL order — top row first, row-major, BGR per pixel (the BMP
+    * channel order) — with the file's bottom-up storage and row padding
+    * already undone. length == width*height*3 by construction.
+    */
+  final case class Raster(width: Int, height: Int, content: Array[Byte])
+
+  /** Row stride of a 24-bit BMP: pixel rows are padded to a 4-byte
+    * boundary on disk — the arithmetic both the writer and parser share.
+    */
+  def bmpStride(width: Int): Int = ((3 * width + 3) / 4) * 4
+
+  /** Build a real 24-bit BMP whose pixel ARRAY is spec-faithful too —
+    * unlike [[bmpWrap]] (an arbitrary byte payload behind an honest
+    * header, enough for header-level decode), this writes a true
+    * raster: `content` (logical top-down row-major BGR, length must be
+    * width*height*3) is stored BOTTOM-UP with each row padded to a
+    * 4-byte stride, as positive-height BI_RGB requires. Padding bytes
+    * are 0xAA, NOT zero — a parser that leaks padding into pixel stats
+    * gets loudly wrong sums instead of silently plausible ones.
+    */
+  def bmpWrapRaster(width: Int, height: Int,
+      content: Array[Byte]): Array[Byte] = {
+    require(content.length == width * height * 3,
+      s"raster content must be w*h*3 = ${width * height * 3}, got ${content.length}")
+    val stride = bmpStride(width)
+    val pixels = Array.fill[Byte](stride * height)(0xaa.toByte)
+    var r = 0
+    while (r < height) {
+      // logical row r (0 = top) lands at storage row (height-1-r)
+      System.arraycopy(content, r * width * 3,
+        pixels, (height - 1 - r) * stride, width * 3)
+      r += 1
+    }
+    bmpWrap(pixels, width, height)
+  }
+
+  /** CONTENT-level BMP decode: parse the headers, then walk the pixel
+    * array with the stride/padding/bottom-up arithmetic and return the
+    * raster in logical order. Strict where content arithmetic demands
+    * it — 24-bit BI_RGB only (palette or compressed forms would need a
+    * codec), the declared geometry must fit inside the payload, and
+    * both storage orders are honored (negative height = top-down, the
+    * spec's opt-out of the bottom-up default). Malformed streams return
+    * Left(reason) — quarantine data, never task failures.
+    */
+  def bmpRaster(b: Array[Byte]): Either[String, Raster] = {
+    if (b == null || b.length < 54) return Left("BMP truncated before DIB header")
+    if (b(0) != 'B' || b(1) != 'M') return Left("not a BMP magic")
+    val dibSize = leInt(b, 14)
+    if (dibSize < 40) return Left(s"unsupported DIB header size $dibSize")
+    val width = leInt(b, 18)
+    val heightRaw = leInt(b, 22)
+    val bits = leShort(b, 28)
+    val compression = leInt(b, 30)
+    if (width <= 0 || heightRaw == 0)
+      return Left(s"implausible BMP geometry w=$width h=$heightRaw")
+    if (bits != 24 || compression != 0)
+      return Left(s"content decode needs 24-bit BI_RGB, got bits=$bits comp=$compression")
+    val height = math.abs(heightRaw)
+    val bottomUp = heightRaw > 0
+    val off = leInt(b, 10)
+    val stride = bmpStride(width)
+    if (off < 54 || off.toLong + stride.toLong * height > b.length)
+      return Left(s"pixel array overruns payload (off=$off stride=$stride h=$height len=${b.length})")
+    if (width.toLong * height * 3 > Int.MaxValue)
+      return Left(s"raster too large to materialize (w=$width h=$height)")
+    val content = new Array[Byte](width * height * 3)
+    var r = 0
+    while (r < height) {
+      val storageRow = if (bottomUp) height - 1 - r else r
+      System.arraycopy(b, off + storageRow * stride,
+        content, r * width * 3, width * 3)
+      r += 1
+    }
+    Right(Raster(width, height, content))
+  }
+
   /** Build a real PNG container around arbitrary bytes: magic, a
     * spec-faithful IHDR (8-bit truecolor), ONE IDAT chunk holding the
     * payload, and IEND — the PNG twin of [[bmpWrap]]. Chunk CRCs are

@@ -151,6 +151,111 @@ object Multimodal {
         col("height").cast("long").as("height"), col("out_w"), col("out_h"))
       .orderBy(col("doc_id"))
 
+  /** True-raster fixture synthesis for the CONTENT-level queries: a
+    * spec-faithful 24-bit BMP whose pixel array is the real thing —
+    * bottom-up rows, 4-byte stride padding (pad bytes 0xAA so a
+    * stride bug shows up in the sums), geometry small enough
+    * (8–44 × 8–30) that the oracle can regenerate every pixel with
+    * generate_series. Pixel content: logical content index i (top-down
+    * row-major, BGR) carries the byte ((i + 7·doc_id) mod 256) — the
+    * formula the oracle replays. The DECODER never sees this formula;
+    * it earns the values by undoing the storage layout byte-by-byte.
+    */
+  private def rasterDims(n: Int): (Int, Int) =
+    (8 + n % 37, 8 + (n * 13) % 23)
+
+  private val bmpRasterContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    val n = bytes.length
+    val (w, h) = rasterDims(n)
+    val content = Array.tabulate(w * h * 3)(i => ((i + 7 * docId) % 256).toByte)
+    MediaHeaders.bmpWrapRaster(w, h, content)
+  }
+
+  private def asRasterMedia(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      bmpRasterContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+
+  /** Content-level image statistics — the first decoder in the family
+    * to read PIXELS, not just headers: per-channel sums, global
+    * min/max, and the top-row sum over the genuinely decoded raster
+    * ([[MediaHeaders.bmpRaster]] undoes bottom-up storage and stride
+    * padding; 0xAA pad bytes poison the sums if the walk is off by
+    * even one byte, and top_row_sum is wrong unless the row-order flip
+    * is honored). Same narrow batch shape as [[mmDecode]]: a
+    * per-partition map, no shuffle until the output sort. At 100 TB
+    * this is the honest CPU profile of a decode stage — content bytes
+    * dominate, which is why the header-only queries exist beside it.
+    */
+  def mmPixelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asRasterMedia(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaHeaders.bmpRaster(payload) match {
+            case Right(rst) =>
+              val c = rst.content
+              var bSum = 0L; var gSum = 0L; var rSum = 0L
+              var mn = 255; var mx = 0; var topSum = 0L
+              val topLen = 3 * rst.width
+              var i = 0
+              while (i < c.length) {
+                val v = c(i) & 0xff
+                (i % 3: @annotation.switch) match {
+                  case 0 => bSum += v
+                  case 1 => gSum += v
+                  case _ => rSum += v
+                }
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                if (i < topLen) topSum += v
+                i += 1
+              }
+              (id, rst.width.toLong, rst.height.toLong,
+                rst.width.toLong * rst.height, bSum, gSum, rSum,
+                mn.toLong, mx.toLong, topSum)
+            case Left(_) => (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "blue_sum",
+        "green_sum", "red_sum", "px_min", "px_max", "top_row_sum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content-level nearest-neighbor resize to a 4×4 thumbnail — the
+    * real downsample arithmetic (source pixel (⌊ry·h/4⌋, ⌊rx·w/4⌋) per
+    * target cell) over genuinely decoded pixel bytes, replacing
+    * [[mmResize]]'s geometry-only aspect math for the content path.
+    * One output row per thumbnail cell with its BGR sample. The
+    * thumbnail is deliberately tiny: the POINT is the positional
+    * mapping (any storage-layout mistake moves which byte each cell
+    * samples), not the output volume.
+    */
+  def mmPixelResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asRasterMedia(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          MediaHeaders.bmpRaster(payload) match {
+            case Right(rst) =>
+              for (ry <- 0 until 4; rx <- 0 until 4) yield {
+                val base = ((ry * rst.height / 4) * rst.width
+                  + (rx * rst.width / 4)) * 3
+                val c = rst.content
+                (id, ry.toLong, rx.toLong, (c(base) & 0xff).toLong,
+                  (c(base + 1) & 0xff).toLong, (c(base + 2) & 0xff).toLong)
+              }
+            case Left(_) => Seq.empty
+          }
+        }
+      }
+      .toDF("doc_id", "ry", "rx", "b", "g", "r")
+      .orderBy(col("doc_id"), col("ry"), col("rx"))
+  }
+
   /** Mixed-container synthesis for [[mmDecodeMixed]]: one quarter of
     * the corpus each as PNG / BMP / RIFF-WAVE / GIF by `doc_id % 4`,
     * with declared geometry a fixed function of the byte length — the
@@ -346,6 +451,47 @@ object Multimodal {
 
   val registry: Seq[QueryDef] = Seq(
     QueryDef("mm_phash_dedup", mmPhashDedup _, PhashOracle),
+    QueryDef("mm_pixel_stats", mmPixelStats _,
+      // CONTENT replay: the oracle regenerates every pixel byte from
+      // the synthesis formula ((i + 7*doc_id) mod 256 over logical
+      // index i) and recomputes the stats; Spark earns the same values
+      // by byte-walking the raster it wrapped — undoing bottom-up row
+      // order and 0xAA stride padding. Any layout mistake hash-fails.
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |dims AS (
+        |  SELECT doc_id, 8 + n % 37 AS w, 8 + (n * 13) % 23 AS h,
+        |    doc_id * 7 AS s FROM d),
+        |px AS (
+        |  SELECT doc_id, w, h, t.i AS i, (t.i + s) % 256 AS v
+        |  FROM dims, LATERAL unnest(generate_series(0, w*h*3 - 1)) AS t(i))
+        |SELECT doc_id, cast(w AS BIGINT) AS width, cast(h AS BIGINT) AS height,
+        |  cast(w*h AS BIGINT) AS n_pixels,
+        |  cast(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS blue_sum,
+        |  cast(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS green_sum,
+        |  cast(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS red_sum,
+        |  min(v) AS px_min, max(v) AS px_max,
+        |  cast(sum(CASE WHEN i < 3 * w THEN v ELSE 0 END) AS BIGINT) AS top_row_sum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
+    QueryDef("mm_pixel_resize", mmPixelResize _,
+      // nearest-neighbor replay: each 4x4 cell's source pixel index is
+      // pure integer arithmetic over (w, h); the oracle regenerates the
+      // three channel bytes at that index from the synthesis formula
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |dims AS (
+        |  SELECT doc_id, 8 + n % 37 AS w, 8 + (n * 13) % 23 AS h,
+        |    doc_id * 7 AS s FROM d),
+        |cells AS (
+        |  SELECT doc_id, w, h, s, ty.i AS ry, tx.i AS rx,
+        |    ((ty.i * h) // 4 * w + (tx.i * w) // 4) * 3 AS base
+        |  FROM dims, LATERAL unnest(generate_series(0, 3)) AS ty(i),
+        |    LATERAL unnest(generate_series(0, 3)) AS tx(i))
+        |SELECT doc_id, cast(ry AS BIGINT) AS ry, cast(rx AS BIGINT) AS rx,
+        |  (base + s) % 256 AS b,
+        |  (base + 1 + s) % 256 AS g,
+        |  (base + 2 + s) % 256 AS r
+        |FROM cells ORDER BY doc_id, ry, rx""".stripMargin),
     QueryDef("mm_decode_mixed", mmDecodeMixed _,
       // synthesis-formula replay per container family: geometry is a
       // function of the UTF-8 byte length n and doc_id % 4; Spark earns

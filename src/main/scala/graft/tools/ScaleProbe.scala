@@ -72,7 +72,16 @@ object ScaleProbe {
     // cross-replica matches stay impossible: the probe measures the
     // true inverted-index growth path (broadcast side grows too — the
     // ratio watches whether the term-keyed probe stays join-bound)
-    "text_bm25")
+    "text_bm25",
+    // round-11 addition: connected components — the second iterative
+    // graph lane (min-label propagation; q78 covers checkpointed
+    // message passing with fixed rounds, this one adds the
+    // convergence-detection probe per round). Replicated lineitem =
+    // N disjoint graph copies: |E| and component count grow ×N while
+    // round count stays the original's, so the probe isolates the
+    // per-round shuffle volume — the classic 100×-cliff shape the
+    // graph tier had not yet measured
+    "q109_components")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one

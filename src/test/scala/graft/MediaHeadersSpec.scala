@@ -185,6 +185,60 @@ class MediaHeadersSpec extends AnyFunSuite {
       .isInstanceOf[Unsupported])
   }
 
+  test("bmpWrapRaster stores bottom-up padded rows; bmpRaster undoes them") {
+    // 3x2 logical raster, content bytes 0..17 (row 0 = 0..8, row 1 = 9..17)
+    val content = Array.tabulate[Byte](18)(_.toByte)
+    val bmp = MediaHeaders.bmpWrapRaster(3, 2, content)
+    // stride: 3*3=9 -> padded to 12, so 3 pad bytes of 0xAA per row
+    assert(MediaHeaders.bmpStride(3) === 12)
+    assert(bmp.length === 54 + 24)
+    // storage row 0 (file offset 54) must be LOGICAL row 1 (bottom-up)
+    assert(bmp.slice(54, 63).toSeq === (9 to 17).map(_.toByte))
+    assert(bmp.slice(63, 66).toSeq === Seq.fill(3)(0xaa.toByte))
+    assert(bmp.slice(66, 75).toSeq === (0 to 8).map(_.toByte))
+    assert(bmp.slice(75, 78).toSeq === Seq.fill(3)(0xaa.toByte))
+    // the parser walks it back into logical order
+    val rst = MediaHeaders.bmpRaster(bmp).toOption.get
+    assert(rst.width === 3 && rst.height === 2)
+    assert(rst.content.toSeq === content.toSeq)
+    // header-level probe agrees on the geometry
+    assert(MediaHeaders.probe(bmp) ===
+      ImageInfo("bmp", 3, 2, 24))
+  }
+
+  test("bmpRaster honors top-down (negative height) storage") {
+    val content = Array.tabulate[Byte](18)(_.toByte)
+    val bmp = MediaHeaders.bmpWrapRaster(3, 2, content)
+    // flip biHeight to -2 and swap the two storage rows: same logical image
+    val neg = bmp.clone()
+    val bb = java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    val row0 = bmp.slice(54, 66); val row1 = bmp.slice(66, 78)
+    System.arraycopy(row1, 0, neg, 54, 12)
+    System.arraycopy(row0, 0, neg, 66, 12)
+    val rst = MediaHeaders.bmpRaster(neg).toOption.get
+    assert(rst.content.toSeq === content.toSeq)
+  }
+
+  test("bmpRaster quarantines what content decode cannot honor") {
+    val content = Array.tabulate[Byte](18)(_.toByte)
+    val bmp = MediaHeaders.bmpWrapRaster(3, 2, content)
+    // truncated pixel array
+    assert(MediaHeaders.bmpRaster(bmp.take(bmp.length - 1)).isLeft)
+    // 8-bit palette form: header-level probe would still read geometry,
+    // content decode must refuse (no palette logic without a codec)
+    val pal = bmp.clone()
+    java.nio.ByteBuffer.wrap(pal).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 8.toShort)
+    assert(MediaHeaders.bmpRaster(pal).isLeft)
+    // compressed form
+    val rle = bmp.clone()
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(30, 1)
+    assert(MediaHeaders.bmpRaster(rle).isLeft)
+    assert(MediaHeaders.bmpRaster(null).isLeft)
+  }
+
   test("poison payloads are data, not exceptions") {
     assert(MediaHeaders.probe(null).isInstanceOf[Unsupported])
     assert(MediaHeaders.probe(Array[Byte](1, 2, 3)).isInstanceOf[Unsupported])
