@@ -103,9 +103,18 @@ object Analytics5 {
   def shortestPath(spark: SparkSession, dir: String): DataFrame = {
     val wed = weightedEdges(spark, dir)
     val w = when(col("n") >= 3, 1).when(col("n") === 2, 2).otherwise(4)
-    val ew = wed.select(col("u"), col("v"), w.as("w"))
-      .union(wed.select(col("v").as("u"), col("u").as("v"), w.as("w")))
-      .localCheckpoint()
+    // partition+sort by the relaxation join key and CACHE — the
+    // InMemoryTableScan keeps |E| out of every round's exchange and
+    // sort (see Analytics.coPurchaseEdges for why cache, not
+    // localCheckpoint, is the partitioning-preserving truncation)
+    val ew = IterCache.getOrBuild(s"sssp-ew:$dir") {
+      val np = spark.sessionState.conf.numShufflePartitions
+      wed.select(col("u"), col("v"), w.as("w"))
+        .union(wed.select(col("v").as("u"), col("u").as("v"), w.as("w")))
+        .repartition(np, col("u"))
+        .sortWithinPartitions(col("u"))
+        .persist()
+    }
     // checkpoint the seed too: it derives from ew, and the relaxation
     // join would otherwise be an ambiguous self-join
     var dist = ew.agg(min(col("u")).as("node"))
@@ -158,9 +167,16 @@ object Analytics5 {
     */
   def components(spark: SparkSession, dir: String): DataFrame = {
     val wed = weightedEdges(spark, dir).filter(col("n") >= CompThreshold)
-    val e = wed.select(col("u"), col("v"))
-      .union(wed.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+    // same partition-preserving CACHE discipline as shortestPath's ew:
+    // the label-propagation join re-keys on u every round
+    val e = IterCache.getOrBuild(s"components-e:$dir") {
+      val np = spark.sessionState.conf.numShufflePartitions
+      wed.select(col("u"), col("v"))
+        .union(wed.select(col("v").as("u"), col("u").as("v")))
+        .repartition(np, col("u"))
+        .sortWithinPartitions(col("u"))
+        .persist()
+    }
     var labels = e.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()

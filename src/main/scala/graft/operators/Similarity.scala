@@ -329,11 +329,26 @@ object Similarity {
     * and vec→argmax-centroid assignment is already hash-verified by
     * cluster_kmeans's own oracle.
     */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    val cents = ivfCentroids(spark, dir)
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticK(spark, dir, 16)
+
+  /** k-parameterized form of [[dedupSemantic]] — the registered query
+    * pins k=16 (the fixture-calibrated cell count its partial oracle
+    * replays); the SCALE probe calls this with k ∝ corpus size, the
+    * published SemDeDup discipline (cluster size, not cluster count,
+    * is the bounded quantity — Σ|c|² stays linear in N only while
+    * |c| ≈ N/k is pinned). Seeds: first k vec_ids, the same
+    * deterministic seeding rule the k=16 form uses.
+    */
+  private[graft] def dedupSemanticK(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val embAll = Tables.embeddings(spark, dir)
+    val seeds = embAll.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val cents = lloydStep(embAll, seeds)
     // checkpoint: the assigned frame feeds BOTH sides of the
     // within-cluster join and the final kept-flag join
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embAll
       .select(col("vec_id"), col("embedding"),
         nearestCentroidIdx(cents, col("embedding")).cast("long")
           .as("cluster"))

@@ -81,7 +81,15 @@ object ScaleProbe {
     // round count stays the original's, so the probe isolates the
     // per-round shuffle volume — the classic 100×-cliff shape the
     // graph tier had not yet measured
-    "q109_components")
+    "q109_components",
+    // round-11 batch 2: fuzzy decontamination — replica-suffixed tokens
+    // grow corpus AND eval set ×factor with cross-replica collisions
+    // impossible, so candidates scale ×factor (per-replica structure)
+    // while the broadcast eval band/shingle tables grow with it: the
+    // probe watches whether the broadcast-side growth path stays
+    // join-bound (the documented flip past broadcastability is a
+    // term-keyed shuffle join, same as BM25's)
+    "pipeline_contamination_fuzzy")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one
@@ -104,8 +112,16 @@ object ScaleProbe {
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS: at 100× a 32-partition shuffle
+      // asks each task to hash-aggregate ~1/32 of a 100×-volume stage in
+      // memory — the graph-tier probe OOMs exactly there. A real cluster
+      // sizes shuffle partitions to data volume (or AQE coalesces from a
+      // high initialPartitionNum); this knob is that sizing for the
+      // 100× lanes. Default stays = CPUS so every historical sweep
+      // number remains comparable.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // hold the full suite's generated classes (see graft.Bench)
@@ -169,6 +185,55 @@ object ScaleProbe {
       return
     }
 
+    if (sys.env.contains("SPARK_GRAFT_SCALE_SEMANTIC")) {
+      // SEMANTIC SWEEP: dedup_semantic needs its own fixture — verbatim
+      // replica vectors would make every replica an exact within-cluster
+      // dup (cos = 1 ≥ τ) and measure only the k-too-small pathology.
+      // Here replica k>0 vectors are deterministic PERTURBATIONS
+      // (v' = 0.35·v + noise, cos(v,v') ≈ 0.35 < τ = 0.4): ×factor
+      // genuinely distinct vectors that still populate the same regions,
+      // so cluster SIZES grow ×factor — the operator's real exposure,
+      // because its pairwise step is Σ|c|². Two measurements: the
+      // registered fixed-k=16 form (cluster size ∝ N ⇒ quadratic by
+      // contract) and the production knob k = 16·factor (cluster size
+      // pinned ⇒ the linear path the docstring prescribes). Cluster
+      // second moments print alongside for attribution.
+      val semN = s"${outDir}_sem${factor}x"
+      buildSemanticScaled(spark, baseDir, semN, factor)
+      val b = time("dedup_semantic", baseDir)
+      val s = time("dedup_semantic", semN)
+      println(f"""{"q":"dedup_semantic","semantic":true,"k":16,""" +
+        f""""base_warm":$b%.3f,"scaled_warm":$s%.3f,""" +
+        f""""ratio":${s / b}%.3f,"factor":$factor}""")
+      def timeK(dir: String, k: Int): Double = {
+        def run(): Unit =
+          force(graft.operators.Similarity.dedupSemanticK(spark, dir, k))
+        run()
+        median((1 to passes).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        })
+      }
+      val sk = timeK(semN, 16 * factor)
+      println(f"""{"q":"dedup_semantic","semantic":true,"k":${16 * factor},""" +
+        f""""scaled_warm":$sk%.3f,"ratio_vs_base":${sk / b}%.3f,""" +
+        f""""factor":$factor}""")
+      // attribution: cluster count / max size / Σ|c|² and the drop rate
+      Seq((baseDir, 16, "1x"), (semN, 16, s"${factor}x"),
+        (semN, 16 * factor, s"${factor}x")).foreach { case (d, k, tag) =>
+        val out = graft.operators.Similarity.dedupSemanticK(spark, d, k)
+          .localCheckpoint()
+        val cs = out.groupBy(col("cluster")).count()
+          .agg(count(lit(1)), max(col("count")),
+            sum(col("count") * col("count"))).head()
+        val dropped = out.filter(!col("kept")).count()
+        println(s"""{"q":"dedup_semantic","semantic":true,"vol":"$tag",""" +
+          s""""k":$k,"n_clusters":${cs.getLong(0)},"max_cluster":${cs.getLong(1)},""" +
+          s""""sum_sq":${cs.getLong(2)},"n_dropped":$dropped}""")
+      }
+      spark.stop()
+      return
+    }
+
     buildScaled(spark, baseDir, outDir, factor)
 
     // SPARK_GRAFT_SCALE_ONLY: same comma/prefix spec as everywhere else
@@ -225,6 +290,42 @@ object ScaleProbe {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    ()
+  }
+
+  /** Semantic-sweep fixture: embeddings ×factor where replica k>0 is a
+    * deterministic PERTURBATION of the original, not a copy —
+    * v'_j = 0.35·v_j + 0.2·u_j with u_j = (xxhash64(vec_id,k,j) mod
+    * 2001 − 1000)/1000 ∈ [−1,1]. For unit-norm 64-dim vectors the noise
+    * part lands at ‖n‖ ≈ 0.92, so cos(v, v') ≈ 0.35 and cross-replica
+    * twins of the SAME original sit ≈ 0.12 (hash noise is decorrelated
+    * across k) — both safely under τ = 0.4: the fixture grows the
+    * corpus with genuinely distinct vectors that still fill the same
+    * regions, which is what makes cluster SIZES (the Σ|c|² driver)
+    * grow ×factor instead of manufacturing degenerate exact dups.
+    */
+  private def buildSemanticScaled(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    val marker = new java.io.File(outDir, "_READY")
+    val stamp = s"sem;factor=$factor;v=$FixtureVersion"
+    if (marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == stamp) return
+    new java.io.File(outDir).mkdirs()
+    val reps = broadcast(spark.range(factor).select(col("id").as("k")))
+    val em = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val emSpan = em.agg(max(col("vec_id"))).head.getLong(0) + 1
+    em.crossJoin(reps)
+      .withColumn("embedding",
+        when(col("k") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, j) =>
+            (x.cast("double") * 0.35 +
+              (pmod(xxhash64(col("vec_id"), col("k"), j), lit(2001L))
+                .cast("double") - 1000.0) / 1000.0 * 0.2).cast("float"))))
+      .select((col("vec_id") + col("k") * emSpan).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     ()
   }

@@ -38,6 +38,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestBase {
     assert(rounds2 === rounds)
   }
 
+  test("q78b registered form stops at the pinned round count") {
+    // the oracle unrolls EXACTLY ConvergedRounds CTEs and the query
+    // emits the data-driven count as a column — this pins the two at
+    // the spec level too, on the fixture the oracle gate replays
+    val out = Analytics.pagerankConvergedQuery(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) === Analytics.ConvergedRounds.toLong))
+    // and the eps=1e-6 stop fires at the same count on the next SF up,
+    // the corpus the driver's correctness gate runs at
+    val (_, roundsSf001) = Analytics.pagerankConverged(
+      spark, "/root/testdata/sf0.01", Analytics.ConvergedEps, 16)
+    assert(roundsSf001 === Analytics.ConvergedRounds)
+  }
+
   test("islands: span arithmetic holds and streaks don't touch") {
     val byUser = Analytics.activityIslands(spark, sf0001).collect()
       .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)),
