@@ -68,7 +68,12 @@ object Analytics {
     // always safe: an evicted cache recomputes from its logical plan)
     IterCache.getOrBuild(s"copurchase:$dir") {
       val n = spark.sessionState.conf.numShufflePartitions
-      und.union(und.select(col("v").as("u"), col("u").as("v")))
+      // both directions in one pass (explode, not self-union — the
+      // union form executes the distinct branch twice)
+      und.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .repartition(n, col("u"))
         .sortWithinPartitions(col("u"))
         .persist()

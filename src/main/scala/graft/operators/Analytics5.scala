@@ -23,8 +23,13 @@ object Analytics5 {
     * an integer distance (frequent pair = cheap hop): n≥3 → 1, n=2 → 2,
     * else 4. One self-join + one groupBy; at scale this is the same
     * single-shuffle shape as [[Analytics.coPurchaseEdges]] with an
-    * extra count, and the result is `localCheckpoint`ed since the
-    * iterative consumers reference it once per round (NOTES.md #10).
+    * extra count. Deliberately LAZY (no checkpoint): at the 100× probe
+    * volume this frame is ~120M rows and materializing it cost
+    * 83–108 s per query invocation — while components' thresholded
+    * graph kept just 200 of those rows. Each consumer instead caches
+    * the (much smaller, partition-pinned) frame IT iterates on, inside
+    * IterCache, so warm invocations skip this build entirely and the
+    * full-volume intermediate is never stored anywhere.
     */
   private def weightedEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -33,8 +38,7 @@ object Analytics5 {
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.ok").as("ok"), col("a.pk").as("u"), col("b.pk").as("v"))
       .distinct()
-    val wed = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
-    wed.localCheckpoint()
+    pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
   }
 
   /** The SQL twin of [[weightedEdges]] (CTE `wed`), shared by both
@@ -109,8 +113,12 @@ object Analytics5 {
     // localCheckpoint, is the partitioning-preserving truncation)
     val ew = IterCache.getOrBuild(s"sssp-ew:$dir") {
       val np = spark.sessionState.conf.numShufflePartitions
-      wed.select(col("u"), col("v"), w.as("w"))
-        .union(wed.select(col("v").as("u"), col("u").as("v"), w.as("w")))
+      // both directions in ONE pass over the (now-lazy) wed: a
+      // self-union would execute the aggregate branch twice
+      wed.select(explode(array(
+          struct(col("u"), col("v"), w.as("w")),
+          struct(col("v").as("u"), col("u").as("v"), w.as("w")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
         .repartition(np, col("u"))
         .sortWithinPartitions(col("u"))
         .persist()
@@ -171,8 +179,10 @@ object Analytics5 {
     // the label-propagation join re-keys on u every round
     val e = IterCache.getOrBuild(s"components-e:$dir") {
       val np = spark.sessionState.conf.numShufflePartitions
-      wed.select(col("u"), col("v"))
-        .union(wed.select(col("v").as("u"), col("u").as("v")))
+      wed.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .repartition(np, col("u"))
         .sortWithinPartitions(col("u"))
         .persist()

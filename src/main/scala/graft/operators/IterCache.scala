@@ -35,16 +35,22 @@ private[operators] object IterCache {
       val hit = lru.get(key)
       if (hit != null) hit
       else {
-        val df = build
-        df.count()
-        lru.put(key, df)
-        if (lru.size > MaxEntries) {
+        // evict BEFORE building: the new frame's materialization is the
+        // memory-hungriest moment, and an evicted-after-build policy
+        // leaves the outgoing entry resident exactly through it (the
+        // round-11 100× probe OOM'd on that ordering — q78's edge cache
+        // was still live while q109's build ran). Blocking unpersist so
+        // the storage is actually gone before the build starts.
+        while (lru.size >= MaxEntries) {
           val it = lru.entrySet().iterator()
           val eldest = it.next()
           it.remove()
-          try eldest.getValue.unpersist(false)
+          try eldest.getValue.unpersist(true)
           catch { case _: Throwable => () }
         }
+        val df = build
+        df.count()
+        lru.put(key, df)
         df
       }
     }

@@ -155,8 +155,83 @@ object Pipeline7 {
       |FROM c WHERE n_copies >= 1
       |ORDER BY doc_id, copy""".stripMargin
 
+  /** Contrastive preference-pair mining — the training-data step for a
+    * quality classifier (or DPO-style preference tuning): within each
+    * verified near-dup cluster, the best-quality member is `chosen` and
+    * every other member becomes a `rejected` twin. Near-dup clusters
+    * are the one place a corpus yields CONTENT-CONTROLLED pairs — the
+    * two sides say the same thing, so the quality delta is the only
+    * signal, which is exactly what a pairwise quality model should
+    * train on. Composition of two already-verified tiers: the
+    * LSH-verified cluster substrate ([[Dedup.dedupClusters]]) and the
+    * [[Pipeline.pipelineQualityFilter]] score, glued by ONE window pass
+    * (partition by cluster, order by quality desc / doc_id; first_value
+    * = chosen) — no join, and at 100 TB the window partitions are
+    * near-dup clusters whose size the LSH bucket caps already bound.
+    * Deterministic: scores are the r4-pinned doubles both engines
+    * replay; ties break on doc_id.
+    */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(lower(col("text")), " ", -1)
+    val nToks = size(t)
+    val stopRatio = size(filter(t, s => s.isInCollection(
+      Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"))))
+      .cast("double") / nToks.cast("double")
+    val score = least(nToks.cast("double") / 100.0, lit(1.0)) * 0.5 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.5
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), Tables.r4(score).as("q"))
+    val members = Dedup.dedupClusters(spark, dir)
+      .withColumnRenamed("cluster_rep", "cluster")
+      .join(scored, Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("q").desc, col("doc_id"))
+    members
+      .withColumn("chosen_id", first(col("doc_id")).over(w))
+      .withColumn("chosen_q", first(col("q")).over(w))
+      .filter(col("doc_id") =!= col("chosen_id"))
+      .select(col("cluster"), col("chosen_id"), col("chosen_q"),
+        col("doc_id").as("rejected_id"), col("q").as("rejected_q"),
+        Tables.r4(col("chosen_q") - col("q")).as("margin"))
+      .orderBy(col("cluster"), col("rejected_id"))
+  }
+
+  private val PreferencePairsOracle: String =
+    s"""WITH RECURSIVE ${graft.operators.Dedup.MinhashPipelineCtes},
+      |e AS (SELECT id_a, id_b FROM vp
+      |      UNION ALL SELECT id_b, id_a FROM vp),
+      |reach(src, node) AS (
+      |  SELECT id_a, id_a FROM e
+      |  UNION
+      |  SELECT r.src, e.id_b FROM reach r JOIN e ON e.id_a = r.node),
+      |cl AS (SELECT src AS doc_id, min(node) AS cluster
+      |       FROM reach GROUP BY src),
+      |q AS (
+      |  SELECT doc_id,
+      |    floor((least(cast(len(t) AS DOUBLE) / 100.0, 1.0) * 0.5
+      |      + least(cast(len(list_filter(t, s -> s IN
+      |          ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+      |        / len(t) * 5.0, 1.0) * 0.5) * 10000 + 0.5) / 10000 AS q
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |        FROM documents)),
+      |m AS (SELECT cl.doc_id, cl.cluster, q.q FROM cl JOIN q USING (doc_id)),
+      |r AS (
+      |  SELECT *,
+      |    first_value(doc_id) OVER (PARTITION BY cluster
+      |      ORDER BY q DESC, doc_id) AS chosen_id,
+      |    first_value(q) OVER (PARTITION BY cluster
+      |      ORDER BY q DESC, doc_id) AS chosen_q
+      |  FROM m)
+      |SELECT cluster, chosen_id, chosen_q, doc_id AS rejected_id,
+      |  q AS rejected_q,
+      |  floor((chosen_q - q) * 10000 + 0.5) / 10000 AS margin
+      |FROM r WHERE doc_id <> chosen_id
+      |ORDER BY cluster, rejected_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_mixture_weights", mixtureWeights _, MixtureOracle),
-    QueryDef("pipeline_upsample_repeat", upsampleRepeat _, UpsampleOracle)
+    QueryDef("pipeline_upsample_repeat", upsampleRepeat _, UpsampleOracle),
+    QueryDef("pipeline_preference_pairs", preferencePairs _,
+      PreferencePairsOracle)
   )
 }

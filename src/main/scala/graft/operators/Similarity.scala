@@ -187,7 +187,7 @@ object Similarity {
   private def lloydStep(emb: DataFrame,
       cents: Array[Array[Float]]): Array[Array[Float]] = {
     val means = emb.select(col("embedding"),
-        nearestCentroidIdx(cents, col("embedding")).as("c"))
+        nearestCentroid(cents, col("embedding")).as("c"))
       .select(col("c"), posexplode(col("embedding")))
       .groupBy(col("c"), col("pos"))
       .agg(avg(col("col").cast("double")).as("m"))
@@ -218,6 +218,43 @@ object Similarity {
       struct(VectorExpressions.cosineSimilarity(v, typedLit(c)).as("s"),
         lit(i).as("idx"))
     }: _*)).getField("idx")
+
+  /** Assignment implementation chosen by k. The expression form above
+    * inlines one cosine sub-tree PER CENTROID — ideal codegen at the
+    * registered k=16, but the tree grows O(k·d) and past the codegen
+    * method limits Janino falls back to interpreted evaluation: the
+    * round-11 semantic probe measured the k=160 production knob at 44×
+    * base cost, almost all of it this fallback. Large k therefore
+    * switches to a tight-loop UDF over the closure-broadcast centroid
+    * matrix — same sequential-double cosine and the same tie rule
+    * (equal sim → larger index, matching struct array_max ordering).
+    */
+  private def nearestCentroid(cents: Array[Array[Float]], v: Column): Column =
+    if (cents.length <= 16) nearestCentroidIdx(cents, v)
+    else nearestCentroidLoop(cents)(v)
+
+  private def nearestCentroidLoop(cents: Array[Array[Float]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < c.length) {
+          val a = arr(j).toDouble; val b = c(j).toDouble
+          dot += a * b; na += a * a; nb += b * b; j += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        val s = if (denom == 0.0) 0.0 else dot / denom
+        if (s >= bestSim) { bestSim = s; best = i }
+        i += 1
+      }
+      best
+    }
 
   /** IVF ANN top-10: assign corpus to centroids, probe the query's 4
     * nearest lists, exact re-rank within them.
@@ -350,7 +387,7 @@ object Similarity {
     // within-cluster join and the final kept-flag join
     val emb = embAll
       .select(col("vec_id"), col("embedding"),
-        nearestCentroidIdx(cents, col("embedding")).cast("long")
+        nearestCentroid(cents, col("embedding")).cast("long")
           .as("cluster"))
       .localCheckpoint()
     val dropped = emb.as("x").join(emb.as("y"),

@@ -112,16 +112,12 @@ object ScaleProbe {
     val passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      // SPARK_GRAFT_SHUFFLE_PARTITIONS: at 100× a 32-partition shuffle
-      // asks each task to hash-aggregate ~1/32 of a 100×-volume stage in
-      // memory — the graph-tier probe OOMs exactly there. A real cluster
-      // sizes shuffle partitions to data volume (or AQE coalesces from a
-      // high initialPartitionNum); this knob is that sizing for the
-      // 100× lanes. Default stays = CPUS so every historical sweep
-      // number remains comparable.
+      // scaled-volume runs may override this per-volume via
+      // SPARK_GRAFT_SHUFFLE_PARTITIONS (see the `time` helper); the
+      // session default stays = CPUS so base numbers remain comparable
+      // with every historical sweep
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
-          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // hold the full suite's generated classes (see graft.Bench)
@@ -137,14 +133,30 @@ object ScaleProbe {
       val s = xs.sorted; val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS applies ONLY to the SCALED volume:
+    // a deployment sizes shuffle partitions to data (at 100× a
+    // 32-partition hash aggregate OOMs — each task holds 1/32 of a
+    // 100×-volume build), while the base lane must keep the bench's 32
+    // so its numbers stay comparable with every historical sweep. The
+    // probed builders read numShufflePartitions at plan time, so the
+    // per-volume conf switch reaches their repartition calls too.
+    val scaledParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    val baseParts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
-      force(fn(spark, dir)) // untimed cold: codegen + fixture builds
-      median((1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        force(fn(spark, dir))
-        (System.nanoTime() - t0) / 1e9
-      })
+      if (dir != baseDir)
+        scaledParts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+      try {
+        force(fn(spark, dir)) // untimed cold: codegen + fixture builds
+        median((1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          force(fn(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        })
+      } finally {
+        if (dir != baseDir && scaledParts.nonEmpty)
+          spark.conf.set("spark.sql.shuffle.partitions", baseParts)
+      }
     }
 
     if (sys.env.contains("SPARK_GRAFT_SCALE_SKEW")) {
