@@ -19,7 +19,7 @@ import org.apache.spark.sql.DataFrame
   * tight: the working set of one query family (its edges + degree
   * frame) plus one slot of cross-query slack.
   */
-private[operators] object IterCache {
+private[graft] object IterCache {
   private val MaxEntries = 3
 
   // accessOrder=true: iteration order = least-recently-USED first
@@ -35,6 +35,29 @@ private[operators] object IterCache {
       val hit = lru.get(key)
       if (hit != null) hit
       else {
+        // Cross-volume flush first: keys are "name:dir", and an entry
+        // from a DIFFERENT dir can be arbitrarily large relative to
+        // this one (a 100× probe's edge cache is ~4 GB while the 1×
+        // lane's is ~40 MB) — the q85 probe measured a 10× base-lane
+        // inflation purely from another volume's resident cache. Same
+        // data volume ⇒ comparable entry sizes ⇒ the count cap below is
+        // then a meaningful memory bound. Keys without ':' (unit tests)
+        // are exempt.
+        val colon = key.indexOf(':')
+        if (colon >= 0) {
+          val suffix = key.substring(colon)
+          val it0 = lru.entrySet().iterator()
+          while (it0.hasNext) {
+            val e = it0.next()
+            val k = e.getKey
+            val c = k.indexOf(':')
+            if (c >= 0 && k.substring(c) != suffix) {
+              it0.remove()
+              try e.getValue.unpersist(true)
+              catch { case _: Throwable => () }
+            }
+          }
+        }
         // evict BEFORE building: the new frame's materialization is the
         // memory-hungriest moment, and an evicted-after-build policy
         // leaves the outgoing entry resident exactly through it (the

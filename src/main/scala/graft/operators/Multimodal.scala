@@ -256,6 +256,75 @@ object Multimodal {
       .orderBy(col("doc_id"), col("ry"), col("rx"))
   }
 
+  /** GIF fixture synthesis for the COMPRESSED content tier: a genuine
+    * single-frame GIF89a whose pixel data is REAL LZW (variable-width
+    * codes, dictionary growth, CLEAR/EOI — [[graft.functions.GifPixels]]),
+    * with a 16-color global table. Geometry, palette and indices are
+    * fixed formulas of (byte length, doc_id) that the oracle replays;
+    * the LZW bytes in between are earned by the codec on both ends.
+    */
+  private def gifPalette: Array[Int] =
+    Array.tabulate(16)(p => ((p * 17) << 16) | (((p * 29) % 256) << 8) |
+      ((p * 43) % 256))
+
+  private val gifPixelContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    val n = bytes.length
+    val w = 8 + n % 29
+    val h = 8 + (n * 7) % 19
+    val idx = Array.tabulate(w * h)(i => (((i * 31) + docId * 11) % 16).toByte)
+    graft.functions.GifPixels.gifWrapPixels(w, h, gifPalette, idx)
+  }
+
+  /** Content-level decode of a COMPRESSED format: the payload's pixel
+    * indices come back through a real LZW decompression — bit-unpacking
+    * variable-width codes, growing the dictionary, honoring CLEAR/EOI
+    * and the cScSc case — then map through the parsed global color
+    * table for channel sums. This is the step up from
+    * [[mmPixelStats]]'s raw BMP walk: the bytes between header and
+    * stats are entropy-coded, so nothing short of a working codec can
+    * produce the right sums (the oracle regenerates indices from the
+    * synthesis formula and never touches LZW — one bit-packing or
+    * width-bump bug anywhere and every row hash-fails). first/last
+    * index pin pixel ORDER, not just multiset equality.
+    */
+  def mmGifPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        gifPixelContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          graft.functions.GifPixels.gifRaster(payload) match {
+            case Right(r) =>
+              var idxSum = 0L; var rSum = 0L; var gSum = 0L; var bSum = 0L
+              val seen = new Array[Boolean](r.palette.length)
+              var i = 0
+              while (i < r.indices.length) {
+                val ix = r.indices(i) & 0xff
+                val c = r.palette(ix)
+                idxSum += ix
+                rSum += (c >> 16) & 0xff
+                gSum += (c >> 8) & 0xff
+                bSum += c & 0xff
+                seen(ix) = true
+                i += 1
+              }
+              (id, r.width.toLong, r.height.toLong,
+                r.width.toLong * r.height, idxSum, rSum, gSum, bSum,
+                seen.count(identity).toLong,
+                (r.indices(0) & 0xff).toLong,
+                (r.indices(r.indices.length - 1) & 0xff).toLong)
+            case Left(_) =>
+              (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "idx_sum", "red_sum",
+        "green_sum", "blue_sum", "n_distinct_idx", "first_idx", "last_idx")
+      .orderBy(col("doc_id"))
+  }
+
   /** Mixed-container synthesis for [[mmDecodeMixed]]: one quarter of
     * the corpus each as PNG / BMP / RIFF-WAVE / GIF by `doc_id % 4`,
     * with declared geometry a fixed function of the byte length — the
@@ -472,6 +541,29 @@ object Multimodal {
         |  cast(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS red_sum,
         |  min(v) AS px_min, max(v) AS px_max,
         |  cast(sum(CASE WHEN i < 3 * w THEN v ELSE 0 END) AS BIGINT) AS top_row_sum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
+    QueryDef("mm_gif_pixels", mmGifPixels _,
+      // the oracle regenerates the palette indices from the synthesis
+      // formula ((i*31 + 11*doc_id) mod 16) and the palette channel
+      // bytes from theirs — it NEVER touches LZW; Spark earns the same
+      // numbers only by correctly decompressing the real LZW stream
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |dims AS (
+        |  SELECT doc_id, 8 + n % 29 AS w, 8 + (n * 7) % 19 AS h,
+        |    doc_id * 11 AS s FROM d),
+        |px AS (
+        |  SELECT doc_id, w, h, t.i AS i, (t.i * 31 + s) % 16 AS idx
+        |  FROM dims, LATERAL unnest(generate_series(0, w*h - 1)) AS t(i))
+        |SELECT doc_id, cast(w AS BIGINT) AS width, cast(h AS BIGINT) AS height,
+        |  cast(w*h AS BIGINT) AS n_pixels,
+        |  cast(sum(idx) AS BIGINT) AS idx_sum,
+        |  cast(sum(idx * 17) AS BIGINT) AS red_sum,
+        |  cast(sum((idx * 29) % 256) AS BIGINT) AS green_sum,
+        |  cast(sum((idx * 43) % 256) AS BIGINT) AS blue_sum,
+        |  cast(count(DISTINCT idx) AS BIGINT) AS n_distinct_idx,
+        |  cast(min(CASE WHEN i = 0 THEN idx END) AS BIGINT) AS first_idx,
+        |  cast(min(CASE WHEN i = w*h - 1 THEN idx END) AS BIGINT) AS last_idx
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
     QueryDef("mm_pixel_resize", mmPixelResize _,
       // nearest-neighbor replay: each 4x4 cell's source pixel index is

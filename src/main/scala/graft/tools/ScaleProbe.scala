@@ -82,6 +82,11 @@ object ScaleProbe {
     // per-round shuffle volume — the classic 100×-cliff shape the
     // graph tier had not yet measured
     "q109_components",
+    // round-11 batch 3: the remaining two iterative graph lanes, now on
+    // the reworked partition-pinned cached-edge substrate — SSSP's
+    // relaxation loop (per-round min-dist aggregate) and k-hop frontier
+    // expansion (visited-set anti-join per hop)
+    "q108_shortest_path", "q85_khop_reach",
     // round-11 batch 2: fuzzy decontamination — replica-suffixed tokens
     // grow corpus AND eval set ×factor with cross-replica collisions
     // impossible, so candidates scale ×factor (per-replica structure)
