@@ -443,6 +443,51 @@ object MediaHeaders {
     bb.array()
   }
 
+  /** CONTENT-level WAV decode: walk the RIFF chunks to `fmt ` and
+    * `data` (same strict bounds as the header probe), then parse the
+    * data chunk as little-endian 16-bit PCM samples. 16-bit PCM only —
+    * the one format whose samples are plain int16 arithmetic; 8/24/32
+    * bit and compressed codecs quarantine as Left, the family's
+    * datum-not-exception contract. Returns (sampleRate, channels,
+    * samples) with samples interleaved exactly as stored.
+    */
+  def wavSamples(b: Array[Byte])
+      : Either[String, (Int, Int, Array[Short])] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return Left("not a RIFF/WAVE payload")
+    var off = 12
+    var sampleRate, channels, bits = -1
+    var dataOff = -1
+    var dataSize = -1
+    while (off + 8 <= b.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = tag(b, off)
+      val size = leInt(b, off + 4)
+      if (size < 0 || off + 8 + size.toLong > b.length)
+        return Left(s"WAV chunk '$id' overruns payload")
+      if (id == "fmt " && size >= 16) {
+        channels = leShort(b, off + 10)
+        sampleRate = leInt(b, off + 12)
+        bits = leShort(b, off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataSize = size
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (sampleRate <= 0 || channels <= 0) return Left("WAV has no usable fmt chunk")
+    if (dataOff < 0) return Left("WAV has no data chunk")
+    if (bits != 16) return Left(s"sample decode needs 16-bit PCM, got $bits-bit")
+    if (dataSize % 2 != 0) return Left("odd data-chunk size for 16-bit PCM")
+    val samples = new Array[Short](dataSize / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((b(dataOff + 2 * i) & 0xff) |
+        (b(dataOff + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    Right((sampleRate, channels, samples))
+  }
+
   /** Build a real RIFF/WAVE container around arbitrary sample bytes
     * (PCM fmt chunk + data chunk) — the audio twin of [[bmpWrap]].
     */

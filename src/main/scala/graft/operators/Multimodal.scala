@@ -325,6 +325,66 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** WAV fixture synthesis for the audio CONTENT tier: a genuine
+    * RIFF/WAVE container whose data chunk is REAL 16-bit PCM — sample i
+    * carries ((i·37 + 13·doc_id) mod 2001) − 1000 as a little-endian
+    * int16, the formula the oracle replays. Mono, 16 kHz.
+    */
+  private val wavPcmContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    val n = bytes.length
+    val ns = 64 + n % 193
+    val pcm = new Array[Byte](ns * 2)
+    var i = 0
+    while (i < ns) {
+      val v = ((i * 37 + docId * 13) % 2001 - 1000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    MediaHeaders.wavWrap(pcm, 16000, 1, 16)
+  }
+
+  /** Content-level AUDIO decode — the real-samples upgrade over
+    * [[mmAudioFeatures]]'s documented stub: the payload's int16 PCM
+    * samples are parsed from the data chunk
+    * ([[MediaHeaders.wavSamples]] — RIFF walk, LE int16, 16-bit-only
+    * with quarantine) and reduced to the exact-integer signal stats an
+    * audio-curation pass runs (energy proxy, peak, zero-crossing rate —
+    * the cheap voice/noise discriminators). first/last sample pin byte
+    * order and sign handling: one endianness or sign-extension mistake
+    * and every row hash-fails against the formula-replaying oracle.
+    */
+  def mmWavSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        wavPcmContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          MediaHeaders.wavSamples(payload) match {
+            case Right((_, _, s)) if s.nonEmpty =>
+              var sum = 0L; var absSum = 0L; var peak = 0L; var zc = 0L
+              var i = 0
+              while (i < s.length) {
+                val v = s(i).toLong
+                sum += v
+                absSum += math.abs(v)
+                if (math.abs(v) > peak) peak = math.abs(v)
+                if (i > 0 && s(i - 1).toLong * v < 0) zc += 1
+                i += 1
+              }
+              (id, s.length.toLong, sum, absSum, peak, zc,
+                s(0).toLong, s(s.length - 1).toLong)
+            case _ => (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "n_samples", "sum_s", "abs_sum", "peak_abs",
+        "zero_crossings", "first_s", "last_s")
+      .orderBy(col("doc_id"))
+  }
+
   /** Mixed-container synthesis for [[mmDecodeMixed]]: one quarter of
     * the corpus each as PNG / BMP / RIFF-WAVE / GIF by `doc_id % 4`,
     * with declared geometry a fixed function of the byte length — the
@@ -542,6 +602,30 @@ object Multimodal {
         |  min(v) AS px_min, max(v) AS px_max,
         |  cast(sum(CASE WHEN i < 3 * w THEN v ELSE 0 END) AS BIGINT) AS top_row_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
+    QueryDef("mm_wav_samples", mmWavSamples _,
+      // the oracle regenerates every sample from the synthesis formula
+      // and recomputes the stats with a lag window for the crossings;
+      // Spark earns them by parsing real LE int16 PCM out of the chunk
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |dims AS (
+        |  SELECT doc_id, 64 + n % 193 AS ns, doc_id * 13 AS s FROM d),
+        |sm AS (
+        |  SELECT doc_id, ns, t.i AS i, (t.i * 37 + s) % 2001 - 1000 AS v
+        |  FROM dims, LATERAL unnest(generate_series(0, ns - 1)) AS t(i)),
+        |lagged AS (
+        |  SELECT doc_id, ns, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM sm)
+        |SELECT doc_id, cast(max(ns) AS BIGINT) AS n_samples,
+        |  cast(sum(v) AS BIGINT) AS sum_s,
+        |  cast(sum(abs(v)) AS BIGINT) AS abs_sum,
+        |  cast(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  cast(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  cast(min(CASE WHEN i = 0 THEN v END) AS BIGINT) AS first_s,
+        |  cast(min(CASE WHEN i = ns - 1 THEN v END) AS BIGINT) AS last_s
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     QueryDef("mm_gif_pixels", mmGifPixels _,
       // the oracle regenerates the palette indices from the synthesis
       // formula ((i*31 + 11*doc_id) mod 16) and the palette channel

@@ -239,6 +239,29 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.bmpRaster(null).isLeft)
   }
 
+  test("wavSamples parses LE int16 PCM — sign, order, and quarantine") {
+    // hand-built samples covering both signs and the int16 extremes
+    val vals = Array[Short](0, 1, -1, 1000, -1000, 32767, -32768, 255, -256)
+    val pcm = new Array[Byte](vals.length * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val wav = MediaHeaders.wavWrap(pcm, 16000, 1, 16)
+    val (rate, ch, s) = MediaHeaders.wavSamples(wav)
+      .fold(e => fail(s"decode failed: $e"), identity)
+    assert(rate === 16000 && ch === 1)
+    assert(s.toSeq === vals.toSeq)
+    // 8-bit PCM is outside the sample-decode subset (header probe still
+    // reads it; content decode quarantines)
+    val wav8 = MediaHeaders.wavWrap(Array[Byte](1, 2, 3, 4), 8000, 1, 8)
+    assert(MediaHeaders.wavSamples(wav8).isLeft)
+    assert(MediaHeaders.probe(wav8).isInstanceOf[AudioInfo])
+    // truncated data chunk quarantines
+    assert(MediaHeaders.wavSamples(wav.dropRight(3)).isLeft)
+    assert(MediaHeaders.wavSamples(null).isLeft)
+  }
+
   test("poison payloads are data, not exceptions") {
     assert(MediaHeaders.probe(null).isInstanceOf[Unsupported])
     assert(MediaHeaders.probe(Array[Byte](1, 2, 3)).isInstanceOf[Unsupported])
