@@ -157,7 +157,138 @@ object GifPixels {
     bb.array()
   }
 
+  /** Build a real ANIMATED GIF89a: one logical screen + global color
+    * table, then per frame a Graphic Control Extension (delay in
+    * centiseconds) and a full-frame image descriptor with its own
+    * independently LZW-compressed pixel data — the standard
+    * multi-image layout a video-ish GIF uses. Every frame must be
+    * full-screen (w×h indices); sub-rectangle delta frames are outside
+    * the documented subset, same as the single-frame codec.
+    */
+  def gifWrapFrames(width: Int, height: Int, palette: Array[Int],
+      frames: Seq[Array[Byte]], delayCs: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "an animation needs at least one frame")
+    frames.foreach(f => require(f.length == width * height,
+      s"need w*h=${width * height} indices per frame, got ${f.length}"))
+    val bits = {
+      var b = 1
+      while ((1 << b) < palette.length) b += 1
+      require((1 << b) == palette.length && b >= 1 && b <= 8,
+        s"palette size ${palette.length} not a power of two in [2,256]")
+      b
+    }
+    val minCodeSize = math.max(2, bits)
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(width); le16(height)
+    out.write(0x80 | 0x70 | (bits - 1))    // GCT present | color res 7 | size
+    out.write(0)                           // background color index
+    out.write(0)                           // aspect ratio
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    frames.foreach { f =>
+      out.write(0x21); out.write(0xf9); out.write(4)  // GCE
+      out.write(0)                         // no disposal, no transparency
+      le16(delayCs)
+      out.write(0)                         // transparent index (unused)
+      out.write(0)                         // GCE terminator
+      out.write(0x2c)                      // image descriptor
+      le16(0); le16(0); le16(width); le16(height)
+      out.write(0)                         // no local table, no interlace
+      out.write(minCodeSize)
+      out.write(subBlocks(lzwEncode(f, minCodeSize)))
+    }
+    out.write(0x3b)                        // trailer
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------- decoder
+
+  /** One decoded animation: geometry, global palette, and every
+    * frame's palette indices (row-major top-down, full-frame).
+    */
+  final case class GifAnimation(width: Int, height: Int,
+      palette: Array[Int], frames: Array[Array[Byte]])
+
+  /** Decode EVERY frame of a (possibly animated) GCT GIF: the loop
+    * form of [[gifRaster]] — skip extensions (GCE/comment/application
+    * blocks), decompress each image descriptor's LZW stream
+    * independently, stop at the trailer. Same documented subset:
+    * full-frame images, global table only, no interlace.
+    */
+  def gifFrames(b: Array[Byte]): Either[String, GifAnimation] = {
+    if (b == null || b.length < 14) return Left("GIF truncated before descriptor")
+    val ver = new String(b, 0, 6, "US-ASCII")
+    if (ver != "GIF87a" && ver != "GIF89a") return Left(s"not a GIF: '$ver'")
+    def leShort(off: Int) = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    val width = leShort(6)
+    val height = leShort(8)
+    if (width <= 0 || height <= 0) return Left("empty GIF geometry")
+    val packed = b(10) & 0xff
+    if ((packed & 0x80) == 0) return Left("content decode needs a global color table")
+    val gctSize = 1 << ((packed & 0x07) + 1)
+    var off = 13
+    if (off + 3 * gctSize > b.length) return Left("GCT overruns payload")
+    val palette = Array.tabulate(gctSize) { i =>
+      ((b(off + 3 * i) & 0xff) << 16) | ((b(off + 3 * i + 1) & 0xff) << 8) |
+        (b(off + 3 * i + 2) & 0xff)
+    }
+    off += 3 * gctSize
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (true) {
+      if (off >= b.length) return Left("GIF ended without trailer")
+      (b(off) & 0xff) match {
+        case 0x3b =>
+          return if (frames.isEmpty) Left("no image descriptor")
+            else Right(GifAnimation(width, height, palette, frames.toArray))
+        case 0x21 =>
+          off += 2 // introducer + label
+          while (off < b.length && b(off) != 0) off += 1 + (b(off) & 0xff)
+          off += 1
+        case 0x2c =>
+          if (off + 10 > b.length) return Left("image descriptor truncated")
+          val iw = leShort(off + 5)
+          val ih = leShort(off + 7)
+          val ipacked = b(off + 9) & 0xff
+          if (iw != width || ih != height ||
+              leShort(off + 1) != 0 || leShort(off + 3) != 0)
+            return Left("sub-rectangle frames unsupported")
+          if ((ipacked & 0x80) != 0) return Left("local color tables unsupported")
+          if ((ipacked & 0x40) != 0) return Left("interlaced frames unsupported")
+          off += 10
+          if (off >= b.length) return Left("missing LZW minimum code size")
+          val minCodeSize = b(off) & 0xff
+          if (minCodeSize < 2 || minCodeSize > 11)
+            return Left(s"implausible LZW min code size $minCodeSize")
+          off += 1
+          val raw = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (off >= b.length) return Left("LZW stream truncated mid-sub-blocks")
+            val n = b(off) & 0xff
+            off += 1
+            if (n == 0) done = true
+            else {
+              if (off + n > b.length) return Left("LZW sub-block overruns payload")
+              raw.write(b, off, n)
+              off += n
+            }
+          }
+          lzwDecode(raw.toByteArray, minCodeSize, width * height) match {
+            case Left(err) => return Left(err)
+            case Right(indices) =>
+              if (indices.exists(i => (i & 0xff) >= gctSize))
+                return Left("pixel index outside the color table")
+              frames += indices
+          }
+        case other =>
+          return Left(f"unexpected GIF block 0x$other%02x")
+      }
+    }
+    Left("unreachable")
+  }
 
   /** Decode a single-frame GCT GIF back to its palette + indices.
     * Left(reason) for anything outside the supported subset or any

@@ -93,45 +93,133 @@ object Multimodal {
           .cast("binary")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** "Audio" feature extraction stub: payload bytes as samples — frame
-    * count, mean amplitude, peak. Same deterministic-fake contract as
-    * [[fakeDecode]]: the arithmetic and batch shape are real, the codec
-    * is a stand-in (ascii values for samples).
+  /** Windowed-frame length for [[mmAudioFeatures]] (samples per
+    * analysis frame — the standard short-window feature-extraction
+    * shape, non-overlapping hop).
+    */
+  private[graft] val AudioFrameLen = 32
+
+  /** AUDIO feature extraction on DECODED CONTENT — the real-samples
+    * re-base of the former ascii-stub lane: the payload's int16 PCM is
+    * parsed out of a genuine RIFF/WAVE data chunk
+    * ([[MediaHeaders.wavSamples]]), then reduced per non-overlapping
+    * 32-sample analysis frame to the exact-integer short-window
+    * features an audio-curation pass runs — energy (Σv², the VAD
+    * discriminant), peak amplitude, in-frame zero crossings. One
+    * output row per frame; all arithmetic exact integers, so the
+    * formula-replaying oracle hash-fails every row on any byte-order,
+    * sign-extension, or window-boundary mistake. Same narrow
+    * mapPartitions shape (and 100 TB posture) as the rest of the
+    * decode family: content bytes never shuffle, only the small
+    * feature rows do.
     */
   def mmAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val chars = filter(split(col("text"), "", -1), c => c =!= "")
-    val sumAmp = aggregate(chars, lit(0L), (h, c) => h + ascii(c))
-    val meanRaw = sumAmp.cast("double") / length(col("text")).cast("double")
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      (expr("(length(text) - 1) div 128") + 1).cast("long").as("n_frames"),
-      // floor-trick rounding: identical IEEE op sequence in both engines
-      (floor(meanRaw * 10000 + 0.5) / 10000).as("mean_amp"),
-      array_max(transform(chars, c => ascii(c))).cast("long").as("peak"))
-      .orderBy(col("doc_id"))
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        wavPcmContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          MediaHeaders.wavSamples(payload) match {
+            case Right((_, _, s)) if s.nonEmpty =>
+              val nf = (s.length + AudioFrameLen - 1) / AudioFrameLen
+              (0 until nf).map { f =>
+                val from = f * AudioFrameLen
+                val until = math.min(from + AudioFrameLen, s.length)
+                var energy = 0L; var peak = 0L; var zc = 0L
+                var i = from
+                while (i < until) {
+                  val v = s(i).toLong
+                  energy += v * v
+                  if (math.abs(v) > peak) peak = math.abs(v)
+                  if (i > from && s(i - 1).toLong * v < 0) zc += 1
+                  i += 1
+                }
+                (id, f.toLong, (until - from).toLong, energy, peak, zc)
+              }
+            case _ => Seq.empty
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_s", "energy", "peak_abs", "zc")
+      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** "Video" scene-cut stub: a cut is where a frame's digest leading
-    * hex nibble changes from the previous frame — deterministic stand-in
-    * for a perceptual-diff codec, combining the frame addressing with a
-    * lag window over frame order.
+  /** Frames per scene in the [[mmSceneCuts]] fixture (scene boundaries
+    * land where `frame_idx % SceneLen == 0`).
+    */
+  private[graft] val SceneLen = 3
+
+  /** Animated-GIF fixture synthesis for the scene-cut lane: a genuine
+    * multi-frame GIF89a — per-frame Graphic Control Extensions, one
+    * full-frame image descriptor per frame, each frame's pixel data
+    * independently LZW-compressed ([[graft.functions.GifPixels
+    * .gifWrapFrames]]). Frame f's indices follow a fixed formula of
+    * (pixel i, doc_id, scene f/3, phase f%3): within a scene
+    * consecutive frames shift every pixel's palette index by +1 mod 16
+    * (small visual drift), across a scene boundary by +4 mod 16 (a
+    * hard content change) — so inter-frame distance genuinely
+    * separates the two classes and the oracle can replay it all.
+    */
+  private val gifAnimContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    val n = bytes.length
+    val w = 8 + n % 29
+    val h = 8 + (n * 7) % 19
+    val nFrames = 6 + n % 7
+    val frames = (0 until nFrames).map { f =>
+      val base = docId * 11 + (f / SceneLen) * 6 + (f % SceneLen)
+      Array.tabulate(w * h)(i => (((i * 31) + base) % 16).toByte)
+    }
+    graft.functions.GifPixels.gifWrapFrames(w, h, gifPalette, frames)
+  }
+
+  /** VIDEO scene-cut detection on DECODED CONTENT — the real-frames
+    * re-base of the former digest-nibble stub: every frame of an
+    * animated GIF comes back through the real LZW decompressor
+    * ([[graft.functions.GifPixels.gifFrames]] — per-frame dictionaries,
+    * GCE extension skips between image descriptors), and a cut is
+    * scored the way a video pipeline scores it: per-pixel L1 distance
+    * between consecutive DECODED frames, cut where the distance
+    * crosses a threshold (here 3.5×n_pixels — within-scene drift
+    * averages 1.875/pixel, scene boundaries 6/pixel, both exact
+    * integers by the fixture's construction). One row per frame
+    * transition with the exact distance and the flag; the oracle
+    * replays the synthesis formulas per frame pair and NEVER touches
+    * LZW — a one-bit codec bug in any frame fails that doc's rows.
+    * Frames are compared inside one partition-mapped pass (a GIF's
+    * frames arrive in one payload — no shuffle to align them); at
+    * 100 TB the unit of parallelism is the video file, which is
+    * exactly how a frame-sampled decode fleet partitions.
     */
   def mmSceneCuts(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val frames = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+    import spark.implicits._
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(sequence(lit(0), expr("(n - 1) div 256"))).as("frame_idx"),
-        col("text"))
-      .select(col("doc_id"), col("frame_idx"),
-        substring(md5(substring(col("text"), lit(1) + col("frame_idx") * 256, lit(256))
-          .cast("binary")), 1, 1).as("nib"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
-    frames
-      .withColumn("prev_nib", lag(col("nib"), 1).over(w))
-      .filter(col("prev_nib").isNotNull && col("nib") =!= col("prev_nib"))
-      .select(col("doc_id"), col("frame_idx").cast("long").as("cut_at"))
-      .orderBy(col("doc_id"), col("cut_at"))
+        gifAnimContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          graft.functions.GifPixels.gifFrames(payload) match {
+            case Right(anim) if anim.frames.length >= 2 =>
+              val np = anim.width * anim.height
+              (1 until anim.frames.length).map { f =>
+                val prev = anim.frames(f - 1)
+                val curr = anim.frames(f)
+                var l1 = 0L
+                var i = 0
+                while (i < np) {
+                  l1 += math.abs((curr(i) & 0xff) - (prev(i) & 0xff))
+                  i += 1
+                }
+                (id, f.toLong, l1, l1 * 2 > 7L * np)
+              }
+            case _ => Seq.empty
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "l1_dist", "is_cut")
+      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** Resize stage chained on decode: fit each "image" into a 224×224
@@ -700,26 +788,51 @@ object Multimodal {
         |    ELSE 224 END AS out_h
         |FROM decoded ORDER BY doc_id""".stripMargin),
     QueryDef("mm_scene_cuts", mmSceneCuts _,
-      """WITH frames AS (
-        |  SELECT doc_id, fi,
-        |    substring(md5(substring(text, 1 + fi * 256, 256)), 1, 1) AS nib
-        |  FROM documents, generate_series(0, 63) AS t(fi)
-        |  WHERE fi <= (length(text) - 1) // 256)
-        |SELECT doc_id, cast(fi AS BIGINT) AS cut_at FROM (
-        |  SELECT doc_id, fi, nib,
-        |    lag(nib) OVER (PARTITION BY doc_id ORDER BY fi) AS prev_nib
-        |  FROM frames)
-        |WHERE prev_nib IS NOT NULL AND nib <> prev_nib
-        |ORDER BY doc_id, cut_at""".stripMargin),
+      // CONTENT replay: the oracle regenerates BOTH frames of every
+      // transition from the synthesis formula (idx(i,f) = (i*31 +
+      // 11*doc_id + 6*(f/3) + f%3) mod 16) and recomputes the per-pixel
+      // L1 distance + threshold flag; Spark earns the same numbers only
+      // by LZW-decompressing every frame of the animated GIF it wrapped
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |dims AS (
+        |  SELECT doc_id, 8 + n % 29 AS w, 8 + (n * 7) % 19 AS h,
+        |    6 + n % 7 AS nf, doc_id * 11 AS s0 FROM d),
+        |px AS (
+        |  SELECT doc_id, w, h, f.f AS f, t.i AS i,
+        |    (t.i * 31 + s0 + (f.f // 3) * 6 + (f.f % 3)) % 16 AS idx,
+        |    (t.i * 31 + s0 + ((f.f - 1) // 3) * 6 + ((f.f - 1) % 3)) % 16 AS pidx
+        |  FROM dims,
+        |    LATERAL unnest(generate_series(1, nf - 1)) AS f(f),
+        |    LATERAL unnest(generate_series(0, w * h - 1)) AS t(i))
+        |SELECT doc_id, cast(f AS BIGINT) AS frame_idx,
+        |  cast(sum(abs(idx - pidx)) AS BIGINT) AS l1_dist,
+        |  sum(abs(idx - pidx)) * 2 > 7 * max(w) * max(h) AS is_cut
+        |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin),
     QueryDef("mm_audio_features", mmAudioFeatures _,
-      """SELECT doc_id,
-        |  cast((length(text) - 1) // 128 + 1 AS BIGINT) AS n_frames,
-        |  floor(cast(list_sum(list_transform(string_split(text, ''),
-        |      c -> cast(ascii(c) AS BIGINT))) AS DOUBLE)
-        |    / length(text) * 10000 + 0.5) / 10000 AS mean_amp,
-        |  cast(list_max(list_transform(string_split(text, ''),
-        |      c -> ascii(c))) AS BIGINT) AS peak
-        |FROM documents ORDER BY doc_id""".stripMargin),
+      // CONTENT replay over the real PCM path: the oracle regenerates
+      // every int16 sample from the synthesis formula and recomputes
+      // the 32-sample-frame features (energy/peak/in-frame crossings);
+      // Spark earns them by parsing LE int16 PCM out of the data chunk
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |dims AS (
+        |  SELECT doc_id, 64 + n % 193 AS ns, doc_id * 13 AS s FROM d),
+        |sm AS (
+        |  SELECT doc_id, ns, t.i AS i, t.i // 32 AS f,
+        |    (t.i * 37 + s) % 2001 - 1000 AS v
+        |  FROM dims, LATERAL unnest(generate_series(0, ns - 1)) AS t(i)),
+        |lagged AS (
+        |  SELECT doc_id, f, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM sm)
+        |SELECT doc_id, cast(f AS BIGINT) AS frame_idx,
+        |  cast(count(*) AS BIGINT) AS n_s,
+        |  cast(sum(v * v) AS BIGINT) AS energy,
+        |  cast(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  cast(sum(CASE WHEN i % 32 <> 0 AND pv * v < 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zc
+        |FROM lagged GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin),
     QueryDef("mm_decode", mmDecode _,
       // the oracle replays the CONTAINER SYNTHESIS arithmetic (declared
       // dims are a function of byte length); Spark earns the same values

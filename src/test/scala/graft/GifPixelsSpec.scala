@@ -79,6 +79,39 @@ class GifPixelsSpec extends AnyFunSuite {
     assert(GifPixels.gifRaster(noGct).isLeft)
   }
 
+  test("animated round trip: every frame decodes byte-exact through gifFrames") {
+    val w = 17; val h = 11
+    val frames = (0 until 9).map { f =>
+      Array.tabulate(w * h)(i => (((i * 31) + 11 * 42 + (f / 3) * 6 + f % 3) % 16).toByte)
+    }
+    val gif = GifPixels.gifWrapFrames(w, h, palette16, frames, delayCs = 7)
+    val anim = GifPixels.gifFrames(gif).fold(e => fail(s"decode failed: $e"), identity)
+    assert(anim.width === w && anim.height === h)
+    assert(anim.palette.toSeq === palette16.toSeq)
+    assert(anim.frames.length === 9)
+    frames.zipWithIndex.foreach { case (exp, f) =>
+      assert(anim.frames(f).toSeq === exp.toSeq, s"frame $f round-trip broke")
+    }
+  }
+
+  test("gifFrames on a single-frame container agrees with gifRaster") {
+    val idx = Array.tabulate(12 * 9)(i => ((i * 31 + 7) % 16).toByte)
+    val gif = GifPixels.gifWrapPixels(12, 9, palette16, idx)
+    val anim = GifPixels.gifFrames(gif).fold(e => fail(e), identity)
+    val single = GifPixels.gifRaster(gif).fold(e => fail(e), identity)
+    assert(anim.frames.length === 1)
+    assert(anim.frames(0).toSeq === single.indices.toSeq)
+  }
+
+  test("animated quarantine: truncation inside a later frame is Left, not partial") {
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(64)(i => ((i + f) % 16).toByte))
+    val gif = GifPixels.gifWrapFrames(8, 8, palette16, frames)
+    assert(GifPixels.gifFrames(gif.dropRight(2)).isLeft)  // cut mid-frame-4 LZW
+    assert(GifPixels.gifFrames(gif.dropRight(1)).isLeft)  // missing trailer
+    assert(GifPixels.gifFrames(Array.empty[Byte]).isLeft)
+  }
+
   test("header-level probe still reads the same container (family consistency)") {
     val gif = GifPixels.gifWrapPixels(12, 9, palette16,
       Array.tabulate(108)(i => (i % 16).toByte))
