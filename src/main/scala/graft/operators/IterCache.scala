@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bounded registry for the iterate-phase edge caches (pagerank /
   * k-hop / SSSP / components). The builders cache their
@@ -11,38 +11,107 @@ import org.apache.spark.sql.DataFrame
   * multi-GB resident entries that squeeze every later query: the
   * round-11 sweep measured q109_components 2.4× SLOWER at 100× purely
   * because q78's 100× edge cache (≈ 240M rows) stayed resident through
-  * it. This registry caps live entries with LRU eviction instead.
+  * it. This registry bounds the LIVE BYTES across entries (measured
+  * from each frame's post-materialization InMemoryRelation stats), with
+  * LRU eviction and a count backstop — a byte cap is the durable form
+  * of the round-11 count cap, whose meaning depended on entries sharing
+  * a data volume.
   *
   * Eviction is always CORRECTNESS-safe — unlike a reclaimed checkpoint
   * (whose LogicalRDD dies with its files), an unpersisted cache entry
-  * silently recomputes from its intact logical plan — so the cap can be
-  * tight: the working set of one query family (its edges + degree
-  * frame) plus one slot of cross-query slack.
+  * silently recomputes from its intact logical plan — so the budget can
+  * be tight.
+  *
+  * Concurrency: materialization happens OUTSIDE the registry lock (a
+  * multi-GB `df.count()` must never serialize unrelated queries);
+  * concurrent callers of the same key rendezvous on one in-flight
+  * build. A hit is validated against the CURRENT session and its
+  * `spark.sql.shuffle.partitions` — an entry built under a stopped
+  * session or a different partitioning is rebuilt, not returned (the
+  * scale probes flip both).
   */
 private[graft] object IterCache {
-  private val MaxEntries = 3
+
+  /** In-memory byte budget across all live entries. 4 GiB holds every
+    * sf0.1 bench-lane edge frame simultaneously (the five graph lanes
+    * total well under 1 GiB — the documented ~2 s/pass rebuild churn at
+    * the old count cap goes away) while still evicting ahead of a 100×
+    * probe's ~4 GB frames. Env-overridable for probes.
+    */
+  private val DefaultMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_ITERCACHE_BYTES")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse(4L << 30)
+
+  /** Test seam (IterCacheSpec): shrink the budget to force byte
+    * eviction on KB-sized fixtures. Reset in a finally.
+    */
+  @volatile private[graft] var maxBytesOverride: Option[Long] = None
+  private def maxBytes: Long = maxBytesOverride.getOrElse(DefaultMaxBytes)
+
+  /** Backstop on entry COUNT so a flood of tiny frames can't grow the
+    * registry without bound even far under the byte budget.
+    */
+  private val MaxEntries = 16
+
+  private final case class Entry(df: DataFrame, bytes: Long,
+      session: SparkSession, shufflePartitions: String)
 
   // accessOrder=true: iteration order = least-recently-USED first
   private val lru =
-    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true)
+    new java.util.LinkedHashMap[String, Entry](16, 0.75f, true)
+
+  // per-key in-flight builds: same-key callers share one build, and
+  // different-key callers never wait on each other's materialization
+  private val building =
+    new java.util.HashMap[String, java.util.concurrent.CompletableFuture[DataFrame]]()
+
+  private def currentParts(s: SparkSession): String =
+    try s.conf.get("spark.sql.shuffle.partitions") catch { case _: Throwable => "" }
+
+  private def liveBytes: Long = {
+    var t = 0L
+    val it = lru.values().iterator()
+    while (it.hasNext) t += it.next().bytes
+    t
+  }
+
+  private def unpersistQuietly(df: DataFrame): Unit =
+    try df.unpersist(true) catch { case _: Throwable => () }
 
   /** Return the live frame for `key`, or run `build` (which must end in
-    * `.persist()`), materialize it eagerly, register it, and evict the
-    * least-recently-used entry past [[MaxEntries]].
+    * `.persist()`), materialize it eagerly, register it with its
+    * measured in-memory size, and evict least-recently-used entries
+    * past the byte budget.
     */
-  def getOrBuild(key: String)(build: => DataFrame): DataFrame =
+  def getOrBuild(key: String)(build: => DataFrame): DataFrame = {
+    var future: java.util.concurrent.CompletableFuture[DataFrame] = null
+    var owner = false
     synchronized {
       val hit = lru.get(key)
-      if (hit != null) hit
+      if (hit != null) {
+        val active = SparkSession.getActiveSession.orNull
+        val valid = (active == null || (hit.session eq active)) &&
+          (active == null || hit.shufflePartitions == currentParts(active))
+        if (valid) return hit.df
+        // stale: a different live session or partitioning — the cached
+        // plan would replay under the wrong conf; drop and rebuild
+        lru.remove(key)
+        unpersistQuietly(hit.df)
+      }
+      val inflight = building.get(key)
+      if (inflight != null) future = inflight
       else {
-        // Cross-volume flush first: keys are "name:dir", and an entry
-        // from a DIFFERENT dir can be arbitrarily large relative to
-        // this one (a 100× probe's edge cache is ~4 GB while the 1×
-        // lane's is ~40 MB) — the q85 probe measured a 10× base-lane
-        // inflation purely from another volume's resident cache. Same
-        // data volume ⇒ comparable entry sizes ⇒ the count cap below is
-        // then a meaningful memory bound. Keys without ':' (unit tests)
-        // are exempt.
+        future = new java.util.concurrent.CompletableFuture[DataFrame]()
+        building.put(key, future)
+        owner = true
+        // PRE-build eviction, while the lock is held and before any
+        // memory-hungry materialization starts (the round-11 100×
+        // probe OOM'd when the outgoing entry stayed resident through
+        // the new build):
+        // 1. Cross-volume flush: keys are "name:dir", and an entry from
+        //    a DIFFERENT dir can be orders of magnitude larger than
+        //    this one — incomparable sizes defeat any shared budget.
         val colon = key.indexOf(':')
         if (colon >= 0) {
           val suffix = key.substring(colon)
@@ -53,28 +122,61 @@ private[graft] object IterCache {
             val c = k.indexOf(':')
             if (c >= 0 && k.substring(c) != suffix) {
               it0.remove()
-              try e.getValue.unpersist(true)
-              catch { case _: Throwable => () }
+              unpersistQuietly(e.getValue.df)
             }
           }
         }
-        // evict BEFORE building: the new frame's materialization is the
-        // memory-hungriest moment, and an evicted-after-build policy
-        // leaves the outgoing entry resident exactly through it (the
-        // round-11 100× probe OOM'd on that ordering — q78's edge cache
-        // was still live while q109's build ran). Blocking unpersist so
-        // the storage is actually gone before the build starts.
-        while (lru.size >= MaxEntries) {
-          val it = lru.entrySet().iterator()
-          val eldest = it.next()
-          it.remove()
-          try eldest.getValue.unpersist(true)
-          catch { case _: Throwable => () }
+        // 2. Headroom: clear LRU entries until live bytes ≤ budget/2 so
+        //    the incoming materialization has at least half the budget
+        //    free (its size is unknown until it is built).
+        val it1 = lru.entrySet().iterator()
+        while ((liveBytes > maxBytes / 2 || lru.size >= MaxEntries) && it1.hasNext) {
+          val eldest = it1.next()
+          it1.remove()
+          unpersistQuietly(eldest.getValue.df)
         }
-        val df = build
-        df.count()
-        lru.put(key, df)
-        df
       }
     }
+    if (!owner) {
+      // rendezvous on the in-flight build, outside the lock
+      try return future.join()
+      catch {
+        case e: java.util.concurrent.CompletionException if e.getCause != null =>
+          throw e.getCause
+      }
+    }
+    try {
+      val df = build
+      df.count() // materialize OUTSIDE the lock
+      // post-materialization InMemoryRelation stats = actual bytes held
+      val bytes =
+        try df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+        catch { case _: Throwable => 0L }
+      val session = df.sparkSession
+      synchronized {
+        // precise post-build eviction to the full budget (a single
+        // over-budget entry is still admitted — alone)
+        val it = lru.entrySet().iterator()
+        while ((liveBytes + bytes > maxBytes || lru.size >= MaxEntries) && it.hasNext) {
+          val eldest = it.next()
+          it.remove()
+          unpersistQuietly(eldest.getValue.df)
+        }
+        lru.put(key, Entry(df, bytes, session, currentParts(session)))
+      }
+      future.complete(df)
+      df
+    } catch {
+      case t: Throwable =>
+        future.completeExceptionally(t)
+        throw t
+    } finally {
+      synchronized { building.remove(key) }
+    }
+  }
+
+  /** Test seam: the recorded size of a live entry. */
+  private[graft] def entryBytes(key: String): Option[Long] = synchronized {
+    Option(lru.get(key)).map(_.bytes)
+  }
 }
