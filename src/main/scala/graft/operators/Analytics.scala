@@ -181,6 +181,15 @@ object Analytics {
     * sum ~1e-17 — nine orders under the smallest observed
     * delta-to-boundary gap, the same non-exposure class as
     * SemDedupTau's (measured there; documented here).
+    *
+    * RE-MEASUREMENT REQUIREMENT: the 7-round pin is only measured at
+    * the three shipped SFs. Pointing the registry at any OTHER corpus
+    * or SF requires re-measuring the eps=1e-6 stopping round first
+    * (run [[pagerankConverged]] once and read the round count) and
+    * updating this constant — otherwise the oracle's CTE depth
+    * disagrees with the data-driven run and the gate fails wholesale
+    * (loud by design, but the failure reads as a hash mismatch, not as
+    * "the pin is stale"; this note is the diagnosis pointer).
     */
   private[graft] val ConvergedEps = 1e-6
   private[graft] val ConvergedRounds = 7

@@ -42,6 +42,21 @@ object StreamingQueries {
   @volatile private[graft] var capturePlans: Boolean = false
   @volatile private[graft] var lastMicroBatchPlan: String = ""
 
+  /** One micro-batch's progress snapshot for the scale probe: the
+    * 100×-cliff shape of the streaming tier is STATE-STORE growth, not
+    * wall time, so the probe reads rows/bytes per batch, not just the
+    * lane total.
+    */
+  final case class BatchProgress(batchId: Long, durationMs: Long,
+      rowsProcessed: Long, stateRows: Long, stateBytes: Long)
+
+  /** Probe seam (ScaleProbe streaming sweep): when set, [[runToMemory]]
+    * records every micro-batch's duration + state-operator totals from
+    * the query's progress events into [[lastRunProgress]].
+    */
+  @volatile private[graft] var captureProgress: Boolean = false
+  @volatile private[graft] var lastRunProgress: Seq[BatchProgress] = Nil
+
   /** Create a temp checkpoint dir that is recursively deleted at JVM
     * exit. The statestore-introspection queries must OUTLIVE their
     * streaming run (the returned DataFrame reads the checkpoint
@@ -94,21 +109,43 @@ object StreamingQueries {
   private val OwnerPidFile = "GRAFT_OWNER_PID"
 
   private def writeOwnerPid(dir: java.nio.file.Path): Unit =
-    try java.nio.file.Files.write(dir.resolve(OwnerPidFile),
-      ProcessHandle.current.pid.toString.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    try {
+      // pid:startMillis — the start instant disambiguates PID REUSE: a
+      // recycled pid on an unrelated long-lived process would otherwise
+      // keep an orphaned checkpoint dir alive forever
+      val self = ProcessHandle.current
+      val start = self.info.startInstant
+        .map[Long](_.toEpochMilli).orElse(0L)
+      java.nio.file.Files.write(dir.resolve(OwnerPidFile),
+        s"${self.pid}:$start".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
 
-  /** True when the dir carries a pid marker whose process is alive (or
-    * a marker we can't read — keep, be safe). Marker-less dirs return
-    * false: they predate the marker scheme and age alone decides.
+  /** True when the dir carries a pid marker whose process is alive AND
+    * (when the marker records a start instant) was started at the
+    * recorded time — a live process on a REUSED pid does not count as
+    * the owner. Unreadable markers return true (keep, be safe);
+    * marker-less dirs return false: they predate the marker scheme and
+    * age alone decides.
     */
   private def ownerAlive(dir: java.io.File): Boolean = {
     val f = new java.io.File(dir, OwnerPidFile)
     if (!f.exists) false
     else try {
-      val pid = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
-      pid != ProcessHandle.current.pid && ProcessHandle.of(pid).isPresent
+      val parts = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.split(':')
+      val pid = parts(0).toLong
+      if (pid == ProcessHandle.current.pid) false
+      else {
+        val h = ProcessHandle.of(pid)
+        if (!h.isPresent) false
+        else if (parts.length < 2 || parts(1).toLong == 0L) true // legacy marker
+        else {
+          val liveStart = h.get.info.startInstant
+            .map[Long](_.toEpochMilli).orElse(0L)
+          // a missing live start instant can't refute ownership — keep
+          liveStart == 0L || liveStart == parts(1).toLong
+        }
+      }
     } catch { case _: Throwable => true }
   }
   locally {
@@ -184,6 +221,21 @@ object StreamingQueries {
           q.explain()
         } catch { case _: Throwable => () }
         lastMicroBatchPlan = bos.toString("UTF-8")
+      }
+      if (captureProgress) {
+        lastRunProgress = q.recentProgress.toSeq.map { p =>
+          val ops = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
+          val bytes = ops.map { so =>
+            // HDFS-backed stores report memoryUsedBytes; RocksDB
+            // reports its footprint via a custom metric instead
+            val rocks = Option(so.customMetrics)
+              .flatMap(m => Option(m.get("rocksdbTotalMemoryUsage")))
+              .map(_.longValue).getOrElse(0L)
+            so.memoryUsedBytes + rocks
+          }.sum
+          BatchProgress(p.batchId, p.batchDuration, p.numInputRows,
+            ops.map(_.numRowsTotal).sum, bytes)
+        }
       }
     } finally q.stop()
     spark.table(name)

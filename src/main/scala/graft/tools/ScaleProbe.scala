@@ -94,7 +94,14 @@ object ScaleProbe {
     // probe watches whether the broadcast-side growth path stays
     // join-bound (the documented flip past broadcastability is a
     // term-keyed shuffle join, same as BM25's)
-    "pipeline_contamination_fuzzy")
+    "pipeline_contamination_fuzzy",
+    // round-12 addition: the two-level rolling median — the suite's one
+    // unpriced per-row memory shape: the 30-day RANGE frame flattens
+    // ≤31 daily value lists into one array per output row, and
+    // rows-per-day grows ×factor under the replica fixture (orderdate
+    // and priority are verbatim), so the probe prices exactly the
+    // frame-materialization growth the q97b sketch twin would replace
+    "q97_rolling_median")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one
@@ -225,10 +232,22 @@ object ScaleProbe {
       def timeK(dir: String, k: Int): Double = {
         def run(): Unit =
           force(graft.operators.Similarity.dedupSemanticK(spark, dir, k))
-        run()
-        median((1 to passes).map { _ =>
-          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-        })
+        // same scaled-volume conf discipline as time(): without it a
+        // SPARK_GRAFT_SHUFFLE_PARTITIONS override would apply to the
+        // k=16 scaled lane but not this one, making ratio_vs_base
+        // incomparable
+        if (dir != baseDir)
+          scaledParts.foreach(p =>
+            spark.conf.set("spark.sql.shuffle.partitions", p))
+        try {
+          run()
+          median((1 to passes).map { _ =>
+            val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+          })
+        } finally {
+          if (dir != baseDir && scaledParts.nonEmpty)
+            spark.conf.set("spark.sql.shuffle.partitions", baseParts)
+        }
       }
       val sk = timeK(semN, 16 * factor)
       println(f"""{"q":"dedup_semantic","semantic":true,"k":${16 * factor},""" +
@@ -246,6 +265,46 @@ object ScaleProbe {
         println(s"""{"q":"dedup_semantic","semantic":true,"vol":"$tag",""" +
           s""""k":$k,"n_clusters":${cs.getLong(0)},"max_cluster":${cs.getLong(1)},""" +
           s""""sum_sq":${cs.getLong(2)},"n_dropped":$dropped}""")
+      }
+      spark.stop()
+      return
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_SCALE_STREAM")) {
+      // STREAMING SWEEP: the tier's 100×-cliff shape is STATE-STORE
+      // growth (per-key state in RocksDB for TWS/row-pattern, symmetric
+      // join buffers bounded only by the watermark for the outer join),
+      // so beside wall time the probe reads every micro-batch's
+      // duration + state rows/bytes from the progress events
+      // ([[graft.streaming.StreamingQueries.captureProgress]]). The
+      // scaled events table grows keys AND events ×factor (key-shifted
+      // replicas), which is the state-growth path — more keys, not
+      // hotter keys.
+      buildScaled(spark, baseDir, outDir, factor)
+      val streamQs = Seq("stream_row_pattern", "stream_tws",
+        "stream_outer_join")
+      streamQs.foreach { q =>
+        val b = time(q, baseDir)
+        val s = time(q, outDir)
+        println(f"""{"q":"$q","stream":true,"base_warm":$b%.3f,""" +
+          f""""scaled_warm":$s%.3f,"ratio":${s / b}%.3f,"factor":$factor}""")
+        Seq(baseDir -> "1x", outDir -> s"${factor}x").foreach { case (d, tag) =>
+          graft.streaming.StreamingQueries.captureProgress = true
+          try {
+            force(SparkEntry.queries(q)(spark, d))
+            val ps = graft.streaming.StreamingQueries.lastRunProgress
+            if (ps.nonEmpty) {
+              val durs = ps.map(_.durationMs.toDouble)
+              println(s"""{"q":"$q","stream":true,"vol":"$tag",""" +
+                s""""n_batches":${ps.length},""" +
+                f""""batch_ms_median":${median(durs)}%.1f,""" +
+                f""""batch_ms_max":${durs.max}%.1f,""" +
+                s""""rows_in":${ps.map(_.rowsProcessed).sum},""" +
+                s""""state_rows_max":${ps.map(_.stateRows).max},""" +
+                s""""state_bytes_max":${ps.map(_.stateBytes).max}}""")
+            }
+          } finally graft.streaming.StreamingQueries.captureProgress = false
+        }
       }
       spark.stop()
       return
@@ -312,20 +371,32 @@ object ScaleProbe {
   }
 
   /** Semantic-sweep fixture: embeddings ×factor where replica k>0 is a
-    * deterministic PERTURBATION of the original, not a copy —
-    * v'_j = 0.35·v_j + 0.2·u_j with u_j = (xxhash64(vec_id,k,j) mod
-    * 2001 − 1000)/1000 ∈ [−1,1]. For unit-norm 64-dim vectors the noise
-    * part lands at ‖n‖ ≈ 0.92, so cos(v, v') ≈ 0.35 and cross-replica
-    * twins of the SAME original sit ≈ 0.12 (hash noise is decorrelated
-    * across k) — both safely under τ = 0.4: the fixture grows the
-    * corpus with genuinely distinct vectors that still fill the same
-    * regions, which is what makes cluster SIZES (the Σ|c|² driver)
-    * grow ×factor instead of manufacturing degenerate exact dups.
+    * deterministic PERTURBATION of the original, not a copy — built so
+    * that cos(v, v') = 0.35 EXACTLY for every replica, not just in
+    * expectation: with w = v/‖v‖ and deterministic hash noise
+    * u_j = (xxhash64(vec_id,k,j) mod 2001 − 1000)/1000 ∈ [−1,1], the
+    * replica is v' = 0.35·w + √(1−0.35²)·û⊥ where û⊥ is u
+    * orthogonalized against w and normalized — a unit vector at a
+    * fixed 0.35-cosine angle to the original. (The earlier
+    * 0.35·v + 0.2·u form only held ON AVERAGE: dot(v,u) has σ ≈ 0.58,
+    * so ≈⅓ of replicas crossed τ = 0.4 and were dropped as near-dups
+    * of their original, skewing the sweep's n_dropped attribution.)
+    * Cross-replica twins of the same original sit at
+    * 0.1225 + 0.8775·(û⊥ₖ₁·û⊥ₖ₂) ≈ 0.12 ± 0.11 — a ≲1% tail of
+    * cross-pairs can still cross τ, which only perturbs n_dropped by
+    * that margin and is noted here rather than hidden. The fixture
+    * grows the corpus with genuinely distinct vectors that still fill
+    * the same regions, which is what makes cluster SIZES (the Σ|c|²
+    * driver) grow ×factor instead of manufacturing degenerate exact
+    * dups.
     */
   private def buildSemanticScaled(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int): Unit = {
     val marker = new java.io.File(outDir, "_READY")
-    val stamp = s"sem;factor=$factor;v=$FixtureVersion"
+    // "sem2": the round-12 exact-cosine construction — invalidates any
+    // cached fixture built by the tail-prone 0.35v+0.2u form without
+    // touching the (expensive) buildScaled volume markers
+    val stamp = s"sem2;factor=$factor;v=$FixtureVersion"
     if (marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath),
         "UTF-8") == stamp) return
@@ -333,13 +404,27 @@ object ScaleProbe {
     val reps = broadcast(spark.range(factor).select(col("id").as("k")))
     val em = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val emSpan = em.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val beta = math.sqrt(1.0 - 0.35 * 0.35)
     em.crossJoin(reps)
+      .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("nv",
+        sqrt(aggregate(col("vd"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("w", transform(col("vd"), x => x / col("nv")))
+      .withColumn("u", transform(col("vd"), (_, j) =>
+        (pmod(xxhash64(col("vec_id"), col("k"), j), lit(2001L))
+          .cast("double") - 1000.0) / 1000.0))
+      .withColumn("d",
+        aggregate(zip_with(col("w"), col("u"), (a, b) => a * b),
+          lit(0.0), (a, x) => a + x))
+      .withColumn("up",
+        zip_with(col("u"), col("w"), (uj, wj) => uj - col("d") * wj))
+      .withColumn("nup",
+        sqrt(aggregate(col("up"), lit(0.0), (a, x) => a + x * x)))
       .withColumn("embedding",
-        when(col("k") === 0, col("embedding")).otherwise(
-          transform(col("embedding"), (x, j) =>
-            (x.cast("double") * 0.35 +
-              (pmod(xxhash64(col("vec_id"), col("k"), j), lit(2001L))
-                .cast("double") - 1000.0) / 1000.0 * 0.2).cast("float"))))
+        when(col("k") === 0 || col("nv") === 0.0 || col("nup") === 0.0,
+          col("embedding")).otherwise(
+          zip_with(col("w"), col("up"), (wj, pj) =>
+            (wj * 0.35 + pj * beta / col("nup")).cast("float"))))
       .select((col("vec_id") + col("k") * emSpan).as("vec_id"),
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
