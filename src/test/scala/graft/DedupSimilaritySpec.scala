@@ -240,6 +240,38 @@ class DedupSimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(out.exists(!_._3), "fixture regression: no semantic drops")
   }
 
+  test("semantic dedup k=64 (loop-UDF assignment path): kept flags recompute") {
+    // k=64 > the codegen-tree cutover (16), so this runs the tight-loop
+    // UDF assignment — the production k ∝ N path, verified by the same
+    // recompute as the registered k=16 form
+    val out = Similarity.dedupSemanticK64(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.length === emb.size, "every embedding gets a verdict")
+    // genuinely large-k: the assignment must use clusters past the
+    // expression-tree form's k=16 range, or the loop path wasn't hit
+    assert(out.map(_._2).distinct.length > 16,
+      "k=64 run collapsed to <=16 clusters — the large-k path is untested")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) 0.0 else dot / d
+    }
+    val byCluster = out.groupBy(_._2)
+    out.foreach { case (id, cl, kept) =>
+      val expectDrop = byCluster(cl).exists { case (o, _, _) =>
+        o < id && cos(emb(o), emb(id)) >= Similarity.SemDedupTau
+      }
+      assert(kept === !expectDrop, s"vec $id in cluster $cl (k=64)")
+    }
+  }
+
   test("dedup_clusters: transitive closure over candidate pairs") {
     val pairs = Dedup.dedupMinhashLsh(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
