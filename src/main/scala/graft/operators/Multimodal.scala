@@ -561,6 +561,133 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** JPEG fixture synthesis for the ENTROPY-CODED content tier: a
+    * genuine baseline-sequential grayscale JPEG whose quantized
+    * coefficient blocks follow a fixed formula of (doc_id, block,
+    * zigzag position) — sparse tails so the encoder genuinely exercises
+    * EOB/run coding, varying DC so the prediction chain carries state
+    * across blocks. The stream between the coefficients and the pixels
+    * (Huffman tables, byte stuffing, zigzag, dequant, fixed-point IDCT)
+    * is earned by the codec on both ends; the oracle replays
+    * coefficients + the SAME integer IDCT constants and never touches
+    * the entropy coding.
+    */
+  private val jpegPixelContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    val n = bytes.length
+    val w = 8 * (1 + n % 3)
+    val h = 8 * (1 + (n * 7) % 2)
+    val zmax = (5 + docId % 5).toInt
+    val quant = Array.tabulate(64)(z => 1 + z % 8)
+    val blocks = Array.tabulate((w / 8) * (h / 8)) { b =>
+      Array.tabulate(64) { z =>
+        if (z <= zmax) (((z * 7 + b * 5 + docId * 3) % 21) - 10).toInt
+        else 0
+      }
+    }
+    graft.functions.JpegCodec.jpegWrapBaseline(w, h, quant, blocks)
+  }
+
+  /** Content-level decode of an ENTROPY-CODED format — the last step of
+    * the family's header→content arc (BMP walked raw bytes, GIF
+    * decompressed LZW): the payload's pixels come back through a real
+    * baseline JPEG decode — DQT/DHT parsed from the stream, canonical
+    * Huffman decoding with 0xFF00 unstuffing, DC prediction, zigzag,
+    * dequantization, and the deterministic fixed-point IDCT
+    * ([[graft.functions.JpegCodec]] — integer cosine constants shared
+    * with the oracle, so encode(coefficients)→decode is bit-exact and
+    * SQL-replayable despite JPEG being float-lossy in the wild; the
+    * forward-DCT/quantization loss is documented out of scope). Stats
+    * pin geometry, sums, extrema and three corner pixels —
+    * top-right/bottom-right catch a transposed IDCT that the diagonal
+    * corners would miss. Same narrow mapPartitions shape (and 100 TB
+    * posture) as the rest of the decode family.
+    */
+  def mmJpegPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        jpegPixelContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          graft.functions.JpegCodec.jpegRaster(payload) match {
+            case Right(r) =>
+              val p = r.pixels
+              var sum = 0L; var mn = 255L; var mx = 0L
+              var i = 0
+              while (i < p.length) {
+                val v = (p(i) & 0xff).toLong
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              (id, r.width.toLong, r.height.toLong,
+                (r.width / 8).toLong * (r.height / 8), sum, mn, mx,
+                (p(0) & 0xff).toLong,
+                (p(r.width - 1) & 0xff).toLong,
+                (p(p.length - 1) & 0xff).toLong)
+            case Left(_) => (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_blocks", "px_sum", "px_min",
+        "px_max", "first_px", "top_right_px", "last_px")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The IDCT replay constants, interpolated into the oracle from the
+    * codec's own arrays — one source of truth for both engines.
+    */
+  private def jpegOracle: String = {
+    import graft.functions.JpegCodec
+    val zigRows = JpegCodec.ZigZag.zipWithIndex
+      .map { case (p, z) => s"($z,${p / 8},${p % 8})" }.mkString(",")
+    val cosRows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u,$x,${JpegCodec.CosTable(u)(x)})").mkString(",")
+    s"""WITH d AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |dims AS (
+      |  SELECT doc_id, 8 * (1 + n % 3) AS w, 8 * (1 + (n * 7) % 2) AS h,
+      |    5 + doc_id % 5 AS zmax, doc_id * 3 AS s0 FROM d),
+      |zig AS (SELECT * FROM (VALUES $zigRows) AS t(z, u, v)),
+      |ct AS (SELECT * FROM (VALUES $cosRows) AS t(u, x, cz)),
+      |blocks AS (
+      |  SELECT doc_id, w, h, zmax, s0, bb.b AS b
+      |  FROM dims, LATERAL unnest(generate_series(0, (w//8)*(h//8) - 1)) AS bb(b)),
+      |coefs AS (
+      |  SELECT doc_id, w, h, b, z.u AS u, z.v AS v,
+      |    (CASE WHEN z.z <= zmax
+      |       THEN ((z.z*7 + b*5 + s0) % 21) - 10 ELSE 0 END)
+      |      * (1 + z.z % 8) AS coef
+      |  FROM blocks, zig z),
+      |px AS (
+      |  SELECT cf.doc_id, cf.w, cf.h, cf.b, yy.y AS y, xx.x AS x,
+      |    least(255, greatest(0,
+      |      (sum(cf.coef * cu.cz * cv.cz)
+      |        + ${JpegCodec.IdctHalf} + ${JpegCodec.IdctBias})
+      |        // ${JpegCodec.IdctShiftDiv} - ${JpegCodec.IdctBiasQ} + 128)) AS px
+      |  FROM coefs cf,
+      |    LATERAL unnest(generate_series(0, 7)) AS yy(y),
+      |    LATERAL unnest(generate_series(0, 7)) AS xx(x)
+      |  JOIN ct cu ON cu.u = cf.u AND cu.x = yy.y
+      |  JOIN ct cv ON cv.u = cf.v AND cv.x = xx.x
+      |  GROUP BY cf.doc_id, cf.w, cf.h, cf.b, yy.y, xx.x),
+      |placed AS (
+      |  SELECT doc_id, w, h, px,
+      |    (b // (w//8)) * 8 + y AS gy, (b % (w//8)) * 8 + x AS gx
+      |  FROM px)
+      |SELECT doc_id, cast(w AS BIGINT) AS width, cast(h AS BIGINT) AS height,
+      |  cast((w//8)*(h//8) AS BIGINT) AS n_blocks,
+      |  cast(sum(px) AS BIGINT) AS px_sum,
+      |  cast(min(px) AS BIGINT) AS px_min,
+      |  cast(max(px) AS BIGINT) AS px_max,
+      |  cast(min(CASE WHEN gy = 0 AND gx = 0 THEN px END) AS BIGINT) AS first_px,
+      |  cast(min(CASE WHEN gy = 0 AND gx = w - 1 THEN px END) AS BIGINT) AS top_right_px,
+      |  cast(min(CASE WHEN gy = h - 1 AND gx = w - 1 THEN px END) AS BIGINT) AS last_px
+      |FROM placed GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+  }
+
   /** Ranking depth for [[mmPhashDedup]]. */
   private[graft] val PhashTopK = 20
 
@@ -668,6 +795,13 @@ object Multimodal {
 
   val registry: Seq[QueryDef] = Seq(
     QueryDef("mm_phash_dedup", mmPhashDedup _, PhashOracle),
+    // CONTENT replay for the entropy-coded tier: the oracle regenerates
+    // the quantized coefficients from the synthesis formula, dequantizes
+    // and runs the SAME fixed-point IDCT (constants interpolated from
+    // JpegCodec — one source of truth), and never touches the Huffman
+    // stream; Spark earns the pixels by genuinely entropy-decoding the
+    // baseline JPEG it wrapped
+    QueryDef("mm_jpeg_pixels", mmJpegPixels _, jpegOracle),
     QueryDef("mm_pixel_stats", mmPixelStats _,
       // CONTENT replay: the oracle regenerates every pixel byte from
       // the synthesis formula ((i + 7*doc_id) mod 256 over logical

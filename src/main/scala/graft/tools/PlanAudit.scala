@@ -323,6 +323,22 @@ object PlanAudit {
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // round-12 content re-bases + the entropy-coded tier: every
+      // decode lane keeps the narrow per-partition shape — content
+      // bytes never shuffle, only the small feature rows (rx = the
+      // oracle's deterministic output sort)
+      "mm_jpeg_pixels" -> Seq(
+        ("narrow-decode-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0)),
+      "mm_scene_cuts" -> Seq(
+        ("narrow-decode-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0)),
+      "mm_audio_features" -> Seq(
+        ("narrow-decode-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0)),
       // MRL diagnostics (r10): one corpus scan, the 4-way ladder
       // explode, ONE m-keyed aggregate — no joins, no per-vector output
       "emb_matryoshka" -> Seq(
