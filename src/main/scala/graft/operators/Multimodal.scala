@@ -688,6 +688,68 @@ object Multimodal {
       |FROM placed GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
   }
 
+  /** PNG fixture synthesis for the DEFLATE content tier: a genuine
+    * 8-bit grayscale PNG whose pixels follow a fixed formula of
+    * (index, doc_id); each scanline is filtered with a DIFFERENT
+    * filter type (row % 5) and the zlib stream comes from the JVM's
+    * own Deflater — dynamic-Huffman blocks, so the hand-written
+    * inflate's full RFC 1951 path runs on every payload.
+    */
+  private val pngPixelContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    val n = bytes.length
+    val w = 8 + n % 41
+    val h = 8 + (n * 11) % 23
+    val px = Array.tabulate(w * h)(i => ((i * 13 + docId * 29) % 256).toByte)
+    graft.functions.PngCodec.pngWrapGray(w, h, px)
+  }
+
+  /** Content-level decode of the DICTIONARY-CODED format — PNG
+    * completes the family's compression arc (BMP raw walk, GIF LZW,
+    * JPEG Huffman+IDCT, PNG = full RFC 1951 inflate + the five
+    * scanline filters): chunk walk with CRC-32 checks, zlib unwrap
+    * with Adler-32, stored/fixed/dynamic-Huffman blocks with LZ77
+    * back-references, then per-row unfiltering (the fixture cycles all
+    * five filter types, so None/Sub/Up/Average/Paeth all run on every
+    * image). The oracle replays the pixel formula and never touches
+    * DEFLATE — one wrong bit anywhere in the inflate or one wrong
+    * unfilter branch corrupts downstream rows and hash-fails the doc.
+    * Corner pins catch transposed layouts. Same narrow mapPartitions
+    * shape (and 100 TB posture) as the rest of the decode family.
+    */
+  def mmPngPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pngPixelContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          graft.functions.PngCodec.pngRaster(payload) match {
+            case Right(r) =>
+              val p = r.pixels
+              var sum = 0L; var mn = 255L; var mx = 0L
+              var i = 0
+              while (i < p.length) {
+                val v = (p(i) & 0xff).toLong
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              (id, r.width.toLong, r.height.toLong,
+                r.width.toLong * r.height, sum, mn, mx,
+                (p(0) & 0xff).toLong,
+                (p(r.width - 1) & 0xff).toLong,
+                (p(p.length - 1) & 0xff).toLong)
+            case Left(_) => (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_pixels", "px_sum", "px_min",
+        "px_max", "first_px", "top_right_px", "last_px")
+      .orderBy(col("doc_id"))
+  }
+
   /** Ranking depth for [[mmPhashDedup]]. */
   private[graft] val PhashTopK = 20
 
@@ -802,6 +864,30 @@ object Multimodal {
     // stream; Spark earns the pixels by genuinely entropy-decoding the
     // baseline JPEG it wrapped
     QueryDef("mm_jpeg_pixels", mmJpegPixels _, jpegOracle),
+    // CONTENT replay for the DEFLATE tier: the oracle regenerates every
+    // pixel from the synthesis formula ((i*13 + 29*doc_id) mod 256) and
+    // recomputes the stats; Spark earns them only by a correct chunk
+    // walk + CRC/Adler verification + full RFC 1951 inflate + all five
+    // scanline unfilters (the fixture cycles filter types per row, and
+    // filters are cumulative — one wrong branch corrupts every row below)
+    QueryDef("mm_png_pixels", mmPngPixels _,
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |dims AS (
+        |  SELECT doc_id, 8 + n % 41 AS w, 8 + (n * 11) % 23 AS h,
+        |    doc_id * 29 AS s FROM d),
+        |px AS (
+        |  SELECT doc_id, w, h, t.i AS i, (t.i * 13 + s) % 256 AS v
+        |  FROM dims, LATERAL unnest(generate_series(0, w*h - 1)) AS t(i))
+        |SELECT doc_id, cast(w AS BIGINT) AS width, cast(h AS BIGINT) AS height,
+        |  cast(w*h AS BIGINT) AS n_pixels,
+        |  cast(sum(v) AS BIGINT) AS px_sum,
+        |  cast(min(v) AS BIGINT) AS px_min,
+        |  cast(max(v) AS BIGINT) AS px_max,
+        |  cast(min(CASE WHEN i = 0 THEN v END) AS BIGINT) AS first_px,
+        |  cast(min(CASE WHEN i = w - 1 THEN v END) AS BIGINT) AS top_right_px,
+        |  cast(min(CASE WHEN i = w*h - 1 THEN v END) AS BIGINT) AS last_px
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin),
     QueryDef("mm_pixel_stats", mmPixelStats _,
       // CONTENT replay: the oracle regenerates every pixel byte from
       // the synthesis formula ((i + 7*doc_id) mod 256 over logical

@@ -331,6 +331,10 @@ object PlanAudit {
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
             m("bhj") == 0)),
+      "mm_png_pixels" -> Seq(
+        ("narrow-decode-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0)),
       "mm_scene_cuts" -> Seq(
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
