@@ -158,4 +158,55 @@ object KllSketch {
     override def outputEncoder: Encoder[Array[Long]] =
       ExpressionEncoder[Array[Long]]()
   }
+
+  /** Flat long encoding of a sketch — [parity, nLevels, (n_i, items_i…)
+    * per level] — so a GROUPED aggregation can emit the partial as a
+    * plain `array<bigint>` column that a later window/merge step reads
+    * back without kryo (the q97b windowed-median flip needs sketch
+    * partials as first-class column values).
+    */
+  def toLongs(b: Buf): Array[Long] = {
+    var sz = 2
+    b.levels.foreach(l => sz += 1 + l.n)
+    val out = new Array[Long](sz)
+    out(0) = b.parity.toLong
+    out(1) = b.levels.length.toLong
+    var i = 2
+    b.levels.foreach { l =>
+      out(i) = l.n.toLong
+      i += 1
+      System.arraycopy(l.a, 0, out, i, l.n)
+      i += l.n
+    }
+    out
+  }
+
+  def fromLongs(a: Array[Long]): Buf = {
+    val parity = a(0).toInt
+    val nl = a(1).toInt
+    var i = 2
+    val levels = Array.fill(nl) {
+      val n = a(i).toInt
+      i += 1
+      val arr = new Array[Long](math.max(n, K))
+      System.arraycopy(a, i, arr, 0, n)
+      i += n
+      Level(arr, n)
+    }
+    Buf(levels, parity)
+  }
+
+  /** Per-group partial sketch as `array<bigint>` (see [[toLongs]]) —
+    * the grouped-aggregation form [[KllBufAgg]]'s kryo buffer can't
+    * provide.
+    */
+  class KllLongsAgg extends Aggregator[Long, Buf, Array[Long]] {
+    override def zero: Buf = empty
+    override def reduce(b: Buf, v: Long): Buf = { add(b, v); b }
+    override def merge(a: Buf, b: Buf): Buf = KllSketch.merge(a, b)
+    override def finish(b: Buf): Array[Long] = toLongs(b)
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
 }

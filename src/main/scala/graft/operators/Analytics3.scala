@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.{QueryDef, Tables}
+import graft.functions.KllSketch
 
 /** Third analytics batch: sparse-series repair and robust anomaly
   * detection — the two standard treatments of a metric stream the
@@ -211,9 +212,94 @@ object Analytics3 {
       |FROM orders
       |ORDER BY o_orderpriority, d""".stripMargin
 
+  /** Rank-bracket half-width for [[rollingMedianKll]] in percent of the
+    * frame size: the estimate's exact rank must land in
+    * [45 %, 55 %] · n. Measured sketch error ≤0.6 % (KllSketch
+    * scaladoc) — ~8× margin; at the gate SFs frames are smaller than
+    * K=512, so the sketch is EXACT and the bracket binds only at scale
+    * (the sketch_approx_topk posture).
+    */
+  private val MedianBracketPct = 5
+
+  /** The 100 TB FLIP of [[rollingMedian]] (the q74b discipline): same
+    * two-level rolling-median shape, but the per-day partial is a
+    * MERGEABLE KLL SKETCH (`array<bigint>`-encoded, K·log(n/K) longs)
+    * instead of the day's full value list — per-output-row window
+    * state becomes O(31·K·log) regardless of rows-per-day, which is
+    * the knob the r12 probe priced as the exact form's only
+    * growth axis. The window merges the ≤31 daily sketches per row
+    * and takes the p50 estimate; because KLL estimates are
+    * merge-order-dependent (NOTES #17), the estimate itself NEVER
+    * reaches the hash oracle — the emitted row is exact integers
+    * (frame count, rank bracket) plus `in_bracket`, verified here
+    * against an exact rank computed from the daily value lists (a
+    * GATE-SCALE verification substrate the 100 TB deployment drops;
+    * the oracle replays the bracket arithmetic and a literal TRUE).
+    */
+  def rollingMedianKll(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("kll_day", org.apache.spark.sql.functions.udaf(
+      new KllSketch.KllLongsAgg(), org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("kll_med", (sks: Seq[Seq[Long]]) => {
+      val merged = sks.map(s => KllSketch.fromLongs(s.toArray))
+        .reduceOption(KllSketch.merge).getOrElse(KllSketch.empty)
+      KllSketch.quantiles(merged, Array(0.5))(0)
+    })
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_rmk")
+    spark.sql(
+      s"""WITH daily AS (
+        |  SELECT o_orderpriority, date_trunc('DAY', o_orderdate) AS day,
+        |    kll_day(cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS sk,
+        |    collect_list(
+        |      cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS vals,
+        |    count(*) AS n
+        |  FROM v_orders_rmk GROUP BY 1, 2),
+        |framed AS (
+        |  SELECT o_orderpriority, day,
+        |    kll_med(collect_list(sk) OVER w) AS est,
+        |    flatten(collect_list(vals) OVER w) AS fvals,
+        |    sum(n) OVER w AS n_frame
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW))
+        |SELECT o_orderpriority, date_format(day, 'yyyy-MM-dd') AS d,
+        |  n_frame,
+        |  n_frame * ${50 - MedianBracketPct} div 100 AS lo_rank,
+        |  (n_frame * ${50 + MedianBracketPct} + 99) div 100 AS hi_rank,
+        |  (size(filter(fvals, x -> x <= est))
+        |     >= n_frame * ${50 - MedianBracketPct} div 100 AND
+        |   size(filter(fvals, x -> x <= est))
+        |     <= (n_frame * ${50 + MedianBracketPct} + 99) div 100)
+        |    AS in_bracket
+        |FROM framed
+        |ORDER BY o_orderpriority, d""".stripMargin)
+  }
+
+  private val RollingMedianKllOracle: String =
+    s"""WITH daily AS (
+      |  SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |framed AS (
+      |  SELECT o_orderpriority, day,
+      |    sum(n) OVER (PARTITION BY o_orderpriority ORDER BY day
+      |      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      |      AS n_frame
+      |  FROM daily)
+      |SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS d,
+      |  CAST(n_frame AS BIGINT) AS n_frame,
+      |  CAST(n_frame * ${50 - MedianBracketPct} // 100 AS BIGINT) AS lo_rank,
+      |  CAST((n_frame * ${50 + MedianBracketPct} + 99) // 100 AS BIGINT)
+      |    AS hi_rank,
+      |  TRUE AS in_bracket
+      |FROM framed ORDER BY o_orderpriority, d""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q95_gapfill", gapfillInterp _, GapfillOracle),
     QueryDef("q96_mad_outliers", madOutliers _, MadOracle),
-    QueryDef("q97_rolling_median", rollingMedian _, RollingMedianOracle)
+    QueryDef("q97_rolling_median", rollingMedian _, RollingMedianOracle),
+    QueryDef("q97b_rolling_median_kll", rollingMedianKll _,
+      RollingMedianKllOracle)
   )
 }

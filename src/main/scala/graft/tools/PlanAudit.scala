@@ -161,6 +161,12 @@ object PlanAudit {
       "q97_rolling_median" -> Seq(
         ("two-hash-no-join",
           m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0)),
+      // the sketch flip keeps the identical two-level shape — per-day
+      // partial (sketch instead of list) then one window pass; the
+      // bracket verification rides the SAME window, adding no shuffle
+      "q97b_rolling_median_kll" -> Seq(
+        ("two-hash-no-join",
+          m => m("hx") == 2 && m("smj") == 0 && m("bhj") == 0)),
       // dynamic-gap session windows: real session-window state operator
       "stream_session_dynamic" -> Seq(
         ("session-state", m => m("stateOps") >= 1)),

@@ -104,4 +104,64 @@ class KllSketchSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach(r => assert(r.getAs[Boolean]("in_bracket"),
       s"p=${r.get(0)} out of bracket"))
   }
+
+  test("toLongs/fromLongs: flat encoding round-trips across compaction regimes") {
+    val rnd = new scala.util.Random(7)
+    Seq(10, KllSketch.K - 1, KllSketch.K * 3, 50000).foreach { n =>
+      val b = KllSketch.empty
+      (0 until n).foreach(_ => KllSketch.add(b, rnd.nextLong() % 100000))
+      val back = KllSketch.fromLongs(KllSketch.toLongs(b))
+      assert(KllSketch.quantiles(back, ps).toSeq ===
+        KllSketch.quantiles(b, ps).toSeq, s"n=$n")
+      // and the decoded sketch keeps WORKING (capacity invariants held):
+      // adding enough items to force a compaction must not corrupt it
+      (0 until KllSketch.K * 2).foreach(i => KllSketch.add(back, i.toLong))
+      assert(KllSketch.quantiles(back, Array(0.5))(0) >= Long.MinValue)
+    }
+  }
+
+  test("q97b window-merge path: merged daily sketches stay in rank bracket past K") {
+    // frames LARGER than K so compaction genuinely runs (at the gate SF
+    // frames are sub-K and the sketch is exact — this is the scale
+    // regime the registered bracket exists for)
+    val rnd = new scala.util.Random(11)
+    val days = (0 until 31).map { d =>
+      Array.fill(200)(rnd.nextLong().abs % 1000000)
+    }
+    val sks = days.map { vs =>
+      val b = KllSketch.empty
+      vs.foreach(KllSketch.add(b, _))
+      KllSketch.toLongs(b)
+    }
+    val merged = sks.map(KllSketch.fromLongs)
+      .reduce(KllSketch.merge)
+    val est = KllSketch.quantiles(merged, Array(0.5))(0)
+    val all = days.flatten.sorted.toArray
+    val rank = all.count(_ <= est)
+    val n = all.length // 6200 > K=512 → real compactions
+    assert(rank >= n * 45 / 100 && rank <= (n * 55 + 99) / 100,
+      s"median est rank $rank outside [${n * 45 / 100}, ${(n * 55 + 99) / 100}] of $n")
+  }
+
+  test("q97b query: every frame in bracket, n_frame equals the exact recount") {
+    val out = graft.operators.Analytics3.rollingMedianKll(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getBoolean(5)), "an in_bracket=false row at gate SF " +
+      "(frames are sub-K there, the sketch is exact — this must not happen)")
+    // recount frames from the raw table
+    val orders = Tables.orders(spark, sf0001)
+      .selectExpr("o_orderpriority", "date_format(o_orderdate, 'yyyy-MM-dd') AS d")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    val byPriority = orders.groupBy(_._1)
+    out.foreach { r =>
+      val (pri, d, nFrame) = (r.getString(0), r.getString(1), r.getLong(2))
+      val day = java.time.LocalDate.parse(d, fmt)
+      val expect = byPriority(pri).count { case (_, od) =>
+        val o = java.time.LocalDate.parse(od, fmt)
+        !o.isAfter(day) && !o.isBefore(day.minusDays(30))
+      }
+      assert(nFrame === expect.toLong, s"($pri, $d)")
+    }
+  }
 }
