@@ -101,7 +101,12 @@ object ScaleProbe {
     // rows-per-day grows ×factor under the replica fixture (orderdate
     // and priority are verbatim), so the probe prices exactly the
     // frame-materialization growth the q97b sketch twin would replace
-    "q97_rolling_median")
+    "q97_rolling_median",
+    // round-12 batch 2: the content-decode tier's CPU-heaviest member
+    // (entropy decode + integer IDCT per payload) as the family's
+    // scale representative — embarrassingly parallel narrow map, so
+    // the expected law is scan-bound linear; the probe documents it
+    "mm_jpeg_pixels")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one

@@ -119,6 +119,32 @@ class IterCacheSpec extends AnyFunSuite with SparkTestBase {
     } finally IterCache.maxBytesOverride = None
   }
 
+  test("concurrent same-key callers rendezvous on ONE build") {
+    val key = s"spec-conc-${System.nanoTime()}"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val startGate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        startGate.await()
+        val df = IterCache.getOrBuild(key) {
+          builds.incrementAndGet()
+          Thread.sleep(100) // widen the in-flight window
+          frame(900)
+        }
+        results.add(df)
+      })
+    }
+    threads.foreach(_.start())
+    startGate.countDown()
+    threads.foreach(_.join(30000))
+    assert(builds.get === 1, "same-key concurrent callers must share one build")
+    assert(results.size === 4)
+    val distinct = new java.util.IdentityHashMap[AnyRef, Unit]()
+    results.forEach(r => distinct.put(r, ()))
+    assert(distinct.size === 1, "all callers must receive the same frame")
+  }
+
   test("a hit built under a different shuffle-partitions conf rebuilds") {
     val key = s"spec-conf-${System.nanoTime()}"
     val before = spark.conf.get("spark.sql.shuffle.partitions")
