@@ -1,0 +1,109 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.{GifPixels, JpegCodec, PngCodec}
+
+/** Property tests for the three content codecs: byte-exact round trips
+  * under ARBITRARY geometry/content — the hand fixtures pin known
+  * regimes (width bumps, ZRL runs, filter branches); these sweep the
+  * space between them. Pure JVM, no Spark session.
+  */
+object CodecPropertySpec extends Properties("codecs") {
+
+  private val palette16 =
+    Array.tabulate(16)(p => ((p * 17) << 16) | (((p * 29) % 256) << 8) |
+      ((p * 43) % 256))
+
+  private val gifAnim: Gen[(Int, Int, Int, Long)] = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 30)
+    nf <- Gen.choose(1, 8)
+    seed <- Gen.choose(0L, Long.MaxValue / 2)
+  } yield (w, h, nf, seed)
+
+  property("animated GIF round-trips every frame byte-exact") =
+    forAll(gifAnim) { case (w, h, nf, seed) =>
+      val frames = (0 until nf).map { f =>
+        Array.tabulate(w * h)(i =>
+          (((i * 31 + seed + f * 7) % 16 + 16) % 16).toByte)
+      }
+      val gif = GifPixels.gifWrapFrames(w, h, palette16, frames)
+      GifPixels.gifFrames(gif) match {
+        case Right(anim) =>
+          anim.frames.length == nf &&
+            frames.indices.forall(f => anim.frames(f).sameElements(frames(f)))
+        case Left(_) => false
+      }
+    }
+
+  private val jpegCase: Gen[(Int, Int, Long, Int)] = for {
+    bw <- Gen.choose(1, 3)
+    bh <- Gen.choose(1, 3)
+    seed <- Gen.choose(0L, 100000L)
+    sparsity <- Gen.choose(0, 63)
+  } yield (bw * 8, bh * 8, seed, sparsity)
+
+  property("baseline JPEG: decoded pixels equal dequant+IDCT of the coefficients") =
+    forAll(jpegCase) { case (w, h, seed, sparsity) =>
+      val quant = Array.tabulate(64)(z => 1 + ((z + seed) % 8).toInt)
+      val blocks = Array.tabulate((w / 8) * (h / 8))(b =>
+        Array.tabulate(64)(z =>
+          if (z <= sparsity) (((z * 7 + b * 5 + seed) % 21) - 10).toInt
+          else 0))
+      val jpeg = JpegCodec.jpegWrapBaseline(w, h, quant, blocks)
+      JpegCodec.jpegRaster(jpeg) match {
+        case Right(r) =>
+          val bw = w / 8
+          val expect = new Array[Byte](w * h)
+          blocks.zipWithIndex.foreach { case (blk, b) =>
+            val coef = new Array[Long](64)
+            (0 until 64).foreach(z =>
+              coef(JpegCodec.ZigZag(z)) = blk(z).toLong * quant(z))
+            val p = JpegCodec.idct(coef)
+            val by = b / bw; val bx = b % bw
+            (0 until 8).foreach(y => System.arraycopy(
+              p, y * 8, expect, (by * 8 + y) * w + bx * 8, 8))
+          }
+          r.pixels.sameElements(expect)
+        case Left(_) => false
+      }
+    }
+
+  private val pngCase: Gen[(Int, Int, Long)] = for {
+    w <- Gen.choose(1, 60)
+    h <- Gen.choose(1, 40)
+    seed <- Gen.choose(0L, Long.MaxValue / 2)
+  } yield (w, h, seed)
+
+  property("grayscale PNG round-trips byte-exact (all filters, dynamic DEFLATE)") =
+    forAll(pngCase) { case (w, h, seed) =>
+      val px = Array.tabulate(w * h)(i => ((i * 13 + seed) % 256).toByte)
+      val png = PngCodec.pngWrapGray(w, h, px)
+      PngCodec.pngRaster(png) match {
+        case Right(r) => r.pixels.sameElements(px)
+        case Left(_) => false
+      }
+    }
+
+  property("inflate agrees with java.util.zip on arbitrary byte streams") =
+    forAll(Gen.choose(0, 4000), Gen.choose(0L, Long.MaxValue / 2),
+      Gen.choose(0, 9)) { (n, seed, level) =>
+      val rnd = new scala.util.Random(seed)
+      val data = new Array[Byte](n)
+      rnd.nextBytes(data)
+      // mix in structure so matches occur at some lengths
+      (0 until n).foreach(i => if ((i / 37) % 2 == 0) data(i) = (i % 13).toByte)
+      val d = new java.util.zip.Deflater(level)
+      d.setInput(data); d.finish()
+      val zb = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!d.finished()) zb.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      val z = zb.toByteArray
+      PngCodec.inflate(z, 2, z.length - 4, n) match {
+        case Right(got) => got.sameElements(data)
+        case Left(e) => false
+      }
+    }
+}
