@@ -276,6 +276,40 @@ object Analytics3 {
         |ORDER BY o_orderpriority, d""".stripMargin)
   }
 
+  /** PROBE-ONLY deployment form of [[rollingMedianKll]]: sketch
+    * partials only — no exact-value window substrate, which is the
+    * part a 100 TB run drops (the registered q97b keeps it because the
+    * GATE needs the exact rank). Not registered: the median estimate
+    * is merge-order-dependent (NOTES #17), so this form has no honest
+    * hash oracle — its purpose is the ScaleProbe head-to-head against
+    * the exact q97 at 10×/100×, pricing exactly what the flip buys.
+    */
+  private[graft] def rollingMedianKllLean(spark: SparkSession,
+      dir: String): DataFrame = {
+    spark.udf.register("kll_day", org.apache.spark.sql.functions.udaf(
+      new KllSketch.KllLongsAgg(), org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("kll_med", (sks: Seq[Seq[Long]]) => {
+      val merged = sks.map(s => KllSketch.fromLongs(s.toArray))
+        .reduceOption(KllSketch.merge).getOrElse(KllSketch.empty)
+      KllSketch.quantiles(merged, Array(0.5))(0)
+    })
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_rml")
+    spark.sql(
+      """WITH daily AS (
+        |  SELECT o_orderpriority, date_trunc('DAY', o_orderdate) AS day,
+        |    kll_day(cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS sk,
+        |    count(*) AS n
+        |  FROM v_orders_rml GROUP BY 1, 2)
+        |SELECT o_orderpriority, date_format(day, 'yyyy-MM-dd') AS d,
+        |  sum(n) OVER w AS n_frame,
+        |  kll_med(collect_list(sk) OVER w) AS est_med
+        |FROM daily
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+        |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, d""".stripMargin)
+  }
+
   private val RollingMedianKllOracle: String =
     s"""WITH daily AS (
       |  SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,

@@ -268,7 +268,69 @@ object TextAnalysis4 {
       |    / 10000 AS score
       |FROM r WHERE rnk <= $Bm25TopK ORDER BY query_id, rank""".stripMargin
 
+  /** Hosts in the synthetic web for [[pipelineLinkGraph]]. */
+  private val LinkHosts = 50
+
+  /** Crawl-pipeline LINK-GRAPH construction — the step between HTML
+    * extraction and the graph tier that every web-corpus pipeline
+    * runs: pages carry genuine anchor tags (the fixture embeds
+    * 2 + doc_id % 4 absolute outbound links per page, hrefs following
+    * a fixed formula of (doc_id, link ordinal), beside the RELATIVE
+    * nav links the extractor must NOT count), outbound hosts are
+    * regexp-extracted from the markup, and the host→host edge list is
+    * aggregated with both multiplicities a link-graph consumer needs:
+    * total anchor count and distinct linking documents. Self-edges are
+    * retained (a consumer drops or keeps them by policy; dropping here
+    * would hide information). One scan → explode → one aggregate; at
+    * 100 TB the only shuffle is edge-keyed and carries (src, dst)
+    * pairs, never page bytes — the host graph is then the input the
+    * q78/q109 tier consumes.
+    */
+  def pipelineLinkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val k = (col("doc_id") % 4 + 2).cast("int")
+    val links = transform(sequence(lit(0), k - 1), j =>
+      concat(lit("<a href=\"https://host"),
+        ((col("doc_id") * 7 + j * 13) % LinkHosts).cast("string"),
+        lit(".example.com/p"), j.cast("string"),
+        lit("\">ref</a>")))
+    val html = concat(
+      lit("<html><head><title>page</title></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>"),
+      lit("<p>"), col("text"), lit("</p><div class=\"refs\">"),
+      array_join(links, " "),
+      lit("</div></body></html>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        concat(lit("host"), (col("doc_id") % LinkHosts).cast("string"))
+          .as("src_host"),
+        explode(regexp_extract_all(col("html"),
+          lit("href=\"https://(host[0-9]+)\\.example\\.com[^\"]*\""), lit(1)))
+          .as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("src_host"), col("dst_host"))
+  }
+
+  private val LinkGraphOracle: String =
+    s"""WITH links AS (
+      |  SELECT doc_id,
+      |    'host' || CAST(doc_id % $LinkHosts AS VARCHAR) AS src_host,
+      |    'host' || CAST((doc_id * 7 + j.j * 13) % $LinkHosts AS VARCHAR)
+      |      AS dst_host
+      |  FROM documents,
+      |    LATERAL unnest(generate_series(0, 1 + doc_id % 4)) AS j(j))
+      |SELECT src_host, dst_host,
+      |  CAST(count(*) AS BIGINT) AS n_links,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM links GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
+    // the oracle replays the LINK SYNTHESIS formula; Spark earns the
+    // same edges only by extracting the anchors back out of the markup
+    // (and by correctly ignoring the relative nav links)
+    QueryDef("pipeline_link_graph", pipelineLinkGraph _, LinkGraphOracle),
     QueryDef("text_html_extract", textHtmlExtract _, HtmlExtractOracle),
     QueryDef("text_bm25", textBm25 _, Bm25Oracle))
 }

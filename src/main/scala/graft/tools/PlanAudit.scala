@@ -341,6 +341,13 @@ object PlanAudit {
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // link-graph construction: one scan, extract+explode narrow, then
+      // only the edge-keyed aggregate shuffles (count-distinct adds its
+      // partial stage) — never a join, page bytes never move twice
+      "pipeline_link_graph" -> Seq(
+        ("one-scan-agg-no-join",
+          m => m("scans") == 1 && m("smj") == 0 && m("bhj") == 0 &&
+            m("hx") <= 3)),
       "mm_scene_cuts" -> Seq(
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&

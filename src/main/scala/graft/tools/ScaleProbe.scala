@@ -315,6 +315,41 @@ object ScaleProbe {
       return
     }
 
+    if (sys.env.contains("SPARK_GRAFT_SCALE_Q97")) {
+      // EXACT-vs-SKETCH head-to-head for the rolling median: q97's
+      // per-row frame array grows with rows-per-day while the lean
+      // sketch form's window state is O(31·K·log) regardless — this
+      // times exactly what the q97b flip buys (the registered q97b
+      // carries the gate's exact-verification substrate on top, so it
+      // cannot show the advantage itself).
+      buildScaled(spark, baseDir, outDir, factor)
+      def timeLean(dir: String): Double = {
+        def run(): Unit =
+          force(graft.operators.Analytics3.rollingMedianKllLean(spark, dir))
+        if (dir != baseDir)
+          scaledParts.foreach(p =>
+            spark.conf.set("spark.sql.shuffle.partitions", p))
+        try {
+          run()
+          median((1 to passes).map { _ =>
+            val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+          })
+        } finally {
+          if (dir != baseDir && scaledParts.nonEmpty)
+            spark.conf.set("spark.sql.shuffle.partitions", baseParts)
+        }
+      }
+      Seq(baseDir -> "1x", outDir -> s"${factor}x").foreach { case (d, tag) =>
+        val ex = time("q97_rolling_median", d)
+        val lean = timeLean(d)
+        println(f"""{"q":"q97_exact_vs_sketch","vol":"$tag","exact_warm":$ex%.3f,""" +
+          f""""sketch_warm":$lean%.3f,"sketch_over_exact":${lean / ex}%.3f,""" +
+          f""""factor":$factor}""")
+      }
+      spark.stop()
+      return
+    }
+
     buildScaled(spark, baseDir, outDir, factor)
 
     // SPARK_GRAFT_SCALE_ONLY: same comma/prefix spec as everywhere else
