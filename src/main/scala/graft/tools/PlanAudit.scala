@@ -348,6 +348,14 @@ object PlanAudit {
         ("one-scan-agg-no-join",
           m => m("scans") == 1 && m("smj") == 0 && m("bhj") == 0 &&
             m("hx") <= 3)),
+      // LM filter tier: the model/count joins are all broadcast — the
+      // corpus-side bigram stream is never sort-merge shuffled for a
+      // join (the 100 TB flip past broadcastability is a term-keyed
+      // shuffle join, documented, not this plan)
+      "text_lm_train" -> Seq(
+        ("broadcast-model-no-smj", m => m("smj") == 0 && m("bhj") >= 1)),
+      "text_lm_perplexity" -> Seq(
+        ("broadcast-model-no-smj", m => m("smj") == 0 && m("bhj") >= 2)),
       "mm_scene_cuts" -> Seq(
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
@@ -392,6 +400,10 @@ object PlanAudit {
       // the bitemporal snapshot attaches the one-row max(event_id)
       // transaction horizon via broadcast — a bounded scalar attach
       "q116_point_in_time",
+      // the LM-filter tier attaches the one-row vocabulary size to the
+      // model table via broadcast — the same bounded scalar attach as
+      // its analysis twin pipeline_lm_score
+      "text_lm_train", "text_lm_perplexity",
       // KMV joins its two 1-row aggregates (min-k fold × exact count)
       // — a 1×1 scalar attach
       "sketch_kmv_distinct",
