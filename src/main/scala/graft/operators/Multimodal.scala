@@ -489,19 +489,17 @@ object Multimodal {
     }
   }
 
-  /** Heterogeneous ingest — the realistic metadata-extraction shape: a
-    * corpus MIXING image and audio containers flows through ONE decode
-    * pass; `MediaHeaders.probe` sniffs each payload's magic and routes
-    * it to the right parser (PNG big-endian chunk walk summing IDAT
-    * lengths, BMP little-endian DIB header, RIFF chunk walk, GIF
-    * fixed-offset LE uint16 screen descriptor), and the
-    * unified schema carries zeros for the columns a format doesn't
-    * declare. Every reported value is genuinely parsed from container
-    * bytes; the oracle replays the synthesis formulas.
+  /** The mixed-container wrap + probe stage as a SOURCE-AGNOSTIC
+    * transform over any documents-shaped frame — the same code path
+    * serves the batch query below and the streaming twin
+    * (`stream_mm_decode`), which is the honest claim a continuous
+    * decode fleet makes: per-micro-batch work IS the batch operator,
+    * not a reimplementation.
     */
-  def mmDecodeMixed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def mixedDecodeStage(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         mixedContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
       .as[(Long, Array[Byte])]
@@ -519,8 +517,21 @@ object Multimodal {
       }
       .toDF("doc_id", "format", "width", "height", "sample_rate",
         "n_samples", "n_bytes")
-      .orderBy(col("doc_id"))
   }
+
+  /** Heterogeneous ingest — the realistic metadata-extraction shape: a
+    * corpus MIXING image and audio containers flows through ONE decode
+    * pass; `MediaHeaders.probe` sniffs each payload's magic and routes
+    * it to the right parser (PNG big-endian chunk walk summing IDAT
+    * lengths, BMP little-endian DIB header, RIFF chunk walk, GIF
+    * fixed-offset LE uint16 screen descriptor), and the
+    * unified schema carries zeros for the columns a format doesn't
+    * declare. Every reported value is genuinely parsed from container
+    * bytes; the oracle replays the synthesis formulas.
+    */
+  def mmDecodeMixed(spark: SparkSession, dir: String): DataFrame =
+    mixedDecodeStage(spark, Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
 
   /** JPEG fixture synthesis: a real JFIF stream whose COM segment
     * length varies with the byte length, so the SOF offset differs per
@@ -855,6 +866,30 @@ object Multimodal {
       |FROM cand
       |ORDER BY hamming, id_a, id_b LIMIT $PhashTopK""".stripMargin
 
+  /** Synthesis-formula replay per container family: geometry is a
+    * function of the UTF-8 byte length n and doc_id % 4; Spark earns
+    * the same values by parsing the PNG/BMP/WAV/GIF bytes it wrapped.
+    * Shared verbatim by the batch query and its streaming twin
+    * (`stream_mm_decode` — the union of all micro-batches is the same
+    * row set, batching-independent by statelessness).
+    */
+  private[graft] val MixedDecodeOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n,
+      |    doc_id % 4 AS fam FROM documents)
+      |SELECT doc_id,
+      |  CASE fam WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+      |    ELSE 'gif' END AS format,
+      |  CASE fam WHEN 0 THEN 32 + n % 641 WHEN 1 THEN 64 + n % 577
+      |    WHEN 3 THEN 16 + n % 509 ELSE 0 END AS width,
+      |  CASE fam WHEN 0 THEN 32 + (n * 17) % 409 WHEN 1 THEN 64 + (n * 31) % 353
+      |    WHEN 3 THEN 16 + (n * 13) % 257 ELSE 0 END AS height,
+      |  CASE fam WHEN 2 THEN 8000 + (n % 5) * 4000 ELSE 0 END AS sample_rate,
+      |  cast(CASE fam WHEN 2 THEN n // ((1 + n % 2) * 2) ELSE 0 END AS BIGINT) AS n_samples,
+      |  cast(CASE fam WHEN 2 THEN n - n % ((1 + n % 2) * 2)
+      |    ELSE n END AS BIGINT) AS n_bytes
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("mm_phash_dedup", mmPhashDedup _, PhashOracle),
     // CONTENT replay for the entropy-coded tier: the oracle regenerates
@@ -976,25 +1011,7 @@ object Multimodal {
         |  (base + 1 + s) % 256 AS g,
         |  (base + 2 + s) % 256 AS r
         |FROM cells ORDER BY doc_id, ry, rx""".stripMargin),
-    QueryDef("mm_decode_mixed", mmDecodeMixed _,
-      // synthesis-formula replay per container family: geometry is a
-      // function of the UTF-8 byte length n and doc_id % 4; Spark earns
-      // the same values by parsing the PNG/BMP/WAV/GIF bytes it wrapped
-      """WITH d AS (
-        |  SELECT doc_id, octet_length(encode(text)) AS n,
-        |    doc_id % 4 AS fam FROM documents)
-        |SELECT doc_id,
-        |  CASE fam WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
-        |    ELSE 'gif' END AS format,
-        |  CASE fam WHEN 0 THEN 32 + n % 641 WHEN 1 THEN 64 + n % 577
-        |    WHEN 3 THEN 16 + n % 509 ELSE 0 END AS width,
-        |  CASE fam WHEN 0 THEN 32 + (n * 17) % 409 WHEN 1 THEN 64 + (n * 31) % 353
-        |    WHEN 3 THEN 16 + (n * 13) % 257 ELSE 0 END AS height,
-        |  CASE fam WHEN 2 THEN 8000 + (n % 5) * 4000 ELSE 0 END AS sample_rate,
-        |  cast(CASE fam WHEN 2 THEN n // ((1 + n % 2) * 2) ELSE 0 END AS BIGINT) AS n_samples,
-        |  cast(CASE fam WHEN 2 THEN n - n % ((1 + n % 2) * 2)
-        |    ELSE n END AS BIGINT) AS n_bytes
-        |FROM d ORDER BY doc_id""".stripMargin),
+    QueryDef("mm_decode_mixed", mmDecodeMixed _, MixedDecodeOracle),
     QueryDef("mm_resize", mmResize _,
       """WITH decoded AS (
         |  SELECT doc_id,

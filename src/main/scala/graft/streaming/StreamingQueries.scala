@@ -905,6 +905,28 @@ object StreamingQueries {
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin
 
+  /** Streaming MULTIMODAL DECODE — the decode family composed with
+    * Structured Streaming, i.e. the continuous-ingest shape a media
+    * pipeline actually runs (new objects land, a decode fleet
+    * extracts metadata as they arrive): each micro-batch is one corpus
+    * shard ([[DocumentsFileSource]], 4 slices replayed at
+    * maxFilesPerTrigger=1) pushed through THE SAME
+    * [[graft.operators.Multimodal.mixedDecodeStage]] the batch query
+    * runs — per-micro-batch work IS the batch operator, not a
+    * reimplementation. The stage is stateless (a narrow per-partition
+    * map), so append output is batching-independent: the union of all
+    * micro-batches equals the batch result row-for-row, which is why
+    * this lane shares `mm_decode_mixed`'s oracle verbatim. No
+    * watermark, no state store — the honest claim is exactly that a
+    * stateless decode needs neither.
+    */
+  def streamMmDecode(spark: SparkSession, dir: String): DataFrame = {
+    val src = DocumentsFileSource(dir).stream(spark)
+    val decoded = graft.operators.Multimodal.mixedDecodeStage(spark, src)
+    runToMemory(spark, decoded, "stream_mm_decode", "append")
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming heavy hitters — the Misra–Gries sketch deployed the way
     * a production stream aggregator ships it: each micro-batch (one
     * corpus shard via [[DocumentsFileSource]]) folds its tokens into a
@@ -1133,6 +1155,10 @@ object StreamingQueries {
     (s, d) => withStatePartitions(s, ReplayStatePartitions)(fn(s, d))
 
   val registry: Seq[QueryDef] = Seq(
+    // shares the batch twin's oracle verbatim: a stateless decode's
+    // append output is batching-independent by construction
+    QueryDef("stream_mm_decode", streamMmDecode _,
+      graft.operators.Multimodal.MixedDecodeOracle),
     QueryDef("stream_kmv_distinct", sized(streamKmvDistinct _), StreamKmvOracle),
     QueryDef("stream_kll_quantiles", sized(streamKllQuantiles _), StreamKllOracle),
     QueryDef("stream_heavy_hitters", sized(streamHeavyHitters _),
