@@ -389,6 +389,11 @@ object JpegCodec {
           if ((b(seg + 7) & 0xff) != 0x11) return Left("subsampling unsupported")
           if (width % 8 != 0 || height % 8 != 0)
             return Left("partial MCUs unsupported")
+          // 65528×65528 passes every check above but wraps width*height
+          // in Int — cap the pixel count before the allocation so a
+          // hostile SOF quarantines instead of throwing
+          if (width.toLong * height > (1L << 28))
+            return Left("implausible JPEG geometry for the content subset")
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
           return Left(f"non-baseline SOF 0x$m%02x unsupported")

@@ -384,7 +384,11 @@ object PngCodec {
     while (!done) {
       if (off + 12 > b.length) return Left("chunk header overruns payload")
       val len = be32(off)
-      if (len < 0 || off + 12 + len > b.length) return Left("chunk overruns payload")
+      // Long arithmetic: a hostile 0x7FFFFFF0-ish length field would
+      // wrap an Int sum negative and pass the bounds check, then crash
+      // in crc.update — the wavSamples guard, ported
+      if (len < 0 || off + 12 + len.toLong > b.length)
+        return Left("chunk overruns payload")
       val tag = new String(b, off + 4, 4, "US-ASCII")
       val crc = new java.util.zip.CRC32()
       crc.update(b, off + 4, 4 + len)
@@ -395,6 +399,12 @@ object PngCodec {
           width = be32(off + 8)
           height = be32(off + 12)
           if (width <= 0 || height <= 0) return Left("empty PNG geometry")
+          // cap the pixel count BEFORE any allocation: IHDR dims are
+          // 32-bit, and (width+1)*height in Int wraps for hostile
+          // values — either a NegativeArraySizeException or a tiny
+          // wrapped 'expected' misreported as truncation
+          if ((width.toLong + 1) * height > (1L << 28))
+            return Left("implausible PNG geometry for the content subset")
           if ((b(off + 16) & 0xff) != 8) return Left("non-8-bit depth unsupported")
           if ((b(off + 17) & 0xff) != 0) return Left("non-grayscale color type unsupported")
           if ((b(off + 20) & 0xff) != 0) return Left("interlace unsupported")

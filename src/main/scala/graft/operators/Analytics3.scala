@@ -221,6 +221,39 @@ object Analytics3 {
     */
   private val MedianBracketPct = 5
 
+  /** Shared substrate of the registered and lean sketch forms: the UDF
+    * registrations (one source of truth for the flat-encoding merge —
+    * a divergence here would silently invalidate the head-to-head
+    * probe) and the per-(priority, day) sketch partial CTE.
+    */
+  private def registerKllUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("kll_day", org.apache.spark.sql.functions.udaf(
+      new KllSketch.KllLongsAgg(), org.apache.spark.sql.Encoders.scalaLong))
+    spark.udf.register("kll_med", (sks: Seq[Seq[Long]]) => {
+      val merged = sks.map(s => KllSketch.fromLongs(s.toArray))
+        .reduceOption(KllSketch.merge).getOrElse(KllSketch.empty)
+      KllSketch.quantiles(merged, Array(0.5))(0)
+    })
+  }
+
+  /** The per-day sketch-partial CTE over `view` (with or without the
+    * gate-scale exact-value substrate).
+    */
+  private def dailySketchCte(view: String, withVals: Boolean): String = {
+    val vals = if (withVals)
+      """
+        |    collect_list(
+        |      cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS vals,""".stripMargin
+    else ""
+    s"""WITH daily AS (
+      |  SELECT o_orderpriority, date_trunc('DAY', o_orderdate) AS day,
+      |    kll_day(cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS sk,$vals
+      |    count(*) AS n
+      |  FROM $view GROUP BY 1, 2)""".stripMargin
+  }
+
   /** The 100 TB FLIP of [[rollingMedian]] (the q74b discipline): same
     * two-level rolling-median shape, but the per-day partial is a
     * MERGEABLE KLL SKETCH (`array<bigint>`-encoded, K·log(n/K) longs)
@@ -237,24 +270,10 @@ object Analytics3 {
     * the oracle replays the bracket arithmetic and a literal TRUE).
     */
   def rollingMedianKll(spark: SparkSession, dir: String): DataFrame = {
-    spark.udf.register("kll_day", org.apache.spark.sql.functions.udaf(
-      new KllSketch.KllLongsAgg(), org.apache.spark.sql.Encoders.scalaLong))
-    spark.udf.register("kll_med", (sks: Seq[Seq[Long]]) => {
-      val merged = sks.map(s => KllSketch.fromLongs(s.toArray))
-        .reduceOption(KllSketch.merge).getOrElse(KllSketch.empty)
-      KllSketch.quantiles(merged, Array(0.5))(0)
-    })
+    registerKllUdfs(spark)
     Tables.orders(spark, dir).createOrReplaceTempView("v_orders_rmk")
     spark.sql(
-      s"""WITH daily AS (
-        |  SELECT o_orderpriority, date_trunc('DAY', o_orderdate) AS day,
-        |    kll_day(cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
-        |      AS sk,
-        |    collect_list(
-        |      cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
-        |      AS vals,
-        |    count(*) AS n
-        |  FROM v_orders_rmk GROUP BY 1, 2),
+      s"""${dailySketchCte("v_orders_rmk", withVals = true)},
         |framed AS (
         |  SELECT o_orderpriority, day,
         |    kll_med(collect_list(sk) OVER w) AS est,
@@ -286,21 +305,10 @@ object Analytics3 {
     */
   private[graft] def rollingMedianKllLean(spark: SparkSession,
       dir: String): DataFrame = {
-    spark.udf.register("kll_day", org.apache.spark.sql.functions.udaf(
-      new KllSketch.KllLongsAgg(), org.apache.spark.sql.Encoders.scalaLong))
-    spark.udf.register("kll_med", (sks: Seq[Seq[Long]]) => {
-      val merged = sks.map(s => KllSketch.fromLongs(s.toArray))
-        .reduceOption(KllSketch.merge).getOrElse(KllSketch.empty)
-      KllSketch.quantiles(merged, Array(0.5))(0)
-    })
+    registerKllUdfs(spark)
     Tables.orders(spark, dir).createOrReplaceTempView("v_orders_rml")
     spark.sql(
-      """WITH daily AS (
-        |  SELECT o_orderpriority, date_trunc('DAY', o_orderdate) AS day,
-        |    kll_day(cast(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
-        |      AS sk,
-        |    count(*) AS n
-        |  FROM v_orders_rml GROUP BY 1, 2)
+      s"""${dailySketchCte("v_orders_rml", withVals = false)}
         |SELECT o_orderpriority, date_format(day, 'yyyy-MM-dd') AS d,
         |  sum(n) OVER w AS n_frame,
         |  kll_med(collect_list(sk) OVER w) AS est_med

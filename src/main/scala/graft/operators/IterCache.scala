@@ -138,20 +138,35 @@ private[graft] object IterCache {
       }
     }
     if (!owner) {
-      // rendezvous on the in-flight build, outside the lock
-      try return future.join()
+      // rendezvous on the in-flight build, outside the lock — then
+      // RE-ENTER rather than returning the joined frame directly: a
+      // build that raced a conf flip would hand this caller a frame
+      // planned under the wrong shuffle-partitions setting, exactly
+      // what the hit validation exists to reject. Re-entry sees the
+      // registered entry (completed builds register before their
+      // future resolves), validates it, and rebuilds if stale.
+      try future.join()
       catch {
         case e: java.util.concurrent.CompletionException if e.getCause != null =>
           throw e.getCause
       }
+      return getOrBuild(key)(build)
     }
     try {
       val df = build
       df.count() // materialize OUTSIDE the lock
-      // post-materialization InMemoryRelation stats = actual bytes held
+      // post-materialization InMemoryRelation stats = actual bytes
+      // held; clamp the BigInt — an un-persisted plan's ESTIMATED
+      // stats can multiply past Long.MaxValue, and BigInt.toLong
+      // wraps (possibly negative), which would silently corrupt the
+      // budget accounting forever
       val bytes =
-        try df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
-        catch { case _: Throwable => 0L }
+        try {
+          val b = df.queryExecution.optimizedPlan.stats.sizeInBytes
+          if (b > Long.MaxValue) Long.MaxValue
+          else if (b < 0) 0L
+          else b.toLong
+        } catch { case _: Throwable => 0L }
       val session = df.sparkSession
       synchronized {
         // precise post-build eviction to the full budget (a single

@@ -106,7 +106,14 @@ object ScaleProbe {
     // (entropy decode + integer IDCT per payload) as the family's
     // scale representative — embarrassingly parallel narrow map, so
     // the expected law is scan-bound linear; the probe documents it
-    "mm_jpeg_pixels")
+    "mm_jpeg_pixels",
+    // round-12 batch 3: the LM filter — replica-suffixed tokens grow
+    // the VOCABULARY ×factor (disjoint per replica), so the bigram
+    // model table grows ×factor while per-replica structure is
+    // preserved: the probe watches the broadcast-model-side growth
+    // path (the documented flip past broadcastability is a term-keyed
+    // shuffle join, the BM25 discipline)
+    "text_lm_perplexity")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one
@@ -159,21 +166,32 @@ object ScaleProbe {
     // per-volume conf switch reaches their repartition calls too.
     val scaledParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     val baseParts = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    def time(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
+    // ONE conf-discipline seam for every lane (timed or instrumented):
+    // the round-12 review found the set/restore copy-pasted into three
+    // timers while the streaming capture runs missed it entirely —
+    // metrics measured under a different conf than the wall times they
+    // sit beside are attribution poison
+    def withVolumeConf[A](dir: String)(body: => A): A = {
       if (dir != baseDir)
-        scaledParts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
-      try {
-        force(fn(spark, dir)) // untimed cold: codegen + fixture builds
-        median((1 to passes).map { _ =>
-          val t0 = System.nanoTime()
-          force(fn(spark, dir))
-          (System.nanoTime() - t0) / 1e9
-        })
-      } finally {
+        scaledParts.foreach(p =>
+          spark.conf.set("spark.sql.shuffle.partitions", p))
+      try body
+      finally {
         if (dir != baseDir && scaledParts.nonEmpty)
           spark.conf.set("spark.sql.shuffle.partitions", baseParts)
       }
+    }
+    def timeBody(run: () => Unit): Double = {
+      run() // untimed cold: codegen + fixture builds
+      median((1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      })
+    }
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      withVolumeConf(dir)(timeBody(() => force(fn(spark, dir))))
     }
 
     if (sys.env.contains("SPARK_GRAFT_SCALE_SKEW")) {
@@ -234,26 +252,13 @@ object ScaleProbe {
       println(f"""{"q":"dedup_semantic","semantic":true,"k":16,""" +
         f""""base_warm":$b%.3f,"scaled_warm":$s%.3f,""" +
         f""""ratio":${s / b}%.3f,"factor":$factor}""")
-      def timeK(dir: String, k: Int): Double = {
-        def run(): Unit =
-          force(graft.operators.Similarity.dedupSemanticK(spark, dir, k))
+      def timeK(dir: String, k: Int): Double =
         // same scaled-volume conf discipline as time(): without it a
         // SPARK_GRAFT_SHUFFLE_PARTITIONS override would apply to the
         // k=16 scaled lane but not this one, making ratio_vs_base
         // incomparable
-        if (dir != baseDir)
-          scaledParts.foreach(p =>
-            spark.conf.set("spark.sql.shuffle.partitions", p))
-        try {
-          run()
-          median((1 to passes).map { _ =>
-            val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-          })
-        } finally {
-          if (dir != baseDir && scaledParts.nonEmpty)
-            spark.conf.set("spark.sql.shuffle.partitions", baseParts)
-        }
-      }
+        withVolumeConf(dir)(timeBody(() =>
+          force(graft.operators.Similarity.dedupSemanticK(spark, dir, k))))
       val sk = timeK(semN, 16 * factor)
       println(f"""{"q":"dedup_semantic","semantic":true,"k":${16 * factor},""" +
         f""""scaled_warm":$sk%.3f,"ratio_vs_base":${sk / b}%.3f,""" +
@@ -295,7 +300,7 @@ object ScaleProbe {
           f""""scaled_warm":$s%.3f,"ratio":${s / b}%.3f,"factor":$factor}""")
         Seq(baseDir -> "1x", outDir -> s"${factor}x").foreach { case (d, tag) =>
           graft.streaming.StreamingQueries.captureProgress = true
-          try {
+          try withVolumeConf(d) {
             force(SparkEntry.queries(q)(spark, d))
             val ps = graft.streaming.StreamingQueries.lastRunProgress
             if (ps.nonEmpty) {
@@ -308,7 +313,8 @@ object ScaleProbe {
                 s""""state_rows_max":${ps.map(_.stateRows).max},""" +
                 s""""state_bytes_max":${ps.map(_.stateBytes).max}}""")
             }
-          } finally graft.streaming.StreamingQueries.captureProgress = false
+          }
+          finally graft.streaming.StreamingQueries.captureProgress = false
         }
       }
       spark.stop()
@@ -323,22 +329,9 @@ object ScaleProbe {
       // carries the gate's exact-verification substrate on top, so it
       // cannot show the advantage itself).
       buildScaled(spark, baseDir, outDir, factor)
-      def timeLean(dir: String): Double = {
-        def run(): Unit =
-          force(graft.operators.Analytics3.rollingMedianKllLean(spark, dir))
-        if (dir != baseDir)
-          scaledParts.foreach(p =>
-            spark.conf.set("spark.sql.shuffle.partitions", p))
-        try {
-          run()
-          median((1 to passes).map { _ =>
-            val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-          })
-        } finally {
-          if (dir != baseDir && scaledParts.nonEmpty)
-            spark.conf.set("spark.sql.shuffle.partitions", baseParts)
-        }
-      }
+      def timeLean(dir: String): Double =
+        withVolumeConf(dir)(timeBody(() =>
+          force(graft.operators.Analytics3.rollingMedianKllLean(spark, dir))))
       Seq(baseDir -> "1x", outDir -> s"${factor}x").foreach { case (d, tag) =>
         val ex = time("q97_rolling_median", d)
         val lean = timeLean(d)

@@ -135,6 +135,23 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.jpegRaster(prog).isLeft)
   }
 
+  test("hostile SOF dims that wrap width*height in Int quarantine, not throw") {
+    val blocks = Array(Array.tabulate(64)(z => if (z < 4) z else 0))
+    val jpeg = JpegCodec.jpegWrapBaseline(8, 8, quant, blocks)
+    val sof = {
+      var i = 2
+      while (!(jpeg(i) == 0xff.toByte && jpeg(i + 1) == 0xc0.toByte)) i += 1
+      i
+    }
+    // 65528×65528: multiples of 8, pass every subset check, but
+    // width*height wraps negative in Int — must be Left pre-allocation
+    val hostile = jpeg.clone()
+    val d = 65528
+    hostile(sof + 5) = (d >> 8).toByte; hostile(sof + 6) = (d & 0xff).toByte
+    hostile(sof + 7) = (d >> 8).toByte; hostile(sof + 8) = (d & 0xff).toByte
+    assert(JpegCodec.jpegRaster(hostile).isLeft)
+  }
+
   test("the family's header probe and the content decoder agree on geometry") {
     val blocks = Array.tabulate(6)(b =>
       Array.tabulate(64)(z => if (z < 4) b + z else 0))

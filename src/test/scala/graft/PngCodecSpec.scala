@@ -108,6 +108,28 @@ class PngCodecSpec extends AnyFunSuite {
     assert(PngCodec.pngRaster(patched(28, 1)).isLeft)   // Adam7 interlace
   }
 
+  test("hostile streams quarantine: Int-overflow chunk lengths and IHDR dims") {
+    val px = Array.tabulate(8 * 8)(i => i.toByte)
+    val png = PngCodec.pngWrapGray(8, 8, px)
+    // chunk length 0x7FFFFFF0: Int bounds math would wrap negative and
+    // pass, then crash in crc.update — must be Left, not a throw
+    val hostileLen = png.clone()
+    hostileLen(8) = 0x7f.toByte; hostileLen(9) = 0xff.toByte
+    hostileLen(10) = 0xff.toByte; hostileLen(11) = 0xf0.toByte
+    assert(PngCodec.pngRaster(hostileLen).isLeft)
+    // IHDR dims whose (w+1)*h wraps Int: 2^30 × 8 — must quarantine
+    // before any allocation (restamp the CRC so only the cap rejects)
+    val hostileDims = png.clone()
+    hostileDims(16) = 0x40.toByte; hostileDims(17) = 0; hostileDims(18) = 0
+    hostileDims(19) = 0 // width = 2^30
+    val crc = new java.util.zip.CRC32()
+    crc.update(hostileDims, 12, 4 + 13)
+    val c = crc.getValue.toInt
+    hostileDims(29) = (c >>> 24).toByte; hostileDims(30) = (c >>> 16).toByte
+    hostileDims(31) = (c >>> 8).toByte; hostileDims(32) = c.toByte
+    assert(PngCodec.pngRaster(hostileDims).isLeft)
+  }
+
   test("the family's header probe and the content decoder agree on geometry") {
     val px = Array.tabulate(24 * 15)(i => ((i * 5) % 256).toByte)
     val png = PngCodec.pngWrapGray(24, 15, px)
