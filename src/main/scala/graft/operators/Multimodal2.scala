@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{AviCodec, JpegCodec}
+
+/** Multimodal tier 2: VIDEO — the container-of-containers member of
+  * the decode family. An MJPEG AVI is the RIFF chunk grammar (which
+  * WAV introduced to the family) wrapped around per-frame baseline
+  * JPEGs (which mm_jpeg_pixels decodes), so the video lane composes
+  * two already-verified codecs and adds what video genuinely adds:
+  * the stream headers (frame count, frame timing) and FRAME SAMPLING —
+  * at 100 TB nobody decodes every frame; the container walk returns
+  * still-encoded payloads so the sampler drops frames BEFORE paying
+  * the JPEG decode, and only sampled frames reach the IDCT.
+  *
+  * Same 100 TB posture as the rest of the family: one narrow
+  * mapPartitions over (id, payload) — embarrassingly parallel, no
+  * shuffle until the final tiny ORDER BY, dependency-free parsers in
+  * the closure, malformed streams quarantine as rows.
+  */
+object Multimodal2 {
+
+  /** Video fixture synthesis: a genuine MJPEG AVI whose per-frame
+    * quantized coefficient blocks follow a fixed formula of
+    * (doc_id, frame, block, zigzag position) — the mm_jpeg_pixels
+    * formula plus a frame term, so consecutive frames differ and a
+    * sampler that decodes the wrong frame index hash-fails. Geometry
+    * and timing vary per doc so fixed-offset container reads can't
+    * fake the chunk walk.
+    */
+  private[operators] def synthAvi(docId: Long, nBytes: Int): Array[Byte] = {
+    val w = 8 * (1 + nBytes % 2)
+    val h = 8
+    val nf = (4 + docId % 5).toInt
+    val usec = 33333 + nBytes % 1000
+    val quant = Array.tabulate(64)(z => 1 + z % 8)
+    val zmax = (5 + docId % 5).toInt
+    val frames = Seq.tabulate(nf) { f =>
+      val blocks = Array.tabulate(w / 8) { bIdx =>
+        Array.tabulate(64) { z =>
+          if (z <= zmax)
+            (((z * 7 + bIdx * 5 + f * 11 + docId * 3) % 21) - 10).toInt
+          else 0
+        }
+      }
+      JpegCodec.jpegWrapBaseline(w, h, quant, blocks)
+    }
+    AviCodec.aviWrapMjpeg(w, h, usec, frames)
+  }
+
+  private val aviContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    synthAvi(docId, bytes.length)
+  }
+
+  /** Frames with index % SampleEvery == 0 are decoded; the rest are
+    * dropped still-encoded. */
+  val SampleEvery = 2
+
+  /** Content-level VIDEO decode with frame sampling: parse the AVI
+    * container (headers verified against the movi chunk walk), keep
+    * every [[SampleEvery]]-th frame, JPEG-decode ONLY those, and emit
+    * one row per sampled frame with exact-integer pixel stats plus the
+    * container-level fields (n_frames, usec_per_frame) that prove the
+    * header parse. Quarantined docs emit a single all-zero row with
+    * frame_idx = -1 — data, never task failures.
+    */
+  def mmVideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        aviContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          AviCodec.aviFrames(payload) match {
+            case Right(v) =>
+              (0 until v.nFrames).filter(_ % SampleEvery == 0).map { f =>
+                JpegCodec.jpegRaster(v.frames(f)) match {
+                  case Right(r) if r.width == v.width && r.height == v.height =>
+                    val p = r.pixels
+                    var sum = 0L
+                    var i = 0
+                    while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
+                    (id, f.toLong, v.nFrames.toLong, v.usecPerFrame.toLong,
+                      r.width.toLong, r.height.toLong, sum,
+                      (p(0) & 0xff).toLong,
+                      (p(r.width - 1) & 0xff).toLong,
+                      (p(p.length - 1) & 0xff).toLong)
+                  case _ => // frame-level quarantine
+                    (id, f.toLong, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+                }
+              }
+            case Left(_) => // container-level quarantine
+              Seq((id, -1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_frames", "usec_per_frame", "width",
+        "height", "px_sum", "first_px", "top_right_px", "last_px")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** The oracle replays the coefficient formula + the SAME fixed-point
+    * IDCT constants as mm_jpeg_pixels (interpolated from JpegCodec —
+    * one source of truth) for exactly the SAMPLED frame indices, and
+    * regenerates n_frames/usec_per_frame from the synthesis formulas.
+    * It never touches RIFF or Huffman bytes: Spark earns those values
+    * only by a correct container walk + entropy decode.
+    */
+  private def videoOracle: String = {
+    val zigRows = JpegCodec.ZigZag.zipWithIndex
+      .map { case (p, z) => s"($z,${p / 8},${p % 8})" }.mkString(",")
+    val cosRows = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u,$x,${JpegCodec.CosTable(u)(x)})").mkString(",")
+    s"""WITH d AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |dims AS (
+      |  SELECT doc_id, 8 * (1 + n % 2) AS w, 8 AS h,
+      |    5 + doc_id % 5 AS zmax, doc_id * 3 AS s0,
+      |    4 + doc_id % 5 AS nf, 33333 + n % 1000 AS usec FROM d),
+      |fr AS (
+      |  SELECT doc_id, w, h, zmax, s0, nf, usec, ff.f AS f
+      |  FROM dims, LATERAL unnest(generate_series(0, nf - 1)) AS ff(f)
+      |  WHERE ff.f % ${SampleEvery} = 0),
+      |zig AS (SELECT * FROM (VALUES $zigRows) AS t(z, u, v)),
+      |ct AS (SELECT * FROM (VALUES $cosRows) AS t(u, x, cz)),
+      |blocks AS (
+      |  SELECT doc_id, w, h, nf, usec, f, zmax, s0, bb.b AS b
+      |  FROM fr, LATERAL unnest(generate_series(0, w//8 - 1)) AS bb(b)),
+      |coefs AS (
+      |  SELECT doc_id, w, h, nf, usec, f, b, z.u AS u, z.v AS v,
+      |    (CASE WHEN z.z <= zmax
+      |       THEN ((z.z*7 + b*5 + f*11 + s0) % 21) - 10 ELSE 0 END)
+      |      * (1 + z.z % 8) AS coef
+      |  FROM blocks, zig z),
+      |px AS (
+      |  SELECT cf.doc_id, cf.w, cf.h, cf.nf, cf.usec, cf.f, cf.b,
+      |    yy.y AS y, xx.x AS x,
+      |    least(255, greatest(0,
+      |      (sum(cf.coef * cu.cz * cv.cz)
+      |        + ${JpegCodec.IdctHalf} + ${JpegCodec.IdctBias})
+      |        // ${JpegCodec.IdctShiftDiv} - ${JpegCodec.IdctBiasQ} + 128)) AS px
+      |  FROM coefs cf,
+      |    LATERAL unnest(generate_series(0, 7)) AS yy(y),
+      |    LATERAL unnest(generate_series(0, 7)) AS xx(x)
+      |  JOIN ct cu ON cu.u = cf.u AND cu.x = yy.y
+      |  JOIN ct cv ON cv.u = cf.v AND cv.x = xx.x
+      |  GROUP BY cf.doc_id, cf.w, cf.h, cf.nf, cf.usec, cf.f, cf.b, yy.y, xx.x),
+      |placed AS (
+      |  SELECT doc_id, w, h, nf, usec, f, px,
+      |    y AS gy, b * 8 + x AS gx
+      |  FROM px)
+      |SELECT doc_id, cast(f AS BIGINT) AS frame_idx,
+      |  cast(nf AS BIGINT) AS n_frames,
+      |  cast(usec AS BIGINT) AS usec_per_frame,
+      |  cast(w AS BIGINT) AS width, cast(h AS BIGINT) AS height,
+      |  cast(sum(px) AS BIGINT) AS px_sum,
+      |  cast(min(CASE WHEN gy = 0 AND gx = 0 THEN px END) AS BIGINT) AS first_px,
+      |  cast(min(CASE WHEN gy = 0 AND gx = w - 1 THEN px END) AS BIGINT) AS top_right_px,
+      |  cast(min(CASE WHEN gy = h - 1 AND gx = w - 1 THEN px END) AS BIGINT) AS last_px
+      |FROM placed GROUP BY doc_id, w, h, nf, usec, f
+      |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
+  val registry: Seq[QueryDef] = Seq(
+    // CONTENT replay for the VIDEO tier: the oracle regenerates the
+    // sampled frames' coefficients (the jpeg formula + a frame term)
+    // and replays the shared fixed-point IDCT; container fields
+    // (n_frames, usec_per_frame) regenerate from the synthesis
+    // formulas. Spark earns every value by walking real RIFF chunks
+    // and entropy-decoding only the sampled '00dc' payloads.
+    QueryDef("mm_video_frames", mmVideoFrames _, videoOracle)
+  )
+}

@@ -364,6 +364,13 @@ object PlanAudit {
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // video tier (r12): container walk + sampled-frame JPEG decode is
+      // the same narrow per-partition shape — AVI bytes never shuffle,
+      // only the per-sampled-frame feature rows reach the final sort
+      "mm_video_frames" -> Seq(
+        ("narrow-decode-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0)),
       // MRL diagnostics (r10): one corpus scan, the 4-way ladder
       // explode, ONE m-keyed aggregate — no joins, no per-vector output
       "emb_matryoshka" -> Seq(
