@@ -371,6 +371,19 @@ object PlanAudit {
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // governance tier (r12): delete requests ride a BROADCAST join
+      // onto the one corpus pass — the corpus is never sort-merge
+      // shuffled for the request attach; the only hash exchange is the
+      // 8-row shard aggregate
+      "pipeline_forget" -> Seq(
+        ("broadcast-requests-no-smj",
+          m => m("bhj") >= 1 && m("smj") == 0 && m("hx") <= 2)),
+      // crawl frontier (r12): the crawled-host set broadcasts into the
+      // anti-join and the final budget cut is a TakeOrdered — page
+      // rows shuffle only for the host-granular aggregate
+      "pipeline_crawl_frontier" -> Seq(
+        ("frontier-anti-broadcast-topk",
+          m => m("bhj") >= 1 && m("smj") == 0 && m("takeOrdered") >= 1)),
       // MRL diagnostics (r10): one corpus scan, the 4-way ladder
       // explode, ONE m-keyed aggregate — no joins, no per-vector output
       "emb_matryoshka" -> Seq(

@@ -107,6 +107,12 @@ object ScaleProbe {
     // scale representative — embarrassingly parallel narrow map, so
     // the expected law is scan-bound linear; the probe documents it
     "mm_jpeg_pixels",
+    // round-12 batch 4: the video tier — container walk + SAMPLED-frame
+    // JPEG decode; half the payload (the unsampled frames) must never
+    // pay the IDCT at any volume, so the expected law is the same
+    // scan-bound linear as the rest of the decode family despite each
+    // payload being a multi-frame container
+    "mm_video_frames",
     // round-12 batch 3: the LM filter — replica-suffixed tokens grow
     // the VOCABULARY ×factor (disjoint per replica), so the bigram
     // model table grows ×factor while per-replica structure is
