@@ -164,6 +164,104 @@ object Multimodal2 {
       |ORDER BY doc_id, frame_idx""".stripMargin
   }
 
+  // --------------------------------------------------- audio resample
+
+  /** Decimation factor for [[mmAudioResample]]. */
+  val ResampleBy = 4
+
+  /** The mm_wav_samples/mm_audio_features PCM synthesis, shared so the
+    * resample lane decodes the SAME containers the rest of the audio
+    * family does: ns = 64 + n % 193 int16 samples, v(i) =
+    * (i·37 + doc_id·13) mod 2001 − 1000, 16 kHz mono.
+    */
+  private val wavPcmContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    val n = bytes.length
+    val ns = 64 + n % 193
+    val pcm = new Array[Byte](ns * 2)
+    var i = 0
+    while (i < ns) {
+      val v = ((i * 37 + docId * 13) % 2001 - 1000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    graft.functions.MediaHeaders.wavWrap(pcm, 16000, 1, 16)
+  }
+
+  /** AUDIO resampling on decoded content — the transform member of the
+    * audio family (decode: mm_wav_samples, features: mm_audio_features):
+    * boxcar-average-and-decimate by [[ResampleBy]] — output sample j is
+    * the truncating integer mean of input window [4j, 4j+4) (the tail
+    * window keeps its true length), the standard anti-aliased integer
+    * decimator. The output rate is the PARSED container rate divided by
+    * the factor, so a lane that fakes the header walk fails on rate_out.
+    * Per-doc exact-integer stats over the resampled signal (sum, min,
+    * max, first, last) — DuckDB's `//` and Scala's `/` both truncate
+    * toward zero, so the mean needs no float and no bias trick. Same
+    * narrow mapPartitions shape as the rest of the family.
+    */
+  def mmAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        wavPcmContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          graft.functions.MediaHeaders.wavSamples(payload) match {
+            case Right((rate, _, s)) if s.nonEmpty =>
+              val nOut = (s.length + ResampleBy - 1) / ResampleBy
+              var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+              var first = 0L; var last = 0L
+              var j = 0
+              while (j < nOut) {
+                val from = j * ResampleBy
+                val until = math.min(from + ResampleBy, s.length)
+                var w = 0L
+                var i = from
+                while (i < until) { w += s(i); i += 1 }
+                val v = w / (until - from) // truncating mean
+                sum += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                if (j == 0) first = v
+                last = v
+                j += 1
+              }
+              (id, s.length.toLong, nOut.toLong,
+                (rate / ResampleBy).toLong, sum, mn, mx, first, last)
+            case _ => (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "n_in", "n_out", "rate_out", "rs_sum", "rs_min",
+        "rs_max", "first_rs", "last_rs")
+      .orderBy(col("doc_id"))
+  }
+
+  private val ResampleOracle: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+      |dims AS (
+      |  SELECT doc_id, 64 + n % 193 AS ns, doc_id * 13 AS s FROM d),
+      |sm AS (
+      |  SELECT doc_id, ns, t.i // $ResampleBy AS j,
+      |    (t.i * 37 + s) % 2001 - 1000 AS v
+      |  FROM dims, LATERAL unnest(generate_series(0, ns - 1)) AS t(i)),
+      |rs AS (
+      |  SELECT doc_id, ns, j, sum(v) // count(*) AS v
+      |  FROM sm GROUP BY doc_id, ns, j)
+      |SELECT doc_id, cast(ns AS BIGINT) AS n_in,
+      |  cast(count(*) AS BIGINT) AS n_out,
+      |  cast(16000 // $ResampleBy AS BIGINT) AS rate_out,
+      |  cast(sum(v) AS BIGINT) AS rs_sum,
+      |  cast(min(v) AS BIGINT) AS rs_min,
+      |  cast(max(v) AS BIGINT) AS rs_max,
+      |  cast(min(CASE WHEN j = 0 THEN v END) AS BIGINT) AS first_rs,
+      |  cast(min(CASE WHEN j = (ns - 1) // $ResampleBy THEN v END) AS BIGINT)
+      |    AS last_rs
+      |FROM rs GROUP BY doc_id, ns ORDER BY doc_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     // CONTENT replay for the VIDEO tier: the oracle regenerates the
     // sampled frames' coefficients (the jpeg formula + a frame term)
@@ -171,6 +269,10 @@ object Multimodal2 {
     // (n_frames, usec_per_frame) regenerate from the synthesis
     // formulas. Spark earns every value by walking real RIFF chunks
     // and entropy-decoding only the sampled '00dc' payloads.
-    QueryDef("mm_video_frames", mmVideoFrames _, videoOracle)
-  )
+    QueryDef("mm_video_frames", mmVideoFrames _, videoOracle),
+    // the oracle regenerates the int16 samples from the synthesis
+    // formula and replays the truncating-mean decimator; Spark earns
+    // the values by parsing LE int16 PCM out of the RIFF data chunk
+    // (and rate_out by parsing the fmt chunk's sample rate)
+    QueryDef("mm_audio_resample", mmAudioResample _, ResampleOracle))
 }

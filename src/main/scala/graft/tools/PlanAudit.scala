@@ -371,6 +371,12 @@ object PlanAudit {
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // audio transform (r12): boxcar-decimate over decoded PCM keeps
+      // the family's narrow shape — one feature row per doc
+      "mm_audio_resample" -> Seq(
+        ("narrow-decode-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0)),
       // governance tier (r12): delete requests ride a BROADCAST join
       // onto the one corpus pass — the corpus is never sort-merge
       // shuffled for the request attach; the only hash exchange is the

@@ -84,4 +84,26 @@ class MultimodalContentSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_.getLong(2) < 32), "no partial tail frame in fixture")
     assert(got.forall(r => r.getLong(2) > 0 && r.getLong(2) <= 32))
   }
+
+  test("mm_audio_resample equals the formula replay at sf0.001") {
+    val by = operators.Multimodal2.ResampleBy
+    val got = operators.Multimodal2.mmAudioResample(spark, sf0001).collect()
+    val lens = docLens()
+    val expected = lens.toSeq.sortBy(_._1).map { case (docId, n) =>
+      val ns = 64 + n % 193
+      val s = Array.tabulate(ns)(i => ((i * 37 + docId * 13) % 2001 - 1000).toLong)
+      val out = s.grouped(by).map(w => w.sum / w.length).toArray
+      Row(docId, ns.toLong, out.length.toLong, (16000 / by).toLong,
+        out.sum, out.min, out.max, out.head, out.last)
+    }
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g === e) }
+    // the decimator's negative-mean truncation must genuinely run: the
+    // formula's range is symmetric around zero, so negative window
+    // means exist unless the fixture degenerated
+    assert(expected.exists(_.getLong(5) < 0), "no negative resampled value")
+    // partial tail windows must exist (ns is rarely a multiple of 4)
+    assert(lens.values.exists(n => (64 + n % 193) % by != 0),
+      "no partial tail window in fixture")
+  }
 }
