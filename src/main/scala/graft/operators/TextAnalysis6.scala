@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text tier 6: subword TOKENIZER APPLY — the greedy longest-match
+  * (WordPiece-style) segmenter, the family member BPE train/apply
+  * (Pipeline5) does not cover: BPE applies a learned MERGE LIST
+  * bottom-up; WordPiece walks the word left-to-right taking the
+  * longest vocabulary prefix at each position. The production trick
+  * this lane exists to demonstrate at 100 TB: tokenization is
+  * word-local, so segment each DISTINCT word exactly once and re-weight
+  * by word frequency — the segmenter runs on the vocabulary-sized
+  * frame, never on the corpus-sized token stream.
+  */
+object TextAnalysis6 {
+
+  /** The fixed subword vocabulary: every lowercase letter (so every
+    * word segments — the single-char fallback) plus latin fragments
+    * chosen for the corpus's lorem-ipsum register. Deterministic and
+    * embedded in BOTH engines (interpolated into the oracle as VALUES),
+    * so the only thing under test is the greedy walk itself.
+    */
+  val Vocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ Seq(
+      "qu", "th", "er", "re", "it", "is", "or", "us", "um", "am", "em",
+      "et", "ut", "ur", "un", "in", "ad", "at", "an", "il", "ip", "lo",
+      "do", "co", "ex", "ne", "ob", "con", "per", "sed", "que", "pro",
+      "tem", "por", "lab", "mag", "ali", "ent", "men", "tion",
+      "lorem", "ipsum", "dolor", "amet", "magna")
+
+  private val VocabSet: Set[String] = Vocab.toSet
+  private val MaxTokLen: Int = Vocab.map(_.length).max
+
+  require(Vocab.size == VocabSet.size, "duplicate vocab token")
+
+  /** Greedy longest-match segmentation: at each position take the
+    * longest vocabulary token that prefixes the remainder. Total by
+    * construction (all 26 single letters are in the vocabulary and
+    * input is pre-stripped to [a-z]), deterministic (at most one match
+    * per length). Word-local — the distinct-word frame is the only
+    * thing this ever runs on.
+    */
+  def segment(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < w.length) {
+      var len = math.min(MaxTokLen, w.length - pos)
+      while (len > 1 && !VocabSet.contains(w.substring(pos, pos + len)))
+        len -= 1
+      out += w.substring(pos, pos + len)
+      pos += len
+    }
+    out.result()
+  }
+
+  private val segmentUdf = udf { (w: String) => segment(w) }
+
+  /** Corpus subword statistics through the distinct-word path: strip
+    * words to [a-z], count each distinct word ONCE, segment the
+    * distinct-word frame, then re-weight — n_occ is frequency-weighted
+    * occurrences, n_words the distinct words containing the token.
+    * Plan: scan → explode → word-keyed aggregate (the only
+    * corpus-sized shuffle) → narrow segment+explode over the
+    * vocabulary-sized frame → token-keyed aggregate. No joins.
+    */
+  def textWordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ", -1)).as("w0"))
+      .select(regexp_replace(col("w0"), "[^a-z]", "").as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    words
+      .select(col("w"), col("cnt"), explode(segmentUdf(col("w"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("n_occ"),
+        countDistinct(col("w")).as("n_words"))
+      .select(col("tok").as("token"), col("n_occ"), col("n_words"))
+      .orderBy(col("token"))
+  }
+
+  /** The oracle states the greedy walk as a recursive CTE: the next
+    * token at position p is the vocabulary match with NO longer match
+    * (the argmax by NOT EXISTS — unique because two same-length
+    * matches would be equal strings). The single-letter rows guarantee
+    * progress, so the recursion terminates at every word's end.
+    */
+  private val WordpieceOracle: String = {
+    val vocabRows = Vocab.map(t => s"('$t')").mkString(",")
+    s"""WITH RECURSIVE words AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT regexp_replace(unnest(string_split(lower(text), ' ')),
+      |      '[^a-z]', '', 'g') AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |vl AS (
+      |  SELECT tok, length(tok) AS len
+      |  FROM (VALUES $vocabRows) AS t(tok)),
+      |seg(w, pos, tok) AS (
+      |  SELECT w.w, v.len, v.tok
+      |  FROM words w JOIN vl v ON substr(w.w, 1, v.len) = v.tok
+      |  WHERE NOT EXISTS (SELECT 1 FROM vl v2
+      |    WHERE v2.len > v.len AND substr(w.w, 1, v2.len) = v2.tok)
+      |  UNION ALL
+      |  SELECT s.w, s.pos + v.len, v.tok
+      |  FROM seg s JOIN vl v ON substr(s.w, s.pos + 1, v.len) = v.tok
+      |  WHERE s.pos < length(s.w)
+      |    AND NOT EXISTS (SELECT 1 FROM vl v2
+      |      WHERE v2.len > v.len AND substr(s.w, s.pos + 1, v2.len) = v2.tok)),
+      |occ AS (SELECT w, tok, count(*) AS k FROM seg GROUP BY w, tok)
+      |SELECT tok AS token,
+      |  cast(sum(k * cnt) AS BIGINT) AS n_occ,
+      |  cast(count(DISTINCT occ.w) AS BIGINT) AS n_words
+      |FROM occ JOIN words USING (w)
+      |GROUP BY tok ORDER BY token""".stripMargin
+  }
+
+  val registry: Seq[QueryDef] = Seq(
+    QueryDef("text_wordpiece", textWordpiece _, WordpieceOracle))
+}

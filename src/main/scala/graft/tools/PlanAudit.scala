@@ -371,6 +371,13 @@ object PlanAudit {
         ("narrow-decode-no-shuffle",
           m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // tokenizer apply (r12): the distinct-word path — ONE corpus-sized
+      // shuffle (the word count), then the segmenter runs narrow on the
+      // vocabulary-sized frame into the token aggregate; never a join
+      "text_wordpiece" -> Seq(
+        ("distinct-word-two-aggs-no-join",
+          m => m("scans") == 1 && m("hx") == 2 && m("smj") == 0 &&
+            m("bhj") == 0)),
       // audio transform (r12): boxcar-decimate over decoded PCM keeps
       // the family's narrow shape — one feature row per doc
       "mm_audio_resample" -> Seq(

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis6
+
+/** The greedy longest-match segmenter's algebra plus a corpus-level
+  * recompute of text_wordpiece through the naive (non-distinct-word)
+  * path — proving the distinct-word optimization is invisible in the
+  * output.
+  */
+class TextAnalysis6Spec extends AnyFunSuite with SparkTestBase {
+
+  test("segmentation concatenates back to the word (totality)") {
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { _ =>
+      val w = (0 until 1 + rnd.nextInt(18))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val toks = TextAnalysis6.segment(w)
+      assert(toks.mkString("") === w, s"lossy segmentation of '$w'")
+      assert(toks.forall(TextAnalysis6.Vocab.contains), s"OOV token for '$w'")
+    }
+  }
+
+  test("greedy argmax: every step takes the longest vocabulary prefix") {
+    val vs = TextAnalysis6.Vocab.toSet
+    val rnd = new scala.util.Random(13)
+    (0 until 300).foreach { _ =>
+      // bias toward vocab fragments so multi-char matches actually occur
+      val w = (0 until 1 + rnd.nextInt(5))
+        .map(_ => TextAnalysis6.Vocab(rnd.nextInt(TextAnalysis6.Vocab.size)))
+        .mkString
+      var pos = 0
+      TextAnalysis6.segment(w).foreach { t =>
+        assert(w.substring(pos, pos + t.length) === t)
+        // no longer vocab token matches at this position
+        ((t.length + 1) to math.min(5, w.length - pos)).foreach { l =>
+          assert(!vs.contains(w.substring(pos, pos + l)),
+            s"'$w' at $pos: took '$t' but '${w.substring(pos, pos + l)}' is in vocab")
+        }
+        pos += t.length
+      }
+      assert(pos === w.length)
+    }
+  }
+
+  test("known segmentations (greedy vs intuition pins)") {
+    assert(TextAnalysis6.segment("lorem") === Seq("lorem"))
+    // greedy takes "ipsum" whole, not "ip"+"s"+"um"
+    assert(TextAnalysis6.segment("ipsum") === Seq("ipsum"))
+    // "quorem": "qu" then "or" then "em"
+    assert(TextAnalysis6.segment("quorem") === Seq("qu", "or", "em"))
+    // single chars fall back
+    assert(TextAnalysis6.segment("xyz") === Seq("x", "y", "z"))
+  }
+
+  test("text_wordpiece equals the naive per-occurrence recompute") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val words = docs.flatMap(_.toLowerCase.split(" ", -1))
+      .map(_.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+    val byTok = new scala.collection.mutable.HashMap[String, (Long, Set[String])]
+    words.foreach { w =>
+      TextAnalysis6.segment(w).foreach { t =>
+        val (n, ws) = byTok.getOrElse(t, (0L, Set.empty[String]))
+        byTok(t) = (n + 1, ws + w)
+      }
+    }
+    val expect = byTok.toSeq.map { case (t, (n, ws)) => (t, n, ws.size.toLong) }
+      .sortBy(_._1)
+    val got = TextAnalysis6.textWordpiece(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+  }
+}
