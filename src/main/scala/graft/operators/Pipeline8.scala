@@ -50,10 +50,18 @@ object Pipeline8 {
     * over the corpus manifest, which is exactly what a deletion audit
     * costs.
     */
-  def pipelineForget(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // the request feed: external in production, rule-derived here; the
-    // broadcast-join shape is the contract, the rule is the fixture
+  def pipelineForget(spark: SparkSession, dir: String): DataFrame =
+    withForgetAction(forgetAccounting(Tables.documents(spark, dir)))
+      .orderBy(col("shard"))
+
+  /** The per-shard purge accounting over ANY (doc_id, text) frame — all
+    * six measures are SUMS, so partials over corpus slices re-aggregate
+    * to the one-shot answer (the property [[graft.streaming
+    * .StreamingQueries]]'s streaming twin rides). The request feed is
+    * derived from the same frame and broadcast back — the join shape a
+    * real external request table would use.
+    */
+  private[graft] def forgetAccounting(docs: DataFrame): DataFrame = {
     val requests = docs
       .filter(pmod(col("doc_id"), lit(ForgetEvery)) === 0)
       .select(col("doc_id"), lit(1L).as("del"))
@@ -75,14 +83,17 @@ object Pipeline8 {
         sum(when(purged, col("n_chunks")).otherwise(0L)).as("n_chunks_purged"),
         sum(col("n_tok")).as("n_tokens"),
         sum(when(purged, col("n_tok")).otherwise(0L)).as("n_tokens_purged"))
-      .withColumn("action",
-        when(col("n_tokens_purged") * RewriteDenom >= col("n_tokens") &&
-          col("n_docs_purged") > 0, lit("rewrite"))
-          .otherwise(lit("tombstone")))
-      .orderBy(col("shard"))
   }
 
-  private val ForgetOracle: String =
+  /** The integer rewrite-vs-tombstone rule, applied AFTER all partials
+    * merge (the decision must see whole-shard totals). */
+  private[graft] def withForgetAction(acc: DataFrame): DataFrame =
+    acc.withColumn("action",
+      when(col("n_tokens_purged") * RewriteDenom >= col("n_tokens") &&
+        col("n_docs_purged") > 0, lit("rewrite"))
+        .otherwise(lit("tombstone")))
+
+  private[graft] val ForgetOracle: String =
     s"""WITH d AS (
       |  SELECT doc_id,
       |    ('0x' || substring(md5('shuf:' || cast(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -927,6 +927,65 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming deletion propagation — the governance tier's streaming
+    * twin: delete requests take effect as the corpus replays, the way a
+    * compliance pipeline actually consumes them. Each micro-batch (one
+    * corpus shard via [[DocumentsFileSource]]) runs THE SAME per-shard
+    * accounting stage as the batch lane
+    * ([[graft.operators.Pipeline8.forgetAccounting]] — every measure a
+    * SUM, so slice partials re-aggregate exactly); the ≤8-row partial
+    * lands in the external store keyed by batchId (idempotent under
+    * redelivery, the `stream_foreach_batch` recipe), and the integer
+    * rewrite rule is applied ONLY after the replay drains — the
+    * decision must see whole-shard totals, and applying it per batch
+    * would be wrong by construction. Output therefore EQUALS
+    * `pipeline_forget` and shares its oracle verbatim. Driver state is
+    * bounded: one ≤8-row partial per micro-batch.
+    */
+  def streamForget(spark: SparkSession, dir: String): DataFrame =
+    streamForgetImpl(spark, dir, 4)._1
+
+  private[graft] def streamForgetImpl(spark: SparkSession, dir: String,
+      slices: Int): (DataFrame, Int) = {
+    import spark.implicits._
+    val store = new java.util.concurrent.ConcurrentHashMap[
+      Long, Seq[(Long, Long, Long, Long, Long, Long, Long)]]()
+    val q = DocumentsFileSource(dir, slices).stream(spark).writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = graft.operators.Pipeline8.forgetAccounting(batch)
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6)))
+        store.put(batchId, partial)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      if (capturePlans) {
+        val bos = new java.io.ByteArrayOutputStream()
+        try Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        } catch { case _: Throwable => () }
+        lastMicroBatchPlan = bos.toString("UTF-8")
+      }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val merged = store.asScala.values.flatten.toSeq
+      .toDF("shard", "n_docs", "n_docs_purged", "n_chunks",
+        "n_chunks_purged", "n_tokens", "n_tokens_purged")
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_docs_purged")).as("n_docs_purged"),
+        sum(col("n_chunks")).as("n_chunks"),
+        sum(col("n_chunks_purged")).as("n_chunks_purged"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_tokens_purged")).as("n_tokens_purged"))
+    (graft.operators.Pipeline8.withForgetAction(merged)
+      .orderBy(col("shard")), store.size())
+  }
+
   /** Streaming heavy hitters — the Misra–Gries sketch deployed the way
     * a production stream aggregator ships it: each micro-batch (one
     * corpus shard via [[DocumentsFileSource]]) folds its tokens into a
@@ -1159,6 +1218,11 @@ object StreamingQueries {
     // append output is batching-independent by construction
     QueryDef("stream_mm_decode", streamMmDecode _,
       graft.operators.Multimodal.MixedDecodeOracle),
+    // shares the batch twin's oracle verbatim: every measure is a sum,
+    // so per-shard partials over corpus slices re-aggregate exactly and
+    // the post-drain decision sees the same whole-shard totals
+    QueryDef("stream_forget", streamForget _,
+      graft.operators.Pipeline8.ForgetOracle),
     QueryDef("stream_kmv_distinct", sized(streamKmvDistinct _), StreamKmvOracle),
     QueryDef("stream_kll_quantiles", sized(streamKllQuantiles _), StreamKllOracle),
     QueryDef("stream_heavy_hitters", sized(streamHeavyHitters _),

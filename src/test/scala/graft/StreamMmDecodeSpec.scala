@@ -2,11 +2,13 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingQueries
-import graft.operators.Multimodal
+import graft.operators.{Multimodal, Pipeline8}
 
-/** The streaming decode lane's contract: the replay is genuinely
-  * multi-batch, and its append output equals the batch twin
-  * row-for-row (statelessness = batching independence).
+/** The documents-replay streaming twins' contracts: the replay is
+  * genuinely multi-batch, and each lane's drained output equals its
+  * batch twin row-for-row (stream_mm_decode by statelessness;
+  * stream_forget because its measures are sums and the decision rule
+  * runs only on merged whole-shard totals).
   */
 class StreamMmDecodeSpec extends AnyFunSuite with SparkTestBase {
 
@@ -21,5 +23,24 @@ class StreamMmDecodeSpec extends AnyFunSuite with SparkTestBase {
       assert(streamed.length === batch.length)
       streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
     } finally StreamingQueries.captureProgress = false
+  }
+
+  test("stream_forget: partials from a genuinely multi-batch replay merge to the batch answer") {
+    val (df, nBatches) = StreamingQueries.streamForgetImpl(spark, sf0001, 4)
+    val streamed = df.collect()
+    assert(nBatches >= 2,
+      s"replay degenerated to $nBatches micro-batch(es) — partial merge untested")
+    val batch = Pipeline8.pipelineForget(spark, sf0001).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    // the per-batch partials CANNOT carry the decision: a batch-local
+    // rewrite flag would disagree with the merged totals whenever a
+    // shard's purge share differs across slices — pin that the final
+    // column came from merged totals by recomputing it
+    streamed.foreach { r =>
+      val rewrite = r.getLong(6) * Pipeline8.RewriteDenom >= r.getLong(5) &&
+        r.getLong(2) > 0
+      assert(r.getString(7) === (if (rewrite) "rewrite" else "tombstone"))
+    }
   }
 }
