@@ -113,6 +113,17 @@ object ScaleProbe {
     // scan-bound linear as the rest of the decode family despite each
     // payload being a multi-frame container
     "mm_video_frames",
+    // round-12 batch 5 (governance + tokenizer): pipeline_forget's
+    // broadcast-requests side grows ×factor with the corpus (1/37 of
+    // docs) — the probe watches whether the request attach stays
+    // join-bound; crawl_frontier's host universe is FIXED while pages
+    // grow, so the host-granular aggregate should approach flat;
+    // text_wordpiece under the replica fixture is the distinct-word
+    // path's BEST case (the ~k suffixes strip to the base word, so
+    // the vocabulary stays 1× while counts grow ×factor) — the probe
+    // prices exactly the claim the lane makes: corpus growth costs
+    // only the word-count shuffle, the segmenter's work is constant
+    "pipeline_forget", "pipeline_crawl_frontier", "text_wordpiece",
     // round-12 batch 3: the LM filter — replica-suffixed tokens grow
     // the VOCABULARY ×factor (disjoint per replica), so the bigram
     // model table grows ×factor while per-replica structure is
