@@ -262,6 +262,63 @@ object Multimodal2 {
       |    AS last_rs
       |FROM rs GROUP BY doc_id, ns ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ TIFF header
+
+  /** TIFF fixture synthesis: geometry from the byte length, BYTE ORDER
+    * from doc parity — half the corpus is 'II', half 'MM', so a parser
+    * with a hard-coded endianness fails exactly half the rows.
+    */
+  private val tiffContainer = udf { (docId: Long, bytes: Array[Byte]) =>
+    val n = bytes.length
+    graft.functions.TiffHeader.tiffWrap(
+      littleEndian = docId % 2 == 0,
+      width = 16 + n % 509,
+      height = 16 + (n * 13) % 257,
+      bits = 8 + (docId % 2).toInt * 8,
+      payload = bytes)
+  }
+
+  /** Header decode of the SELF-DECLARED-byte-order container: TIFF's
+    * 'II'/'MM' mark chooses the endianness of every field that
+    * follows, so the one parser must run both interpretations — the
+    * family member BMP/WAV (LE by spec) and PNG/JPEG (BE by spec)
+    * cannot exercise. The walk parses the IFD's ascending tag entries
+    * (SHORT values packed in the declared order's low half) and emits
+    * byte order + geometry + sample format; the oracle replays the
+    * synthesis formulas including the parity-chosen order. Same narrow
+    * shape as the rest of the decode family.
+    */
+  def mmDecodeTiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tiffContainer(col("doc_id"), col("text").cast("binary")).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          graft.functions.TiffHeader.tiffInfo(payload) match {
+            case Right(t) =>
+              (id, t.byteOrder, t.width.toLong, t.height.toLong,
+                t.bits.toLong, t.compression.toLong, t.nEntries.toLong)
+            case Left(_) => (id, "unsupported", 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "byte_order", "width", "height", "bits",
+        "compression", "n_entries")
+      .orderBy(col("doc_id"))
+  }
+
+  private val TiffOracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  cast(16 + octet_length(encode(text)) % 509 AS BIGINT) AS width,
+      |  cast(16 + (octet_length(encode(text)) * 13) % 257 AS BIGINT) AS height,
+      |  cast(8 + (doc_id % 2) * 8 AS BIGINT) AS bits,
+      |  cast(1 AS BIGINT) AS compression,
+      |  cast(4 AS BIGINT) AS n_entries
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     // CONTENT replay for the VIDEO tier: the oracle regenerates the
     // sampled frames' coefficients (the jpeg formula + a frame term)
@@ -274,5 +331,10 @@ object Multimodal2 {
     // formula and replays the truncating-mean decimator; Spark earns
     // the values by parsing LE int16 PCM out of the RIFF data chunk
     // (and rate_out by parsing the fmt chunk's sample rate)
-    QueryDef("mm_audio_resample", mmAudioResample _, ResampleOracle))
+    QueryDef("mm_audio_resample", mmAudioResample _, ResampleOracle),
+    // the oracle replays the synthesis formulas incl. the
+    // parity-chosen byte order; Spark earns byte_order/geometry/bits
+    // only by dispatching on the 'II'/'MM' mark and walking the IFD
+    // in whichever order the stream declares
+    QueryDef("mm_decode_tiff", mmDecodeTiff _, TiffOracle))
 }

@@ -378,6 +378,12 @@ object PlanAudit {
         ("distinct-word-two-aggs-no-join",
           m => m("scans") == 1 && m("hx") == 2 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // TIFF header walk (r12): the self-declared-byte-order container
+      // keeps the family's narrow shape
+      "mm_decode_tiff" -> Seq(
+        ("narrow-decode-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0)),
       // audio transform (r12): boxcar-decimate over decoded PCM keeps
       // the family's narrow shape — one feature row per doc
       "mm_audio_resample" -> Seq(
