@@ -106,4 +106,18 @@ object CodecPropertySpec extends Properties("codecs") {
         case Left(e) => false
       }
     }
+
+  property("TIFF header round-trips under both byte orders and arbitrary geometry") =
+    forAll(Gen.choose(1, 70000), Gen.choose(1, 70000), Gen.choose(1, 16),
+      Gen.oneOf(true, false), Gen.choose(0, 64)) { (w, h, bits, le, payloadLen) =>
+      val bytes = graft.functions.TiffHeader.tiffWrap(
+        le, w, h, bits, Array.tabulate(payloadLen)(_.toByte))
+      graft.functions.TiffHeader.tiffInfo(bytes) match {
+        case Right(t) =>
+          t.byteOrder == (if (le) "II" else "MM") &&
+            t.width == w && t.height == h && t.bits == bits &&
+            t.compression == 1 && t.nEntries == 4
+        case Left(_) => false
+      }
+    }
 }
