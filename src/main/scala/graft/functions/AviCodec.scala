@@ -31,6 +31,21 @@ object AviCodec {
   final case class AviVideo(width: Int, height: Int, usecPerFrame: Int,
       nFrames: Int, frames: Array[Array[Byte]])
 
+  /** The zero-copy form: frame payloads as (offset, length) SPANS into
+    * the original container bytes, materialized per frame only on
+    * [[AviSpans.frame]]. The 100× probe forced this split: the
+    * materializing walk copied every '00dc' payload including the
+    * frames the sampler then dropped — at 500k docs the dead copies
+    * were pure allocation pressure. A sampler over spans copies
+    * NOTHING for unsampled frames.
+    */
+  final case class AviSpans(width: Int, height: Int, usecPerFrame: Int,
+      nFrames: Int, payload: Array[Byte], offsets: Array[Int],
+      lengths: Array[Int]) {
+    def frame(i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(payload, offsets(i), offsets(i) + lengths(i))
+  }
+
   // ---------------------------------------------------------- encoder
 
   /** Build a real AVI around already-encoded MJPEG frames. Chunk
@@ -139,11 +154,19 @@ object AviCodec {
   private def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
 
-  /** Parse an AVI back to its headers + still-encoded frame payloads.
+  /** Parse an AVI back to headers + MATERIALIZED frame payloads — the
+    * convenience form for specs and full-decode callers; samplers
+    * should use [[aviSpans]] and copy only what they keep.
+    */
+  def aviFrames(b: Array[Byte]): Either[String, AviVideo] =
+    aviSpans(b).map(s => AviVideo(s.width, s.height, s.usecPerFrame,
+      s.nFrames, Array.tabulate(s.nFrames)(s.frame)))
+
+  /** Parse an AVI back to its headers + still-encoded frame SPANS.
     * Left(reason) for anything outside the documented subset or any
     * malformed stream — quarantine data, never task failures.
     */
-  def aviFrames(b: Array[Byte]): Either[String, AviVideo] = {
+  def aviSpans(b: Array[Byte]): Either[String, AviSpans] = {
     if (b == null || b.length < 24) return Left("AVI truncated before RIFF header")
     if (fourcc(b, 0) != "RIFF") return Left("not a RIFF stream")
     val riffSize = leInt(b, 4)
@@ -158,7 +181,8 @@ object AviCodec {
     var strhFrames = -1
     var sawMjpg = false
     var vidStreams = 0
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
 
     /** Walk the chunks of [off, end); LIST payloads recurse. */
     def walk(off0: Int, end: Int, inMovi: Boolean): Option[String] = {
@@ -194,7 +218,8 @@ object AviCodec {
             } else return Some(s"non-video stream '$fccType' outside the subset")
           case "00dc" if inMovi =>
             if (len == 0) return Some("empty frame chunk")
-            frames += java.util.Arrays.copyOfRange(b, data, data + len)
+            offs += data
+            lens += len
           case _ => () // strf/idx1/JUNK/unknown: sizes already validated
         }
         off = data + len + (len & 1) // word alignment
@@ -209,12 +234,13 @@ object AviCodec {
         else if (usec <= 0) Left("missing frame timing")
         else if (vidStreams != 1) Left("need exactly one video stream")
         else if (!sawMjpg) Left("video stream is not MJPG")
-        else if (frames.isEmpty) Left("no frame chunks in movi")
-        else if (declaredFrames != frames.length)
-          Left(s"avih declares $declaredFrames frames, movi has ${frames.length}")
-        else if (strhFrames != frames.length)
-          Left(s"strh declares $strhFrames frames, movi has ${frames.length}")
-        else Right(AviVideo(width, height, usec, frames.length, frames.toArray))
+        else if (offs.isEmpty) Left("no frame chunks in movi")
+        else if (declaredFrames != offs.length)
+          Left(s"avih declares $declaredFrames frames, movi has ${offs.length}")
+        else if (strhFrames != offs.length)
+          Left(s"strh declares $strhFrames frames, movi has ${offs.length}")
+        else Right(AviSpans(width, height, usec, offs.length, b,
+          offs.toArray, lens.toArray))
     }
   }
 }

@@ -74,10 +74,12 @@ object Multimodal2 {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
-          AviCodec.aviFrames(payload) match {
+          // span walk: unsampled frames are never copied, let alone
+          // decoded (the 100× probe caught the dead copies)
+          AviCodec.aviSpans(payload) match {
             case Right(v) =>
               (0 until v.nFrames).filter(_ % SampleEvery == 0).map { f =>
-                JpegCodec.jpegRaster(v.frames(f)) match {
+                JpegCodec.jpegRaster(v.frame(f)) match {
                   case Right(r) if r.width == v.width && r.height == v.height =>
                     val p = r.pixels
                     var sum = 0L

@@ -36,6 +36,17 @@ class AviCodecSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("span walk equals the materializing walk frame-for-frame") {
+    val frames = Seq.tabulate(6)(f => gray(5L, f))
+    val avi = AviCodec.aviWrapMjpeg(16, 8, 2000, frames)
+    val v = AviCodec.aviFrames(avi).fold(e => fail(e), identity)
+    val s = AviCodec.aviSpans(avi).fold(e => fail(e), identity)
+    assert((s.width, s.height, s.usecPerFrame, s.nFrames) ===
+      ((v.width, v.height, v.usecPerFrame, v.nFrames)))
+    (0 until s.nFrames).foreach(i =>
+      assert(s.frame(i).toSeq === v.frames(i).toSeq, s"span $i diverges"))
+  }
+
   test("word alignment: odd-length frame payloads survive the chunk walk") {
     // craft odd-length payloads by appending a trailing comment byte via
     // raw arrays (any byte payload is legal in a chunk; the decoder only
