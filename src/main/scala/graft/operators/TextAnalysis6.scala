@@ -116,6 +116,77 @@ object TextAnalysis6 {
       |GROUP BY tok ORDER BY token""".stripMargin
   }
 
+  /** Tokenizer FERTILITY evaluation — the metric that picks a
+    * tokenizer for a corpus: subword tokens per word and characters
+    * per token, per source, in exact integer basis points (truncating
+    * division, identical on both engines). Same distinct-word
+    * discipline: the segmenter runs once per distinct word; per-source
+    * frequencies re-weight the result through a broadcast join against
+    * the vocabulary-sized segmentation frame (the broadcast-model
+    * posture — the documented flip past broadcastability is a
+    * word-keyed shuffle join, the BM25/LM discipline).
+    */
+  def textTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ", -1)).as("w0"))
+      .select(col("source"), regexp_replace(col("w0"), "[^a-z]", "").as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val seg = words.select(col("w")).distinct()
+      .select(col("w"), size(segmentUdf(col("w"))).cast("long").as("n_tok"),
+        length(col("w")).cast("long").as("n_chr"))
+    words.join(broadcast(seg), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"),
+        sum(col("cnt") * col("n_chr")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        // `div` is exact integer division (Spark's `/` returns double);
+        // operands are positive so trunc == floor on both engines
+        expr("(n_tokens * 10000) div n_words").as("fertility_bps"),
+        expr("(n_chars * 10000) div n_tokens").as("chars_per_token_bps"))
+      .orderBy(col("source"))
+  }
+
+  private val FertilityOracle: String = {
+    val vocabRows = Vocab.map(t => s"('$t')").mkString(",")
+    s"""WITH RECURSIVE words AS (
+      |  SELECT source, w, count(*) AS cnt FROM (
+      |    SELECT source,
+      |      regexp_replace(unnest(string_split(lower(text), ' ')),
+      |        '[^a-z]', '', 'g') AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY source, w),
+      |dw AS (SELECT DISTINCT w FROM words),
+      |vl AS (
+      |  SELECT tok, length(tok) AS len
+      |  FROM (VALUES $vocabRows) AS t(tok)),
+      |seg(w, pos, tok) AS (
+      |  SELECT d.w, v.len, v.tok
+      |  FROM dw d JOIN vl v ON substr(d.w, 1, v.len) = v.tok
+      |  WHERE NOT EXISTS (SELECT 1 FROM vl v2
+      |    WHERE v2.len > v.len AND substr(d.w, 1, v2.len) = v2.tok)
+      |  UNION ALL
+      |  SELECT s.w, s.pos + v.len, v.tok
+      |  FROM seg s JOIN vl v ON substr(s.w, s.pos + 1, v.len) = v.tok
+      |  WHERE s.pos < length(s.w)
+      |    AND NOT EXISTS (SELECT 1 FROM vl v2
+      |      WHERE v2.len > v.len AND substr(s.w, s.pos + 1, v2.len) = v2.tok)),
+      |wtok AS (SELECT w, count(*) AS n_tok FROM seg GROUP BY w)
+      |SELECT source,
+      |  cast(sum(cnt) AS BIGINT) AS n_words,
+      |  cast(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+      |  cast(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+      |  cast(sum(cnt * n_tok) * 10000 // sum(cnt) AS BIGINT) AS fertility_bps,
+      |  cast(sum(cnt * length(w)) * 10000 // sum(cnt * n_tok) AS BIGINT)
+      |    AS chars_per_token_bps
+      |FROM words JOIN wtok USING (w)
+      |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val registry: Seq[QueryDef] = Seq(
-    QueryDef("text_wordpiece", textWordpiece _, WordpieceOracle))
+    QueryDef("text_wordpiece", textWordpiece _, WordpieceOracle),
+    QueryDef("text_tokenizer_fertility", textTokenizerFertility _,
+      FertilityOracle))
 }

@@ -378,6 +378,12 @@ object PlanAudit {
         ("distinct-word-two-aggs-no-join",
           m => m("scans") == 1 && m("hx") == 2 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // tokenizer fertility (r12): the vocabulary-sized segmentation
+      // frame BROADCASTS back onto the per-source word counts — the
+      // corpus-sized stream is never sort-merge shuffled for the join
+      "text_tokenizer_fertility" -> Seq(
+        ("broadcast-seg-no-smj",
+          m => m("bhj") >= 1 && m("smj") == 0)),
       // TIFF header walk (r12): the self-declared-byte-order container
       // keeps the family's narrow shape
       "mm_decode_tiff" -> Seq(

@@ -71,4 +71,27 @@ class TextAnalysis6Spec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === expect)
   }
+
+  test("text_tokenizer_fertility equals the naive per-source recompute") {
+    val rows = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = rows.groupBy(_._1).map { case (src, docs) =>
+      val words = docs.flatMap(_._2.toLowerCase.split(" ", -1))
+        .map(_.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+      val nWords = words.length.toLong
+      val nTokens = words.map(w => TextAnalysis6.segment(w).length.toLong).sum
+      val nChars = words.map(_.length.toLong).sum
+      (src, nWords, nTokens, nChars,
+        nTokens * 10000 / nWords, nChars * 10000 / nTokens)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis6.textTokenizerFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === bySource)
+    // fertility must exceed 10000 bps (a word is at least one token,
+    // and multi-token words exist) or the metric is degenerate
+    assert(got.forall(_._5 >= 10000))
+    assert(got.exists(_._5 > 10000))
+  }
 }
