@@ -214,9 +214,36 @@ object PngCodec {
     * output bytes. Left(reason) on any malformed structure.
     */
   private[graft] def inflate(b: Array[Byte], off: Int, end: Int,
-      expected: Int): Either[String, Array[Byte]] = {
-    val out = new Array[Byte](expected)
+      expected: Int): Either[String, Array[Byte]] =
+    inflateEx(b, off, end, expected, expected).map(_._1)
+
+  /** Inflate with optionally UNKNOWN output size: `expected >= 0` keeps
+    * the PNG path's exact-size contract (same checks, same messages);
+    * `expected = -1` grows the output geometrically up to `cap` bytes.
+    * Returns the bytes AND the consumed end offset — the first byte
+    * past the deflate stream after its final-block bit padding — which
+    * is where a gzip member's CRC32/ISIZE trailer begins. (The offset
+    * is exact because [[BitReader.bits]] loads one byte at a time, so
+    * at most 7 padding bits of the last loaded byte are ever
+    * unconsumed and `br.off` never runs past the stream.)
+    */
+  private[graft] def inflateEx(b: Array[Byte], off: Int, end: Int,
+      expected: Int, cap: Int): Either[String, (Array[Byte], Int)] = {
+    val fixed = expected >= 0
+    var out = new Array[Byte](
+      if (fixed) expected else math.min(math.max(cap, 0), 64 << 10))
     var w = 0
+    // true iff `need` more output bytes fit (growing in dynamic mode)
+    def ensure(need: Int): Boolean = {
+      if (need >= 0 && w + need >= 0 && w + need <= out.length) true
+      else if (fixed || need < 0 || w + need < 0 || w + need > cap) false
+      else {
+        var nl = math.max(out.length, 64)
+        while (nl < w + need) nl = math.min(cap.toLong, nl * 2L).toInt
+        out = java.util.Arrays.copyOf(out, nl)
+        true
+      }
+    }
     val br = new BitReader(b, off, end)
     var fin = false
     while (!fin) {
@@ -233,7 +260,7 @@ object PngCodec {
           if ((len ^ 0xffff) != nlen) return Left("stored LEN/NLEN mismatch")
           br.off += 4
           if (br.off + len > end) return Left("stored block overruns payload")
-          if (w + len > expected) return Left("inflate output overrun (stored)")
+          if (!ensure(len)) return Left("inflate output overrun (stored)")
           System.arraycopy(b, br.off, out, w, len)
           br.off += len
           w += len
@@ -290,7 +317,7 @@ object PngCodec {
             val sym = lit.decode(br)
             if (sym < 0) return Left("malformed literal/length symbol")
             if (sym < 256) {
-              if (w >= expected) return Left("inflate output overrun (literal)")
+              if (!ensure(1)) return Left("inflate output overrun (literal)")
               out(w) = sym.toByte
               w += 1
             } else if (sym == 256) endOfBlock = true
@@ -306,7 +333,7 @@ object PngCodec {
               if (db < 0) return Left("distance extra bits truncated")
               val d = DistBase(dsym) + db
               if (d > w) return Left("back-reference before stream start")
-              if (w + len > expected) return Left("inflate output overrun (match)")
+              if (!ensure(len)) return Left("inflate output overrun (match)")
               var j = 0
               while (j < len) { // overlapping copies are the RLE idiom
                 out(w) = out(w - d)
@@ -318,8 +345,9 @@ object PngCodec {
         case _ => return Left("reserved deflate block type")
       }
     }
-    if (w != expected) Left(s"inflated $w bytes, expected $expected")
-    else Right(out)
+    if (fixed && w != expected) Left(s"inflated $w bytes, expected $expected")
+    else Right((if (w == out.length) out
+      else java.util.Arrays.copyOf(out, w), br.off))
   }
 
   // ----------------------------------------------------------- decoder

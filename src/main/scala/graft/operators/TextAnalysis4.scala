@@ -36,8 +36,11 @@ object TextAnalysis4 {
   private def titleOf(text: Column): Column =
     array_join(slice(toks(text), 1, 3), " ")
 
-  /** The deterministic HTML wrapper both engines build. */
-  private def htmlOf(docId: Column, text: Column): Column = {
+  /** The deterministic HTML wrapper both engines build (shared with
+    * the WARC ingestion lane, which wraps the same page markup in
+    * HTTP + WARC + gzip layers — [[Pipeline9]]).
+    */
+  private[operators] def htmlOf(docId: Column, text: Column): Column = {
     val t = toks(text)
     val n = size(t)
     val half = floor((n + 1) / 2).cast("int")
@@ -62,15 +65,23 @@ object TextAnalysis4 {
     * for this markup (a production pass swaps this stage for a real
     * parser via the same narrow-map plan shape).
     */
-  def textHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
-    val html = htmlOf(col("doc_id"), col("text"))
-    val title = regexp_extract(col("html"), "<title>(.*?)</title>", 1)
-    val noHead = regexp_replace(col("html"), "<head>.*?</head>", " ")
+  /** Tag-strip + chrome-drop main-text extraction over an `html`
+    * column — the one extraction chain, shared with the WARC lane so
+    * ingestion and extraction provably agree.
+    */
+  private[operators] def mainTextOf(html: Column): Column = {
+    val noHead = regexp_replace(html, "<head>.*?</head>", " ")
     val noChrome = regexp_replace(
       regexp_replace(noHead, "<nav>.*?</nav>", " "),
       "<footer>.*?</footer>", " ")
-    val mainText = trim(regexp_replace(
+    trim(regexp_replace(
       regexp_replace(noChrome, "<[^>]*>", " "), " +", " "))
+  }
+
+  def textHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val html = htmlOf(col("doc_id"), col("text"))
+    val title = regexp_extract(col("html"), "<title>(.*?)</title>", 1)
+    val mainText = mainTextOf(col("html"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), html.as("html"))
       .select(col("doc_id"),

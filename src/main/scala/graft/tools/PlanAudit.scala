@@ -384,6 +384,13 @@ object PlanAudit {
       "text_tokenizer_fertility" -> Seq(
         ("broadcast-seg-no-smj",
           m => m("bhj") >= 1 && m("smj") == 0)),
+      // WARC ingestion (r12): one corpus scan; the ONLY hash exchange
+      // is the fixture's shard-grouping shuffle (at production the
+      // storage layout) — decode is a narrow mapPartitions, no joins
+      "pipeline_warc_ingest" -> Seq(
+        ("one-shard-shuffle-narrow-decode",
+          m => m("scans") == 1 && m("hx") == 1 && m("smj") == 0 &&
+            m("bhj") == 0)),
       // TIFF header walk (r12): the self-declared-byte-order container
       // keeps the family's narrow shape
       "mm_decode_tiff" -> Seq(
