@@ -185,8 +185,147 @@ object TextAnalysis6 {
       |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ------------------------------------------------------- unigram LM
+
+  /** Integer piece costs for the unigram lane (the -log p surrogate):
+    * the single-char fallback is expensive (95); a multi-char piece
+    * costs 40 + (ascii sum % 30), i.e. 40..69 — deterministic, embedded
+    * in BOTH engines (interpolated into the oracle as VALUES), all
+    * exact integers so the optimum can never flip on float drift.
+    */
+  val PieceCost: Map[String, Int] = Vocab.map { t =>
+    t -> (if (t.length == 1) 95 else 40 + t.map(_.toInt).sum % 30)
+  }.toMap
+
+  /** Lexicographic (total cost, then token count) Viterbi over one
+    * word — the unigram-LM segmenter: unlike the greedy walk, the DP
+    * optimizes over ALL segmentations. Correctness of the two-key DP:
+    * costs are additive and non-negative, so every global min-cost
+    * path decomposes into per-position min-cost prefixes, and among
+    * those the counts add — the per-position (minCost, minCount) pair
+    * is a sufficient state.
+    */
+  def viterbi(w: String): (Long, Long) = {
+    val n = w.length
+    val Inf = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(Inf)
+    val toks = Array.fill(n + 1)(Inf)
+    best(0) = 0L
+    toks(0) = 0L
+    var i = 0
+    while (i < n) {
+      if (best(i) < Inf) {
+        var len = 1
+        val maxLen = math.min(MaxTokLen, n - i)
+        while (len <= maxLen) {
+          PieceCost.get(w.substring(i, i + len)).foreach { c =>
+            val nc = best(i) + c
+            val nt = toks(i) + 1
+            if (nc < best(i + len) ||
+              (nc == best(i + len) && nt < toks(i + len))) {
+              best(i + len) = nc
+              toks(i + len) = nt
+            }
+          }
+          len += 1
+        }
+      }
+      i += 1
+    }
+    (best(n), toks(n))
+  }
+
+  private val viterbiUdf = udf { (w: String) => viterbi(w) }
+  private val greedyCostUdf = udf { (w: String) =>
+    val seg = segment(w)
+    (seg.map(t => PieceCost(t).toLong).sum, seg.length.toLong)
+  }
+
+  /** Unigram-LM (SentencePiece-style) segmentation audit: per distinct
+    * word, the OPTIMAL segmentation cost/count under the piece-cost
+    * table beside the greedy walk's — `saved = greedy - optimal ≥ 0`
+    * is the corpus-level answer to "is longest-match good enough for
+    * this vocabulary". Same 100 TB discipline as the whole tokenizer
+    * family: the DP runs once per DISTINCT word on the
+    * vocabulary-sized frame; the corpus-sized stream contributes only
+    * the word-count aggregate.
+    */
+  def textUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ", -1)).as("w0"))
+      .select(regexp_replace(col("w0"), "[^a-z]", "").as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    words
+      .withColumn("v", viterbiUdf(col("w")))
+      .withColumn("g", greedyCostUdf(col("w")))
+      .select(col("w").as("word"), col("cnt").as("n_occ"),
+        col("v._1").as("min_cost"), col("v._2").as("n_tok_min"),
+        col("g._1").as("greedy_cost"), col("g._2").as("n_tok_greedy"),
+        (col("g._1") - col("v._1")).as("saved"))
+      .orderBy(col("word"))
+  }
+
+  /** The oracle states the DP as reachable-state enumeration: the
+    * recursive term extends every (pos, cost, steps) state by every
+    * matching piece, and UNION (dedup) bounds the state space to the
+    * distinct triples — positions and costs are small integers, so the
+    * set stays tiny per word. The optimum is then min(cost) at
+    * pos = len(w), with min(steps) among min-cost rows; the greedy
+    * baseline reuses the wordpiece walk (argmax-by-NOT-EXISTS longest
+    * prefix) joined to the same cost table.
+    */
+  private val UnigramOracle: String = {
+    val vocabRows = Vocab.map(t => s"('$t', ${PieceCost(t)})").mkString(",")
+    s"""WITH RECURSIVE words AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT regexp_replace(unnest(string_split(lower(text), ' ')),
+      |      '[^a-z]', '', 'g') AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY w),
+      |vl AS (
+      |  SELECT tok, length(tok) AS len, cost
+      |  FROM (VALUES $vocabRows) AS t(tok, cost)),
+      |reach(w, pos, cost, steps) AS (
+      |  SELECT w, 0, 0, 0 FROM words
+      |  UNION
+      |  SELECT r.w, r.pos + v.len, r.cost + v.cost, r.steps + 1
+      |  FROM reach r JOIN vl v ON substr(r.w, r.pos + 1, v.len) = v.tok
+      |  WHERE r.pos < length(r.w)),
+      |best AS (
+      |  SELECT w, min(cost) AS min_cost FROM reach
+      |  WHERE pos = length(w) GROUP BY w),
+      |bestk AS (
+      |  SELECT r.w, b.min_cost, min(r.steps) AS n_tok_min
+      |  FROM reach r JOIN best b ON r.w = b.w AND r.cost = b.min_cost
+      |  WHERE r.pos = length(r.w) GROUP BY r.w, b.min_cost),
+      |seg(w, pos, tok) AS (
+      |  SELECT w.w, v.len, v.tok
+      |  FROM words w JOIN vl v ON substr(w.w, 1, v.len) = v.tok
+      |  WHERE NOT EXISTS (SELECT 1 FROM vl v2
+      |    WHERE v2.len > v.len AND substr(w.w, 1, v2.len) = v2.tok)
+      |  UNION ALL
+      |  SELECT s.w, s.pos + v.len, v.tok
+      |  FROM seg s JOIN vl v ON substr(s.w, s.pos + 1, v.len) = v.tok
+      |  WHERE s.pos < length(s.w)
+      |    AND NOT EXISTS (SELECT 1 FROM vl v2
+      |      WHERE v2.len > v.len AND substr(s.w, s.pos + 1, v2.len) = v2.tok)),
+      |greedy AS (
+      |  SELECT s.w, sum(v.cost) AS greedy_cost, count(*) AS n_tok_greedy
+      |  FROM seg s JOIN vl v ON v.tok = s.tok GROUP BY s.w)
+      |SELECT w AS word, cast(cnt AS BIGINT) AS n_occ,
+      |  cast(min_cost AS BIGINT) AS min_cost,
+      |  cast(n_tok_min AS BIGINT) AS n_tok_min,
+      |  cast(greedy_cost AS BIGINT) AS greedy_cost,
+      |  cast(n_tok_greedy AS BIGINT) AS n_tok_greedy,
+      |  cast(greedy_cost - min_cost AS BIGINT) AS saved
+      |FROM words JOIN bestk USING (w) JOIN greedy USING (w)
+      |ORDER BY word""".stripMargin
+  }
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("text_wordpiece", textWordpiece _, WordpieceOracle),
     QueryDef("text_tokenizer_fertility", textTokenizerFertility _,
-      FertilityOracle))
+      FertilityOracle),
+    QueryDef("text_unigram_lm", textUnigramLm _, UnigramOracle))
 }

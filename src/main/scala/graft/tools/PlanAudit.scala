@@ -378,6 +378,13 @@ object PlanAudit {
         ("distinct-word-two-aggs-no-join",
           m => m("scans") == 1 && m("hx") == 2 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // unigram-LM Viterbi audit (r12): the DP runs once per DISTINCT
+      // word — one corpus-sized word aggregate, then narrow UDFs over
+      // the vocabulary-sized frame; no joins
+      "text_unigram_lm" -> Seq(
+        ("distinct-word-one-agg-no-join",
+          m => m("scans") == 1 && m("hx") == 1 && m("smj") == 0 &&
+            m("bhj") == 0)),
       // tokenizer fertility (r12): the vocabulary-sized segmentation
       // frame BROADCASTS back onto the per-source word counts — the
       // corpus-sized stream is never sort-merge shuffled for the join

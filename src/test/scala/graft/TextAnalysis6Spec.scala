@@ -72,6 +72,72 @@ class TextAnalysis6Spec extends AnyFunSuite with SparkTestBase {
     assert(got === expect)
   }
 
+  // ---------------------------------------------------------- unigram
+
+  /** All segmentations of `w` over the vocabulary (test-only brute
+    * force — exponential, so words stay short).
+    */
+  private def allSegs(w: String): Seq[Seq[String]] =
+    if (w.isEmpty) Seq(Seq.empty)
+    else (1 to math.min(6, w.length)).flatMap { len =>
+      val t = w.substring(0, len)
+      if (TextAnalysis6.PieceCost.contains(t))
+        allSegs(w.substring(len)).map(t +: _)
+      else Seq.empty
+    }
+
+  test("viterbi equals brute-force (cost, then count) optimum") {
+    val rnd = new scala.util.Random(29)
+    (0 until 200).foreach { _ =>
+      val w = (0 until 1 + rnd.nextInt(4))
+        .map(_ => TextAnalysis6.Vocab(rnd.nextInt(TextAnalysis6.Vocab.size)))
+        .mkString.take(10)
+      val segs = allSegs(w)
+      assert(segs.nonEmpty, s"no segmentation of '$w'")
+      val costs = segs.map(s => (s.map(TextAnalysis6.PieceCost(_).toLong).sum,
+        s.length.toLong))
+      val minCost = costs.map(_._1).min
+      val minTok = costs.filter(_._1 == minCost).map(_._2).min
+      assert(TextAnalysis6.viterbi(w) === (minCost, minTok),
+        s"viterbi suboptimal on '$w'")
+    }
+  }
+
+  test("optimal never exceeds greedy; the corpus has genuine savings") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val words = docs.flatMap(_.toLowerCase.split(" ", -1))
+      .map(_.replaceAll("[^a-z]", "")).filter(_.nonEmpty).distinct
+    var saved = 0L
+    words.foreach { w =>
+      val (mc, _) = TextAnalysis6.viterbi(w)
+      val gc = TextAnalysis6.segment(w)
+        .map(TextAnalysis6.PieceCost(_).toLong).sum
+      assert(mc <= gc, s"optimum above greedy on '$w'")
+      saved += gc - mc
+    }
+    // the vocabulary induces words where greedy's longest-first choice
+    // blocks a cheaper continuation — otherwise the lane is degenerate
+    assert(saved > 0, "no word where the DP beats greedy — degenerate fixture")
+  }
+
+  test("text_unigram_lm equals the naive per-word recompute") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("text").collect().map(_.getString(0))
+    val words = docs.flatMap(_.toLowerCase.split(" ", -1))
+      .map(_.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+    val expect = words.groupBy(identity).map { case (w, occ) =>
+      val (mc, mk) = TextAnalysis6.viterbi(w)
+      val seg = TextAnalysis6.segment(w)
+      val gc = seg.map(TextAnalysis6.PieceCost(_).toLong).sum
+      (w, occ.length.toLong, mc, mk, gc, seg.length.toLong, gc - mc)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis6.textUnigramLm(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got === expect)
+  }
+
   test("text_tokenizer_fertility equals the naive per-source recompute") {
     val rows = Tables.documents(spark, sf0001)
       .select("source", "text").collect()
