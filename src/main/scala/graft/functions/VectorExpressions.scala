@@ -324,6 +324,18 @@ object VectorExpressions {
     "ahash64" -> (exprs => MediaHash.AHash64(exprs.head)),
     "word_shingles3" -> (exprs => WordShingles3(exprs.head)),
     "int8_quant_stats" -> (exprs => Int8QuantStats(exprs.head)),
+    // Spark's OWN Bloom-filter expressions (public classes, used
+    // internally by runtime row-level filtering but not registered in
+    // the default function registry) — exposed for the decontamination
+    // prefilter lane. Aggregate: (xxhash64-ed column, est. items,
+    // n_bits) → filter bytes; probe: (filter bytes, xxhash64-ed value)
+    "graft_bloom_agg" -> (exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression()),
+    "graft_bloom_might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1))),
     "word_ngrams" -> (exprs => exprs match {
       case Seq(tokens,
           org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _)) =>

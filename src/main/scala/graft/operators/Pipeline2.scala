@@ -126,6 +126,59 @@ object Pipeline2 {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter bits for the prefilter lane: sized for a
+    * benchmark-scale eval shingle set at a small false-positive rate —
+    * the filter is ~50 KB regardless of corpus size (bounded driver
+    * state, the centroid-table discipline).
+    */
+  val BloomItems = 50000L
+  val BloomBits = 400000L
+
+  /** The 100 TB PREFILTER flip of [[pipelineContamination]]: build a
+    * Bloom filter over the eval shingles (8 bits/item vs the full
+    * shingle strings), drop corpus shingles that cannot match via a
+    * codegen'd `might_contain` against the LITERAL filter bytes — no
+    * join, no shuffle for the prefilter — then exact-verify only the
+    * survivors through the same broadcast join. Bloom filters admit
+    * false POSITIVES only, so prefilter + exact-verify ≡ the exact
+    * join: this lane shares the exact lane's oracle verbatim (the
+    * q74/q74b analysis-vs-decision discipline). At 100 TB the win is
+    * volume INTO the join: ~(1 − fpp) of the exploded corpus shingle
+    * stream dies at the scan-side filter.
+    *
+    * Vs [[Sketches2.bloomJoin]] (sketch_bloom_join): same
+    * no-false-negatives prefilter ALGEBRA, deliberately different
+    * everything else — that lane is the relational runtime-filter
+    * idiom over a hand-written bit-set Aggregator on integer keys;
+    * this one is the LLM-pipeline decontamination application driving
+    * Spark's OWN BloomFilterAggregate/BloomFilterMightContain
+    * expressions (public classes the default registry does not
+    * expose), registered through [[graft.GraftExtensions]] as
+    * `graft_bloom_agg` / `graft_bloom_might_contain` — the engine's
+    * native sketch surfaced as a first-class SQL function.
+    */
+  def pipelineContaminationBloom(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalShingles = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(Dedup.shinglesPublic(col("text"))).as("sh"))
+      .distinct()
+    // bounded driver state: the filter bytes themselves (BloomBits/8)
+    val bloom = evalShingles
+      .agg(call_function("graft_bloom_agg", xxhash64(col("sh")),
+        lit(BloomItems), lit(BloomBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"),
+        explode(Dedup.shinglesPublic(col("text"))).as("sh"))
+      .filter(call_function("graft_bloom_might_contain", lit(bloom),
+        xxhash64(col("sh"))))
+      .join(broadcast(evalShingles), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Redaction battery: emails and digit runs replaced with placeholder
     * tokens in `events.props`, redaction counts alongside (the audit
     * trail a PII pass must emit). Pure codegen'd regexp work — scales
@@ -173,6 +226,19 @@ object Pipeline2 {
         r4(col("top_freq").cast("double") / col("n_tokens").cast("double")).as("top_token_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Shared by the exact lane and its Bloom-prefiltered flip. */
+  private val ContaminationOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+      |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+      |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+      |FROM sh s JOIN ev ON s.sh = ev.sh
+      |WHERE s.doc_id % 50 <> 0
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_corpus_build", pipelineCorpusBuild _,
       s"""WITH base AS (
@@ -211,16 +277,14 @@ object Pipeline2 {
          |    FROM documents))
          |ORDER BY lang, doc_id""".stripMargin),
     QueryDef("pipeline_contamination", pipelineContamination _,
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(generate_series(1, len(t) - 2),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
-        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
-        |SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
-        |FROM sh s JOIN ev ON s.sh = ev.sh
-        |WHERE s.doc_id % 50 <> 0
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin),
+      ContaminationOracle),
+    // shares the exact lane's oracle VERBATIM: Bloom filters admit
+    // false positives only, and the exact-verify join scrubs those, so
+    // prefilter + verify equals the exact join by construction — the
+    // lanes differ in PLAN (scan-side might_contain kills ~(1-fpp) of
+    // the shingle stream before the join), not in answer
+    QueryDef("pipeline_contamination_bloom", pipelineContaminationBloom _,
+      ContaminationOracle),
     QueryDef("pipeline_redact", pipelineRedact _,
       """SELECT event_id,
         |  regexp_replace(regexp_replace(props,

@@ -927,6 +927,45 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming WEB-ARCHIVE INGESTION — the `.warc.gz` decode stack
+    * composed with Structured Streaming (the continuous-crawl shape:
+    * archive shards land, an ingest fleet parses pages as they
+    * arrive). Each micro-batch's documents wrap into partition-local
+    * multi-member archives (fixture side) and decode through THE SAME
+    * [[graft.operators.Pipeline9.decodeArchive]] walk as the batch
+    * lane. The stage is stateless, so append output is
+    * batching-independent for every PER-PAGE field; the two
+    * archive-LAYOUT fields (shard_id, member_index) are by definition
+    * functions of the batching and are excluded — the oracle is the
+    * batch lane's with the layout columns dropped.
+    */
+  def streamWarcIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = DocumentsFileSource(dir).stream(spark)
+    val wrapped = src
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis4.htmlOf(col("doc_id"), col("text"))
+          .as("html"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val recs = it.toVector.sortBy(_._1)
+        if (recs.isEmpty) Iterator.empty
+        else Iterator.single((0L, graft.functions.WarcCodec.gzipWrap(
+          recs.map { case (id, h) =>
+            graft.operators.Pipeline9.warcRecordBytes(id, h)
+          })))
+      }
+    val decoded = wrapped
+      .mapPartitions(_.flatMap { case (sid, p) =>
+        graft.operators.Pipeline9.decodeArchive(sid, p)
+      })
+      .toDF(graft.operators.Pipeline9.DecodedCols: _*)
+    val pages = graft.operators.Pipeline9.pageFields(decoded)
+      .drop("shard_id", "member_index")
+    runToMemory(spark, pages, "stream_warc_ingest", "append")
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming deletion propagation — the governance tier's streaming
     * twin: delete requests take effect as the corpus replays, the way a
     * compliance pipeline actually consumes them. Each micro-batch (one
@@ -1218,6 +1257,12 @@ object StreamingQueries {
     // append output is batching-independent by construction
     QueryDef("stream_mm_decode", streamMmDecode _,
       graft.operators.Multimodal.MixedDecodeOracle),
+    // the batch twin's oracle minus the two archive-LAYOUT columns
+    // (shard_id/member_index are functions of the batching); every
+    // per-page field is batching-independent because the decode stage
+    // is stateless
+    QueryDef("stream_warc_ingest", streamWarcIngest _,
+      graft.operators.Pipeline9.warcOracle(false)),
     // shares the batch twin's oracle verbatim: every measure is a sum,
     // so per-shard partials over corpus slices re-aggregate exactly and
     // the post-drain decision sees the same whole-shard totals

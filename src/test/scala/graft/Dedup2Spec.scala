@@ -118,6 +118,52 @@ class Dedup2Spec extends AnyFunSuite with SparkTestBase {
       s"found ${sources.count(found.contains)} of ${sources.size} sources")
   }
 
+  test("pipeline_contamination_bloom: equals the exact lane and genuinely prunes") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.operators.Pipeline2
+      .pipelineContamination(spark, sf0001).collect()
+    val bloom = graft.operators.Pipeline2
+      .pipelineContaminationBloom(spark, sf0001).collect()
+    // prefilter + exact-verify must EQUAL the exact join: Bloom admits
+    // false positives only, and the verify join scrubs those — a
+    // single dropped true match (false negative) would differ here
+    assert(bloom.length === exact.length)
+    assert(exact.nonEmpty, "no contaminated docs — degenerate fixture")
+    bloom.zip(exact).foreach { case (b, e) => assert(b === e) }
+    // and the filter genuinely prunes: rebuild it and count survivors
+    val docs = Tables.documents(spark, sf0001)
+    val evalSh = docs.filter(col("doc_id") % 50 === 0)
+      .select(explode(graft.operators.Dedup.shinglesPublic(col("text")))
+        .as("sh")).distinct()
+    val bf = evalSh.agg(call_function("graft_bloom_agg",
+      xxhash64(col("sh")), lit(graft.operators.Pipeline2.BloomItems),
+      lit(graft.operators.Pipeline2.BloomBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val corpusSh = docs.filter(col("doc_id") % 50 =!= 0)
+      .select(explode(graft.operators.Dedup.shinglesPublic(col("text")))
+        .as("sh"))
+    val total = corpusSh.count()
+    val candidates = corpusSh
+      .filter(call_function("graft_bloom_might_contain", lit(bf), xxhash64(col("sh"))))
+      .count()
+    assert(candidates < total,
+      s"prefilter passed everything ($candidates of $total) — degenerate")
+    // false-positive sanity: candidates should be within a small
+    // multiple of the true match volume at this fpp
+    val matched = corpusSh.join(broadcast(evalSh), Seq("sh")).count()
+    assert(candidates >= matched, "Bloom false negative — impossible")
+    assert(candidates <= matched + (total - matched) / 10,
+      s"fpp out of band: $candidates candidates for $matched matches of $total")
+    // the prefilter is genuinely IN the plan (scan-side, pre-join) —
+    // the exchange-level shape is identical to the exact lane's, so
+    // this is the pin that separates them
+    val plan = graft.operators.Pipeline2
+      .pipelineContaminationBloom(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "bloom prefilter missing from the executed plan")
+  }
+
   test("pipeline_domain_cap: survivors are the true per-domain top-k") {
     val out = graft.operators.Dedup2.pipelineDomainCap(spark, sf001).collect()
     // ground truth driver-side from the same fixture arithmetic

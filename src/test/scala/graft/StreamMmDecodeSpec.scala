@@ -25,6 +25,23 @@ class StreamMmDecodeSpec extends AnyFunSuite with SparkTestBase {
     } finally StreamingQueries.captureProgress = false
   }
 
+  test("stream_warc_ingest: multi-batch replay equals the batch twin's page fields") {
+    StreamingQueries.captureProgress = true
+    try {
+      val streamed = StreamingQueries.streamWarcIngest(spark, sf0001).collect()
+      val batches = StreamingQueries.lastRunProgress
+      assert(batches.count(_.rowsProcessed > 0) === 4,
+        s"expected 4 data micro-batches, saw ${batches.map(_.rowsProcessed)}")
+      // the batch twin minus the two archive-layout columns (functions
+      // of the batching, excluded from the streaming contract)
+      val batch = graft.operators.Pipeline9.pipelineWarcIngest(spark, sf0001)
+        .drop("shard_id", "member_index").collect()
+      assert(streamed.length === batch.length)
+      assert(streamed.length > 0, "empty ingest — fixture broke")
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally StreamingQueries.captureProgress = false
+  }
+
   test("stream_forget: partials from a genuinely multi-batch replay merge to the batch answer") {
     val (df, nBatches) = StreamingQueries.streamForgetImpl(spark, sf0001, 4)
     val streamed = df.collect()
