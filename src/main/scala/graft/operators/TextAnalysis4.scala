@@ -40,7 +40,7 @@ object TextAnalysis4 {
     * the WARC ingestion lane, which wraps the same page markup in
     * HTTP + WARC + gzip layers — [[Pipeline9]]).
     */
-  private[operators] def htmlOf(docId: Column, text: Column): Column = {
+  private[graft] def htmlOf(docId: Column, text: Column): Column = {
     val t = toks(text)
     val n = size(t)
     val half = floor((n + 1) / 2).cast("int")

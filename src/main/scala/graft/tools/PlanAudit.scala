@@ -391,6 +391,25 @@ object PlanAudit {
       "text_tokenizer_fertility" -> Seq(
         ("broadcast-seg-no-smj",
           m => m("bhj") >= 1 && m("smj") == 0)),
+      // Bloom decontamination (r12): the broadcast exact-verify join is
+      // the only join; the might_contain prefilter lives INSIDE the
+      // scan stage (no exchange of its own — spec-pinned via plan text)
+      "pipeline_contamination_bloom" -> Seq(
+        ("broadcast-verify-no-smj",
+          m => m("bhj") >= 1 && m("smj") == 0)),
+      // WebDataset ingestion (r12): same posture as the WARC lane —
+      // one scan, the fixture's shard-grouping shuffle, narrow
+      // sequential decode, no joins
+      "pipeline_webdataset" -> Seq(
+        ("one-shard-shuffle-narrow-decode",
+          m => m("scans") == 1 && m("hx") == 1 && m("smj") == 0 &&
+            m("bhj") == 0)),
+      // robots politeness (r12): the host-granular parsed-rule frame
+      // broadcasts; the page corpus joins map-side and never shuffles
+      // for the decision
+      "pipeline_robots_filter" -> Seq(
+        ("broadcast-rules-no-smj",
+          m => m("bhj") >= 1 && m("smj") == 0)),
       // WARC ingestion (r12): one corpus scan; the ONLY hash exchange
       // is the fixture's shard-grouping shuffle (at production the
       // storage layout) — decode is a narrow mapPartitions, no joins

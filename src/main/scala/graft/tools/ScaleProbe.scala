@@ -130,7 +130,29 @@ object ScaleProbe {
     // preserved: the probe watches the broadcast-model-side growth
     // path (the documented flip past broadcastability is a term-keyed
     // shuffle join, the BM25 discipline)
-    "text_lm_perplexity")
+    "text_lm_perplexity",
+    // round-12 batch 6: WARC ingestion — docs grow ×factor while the
+    // fixture's shard COUNT stays fixed, so per-shard archives grow
+    // ×factor: the probe prices both the gzip+WARC decode throughput
+    // (expected scan-bound linear, the decode-family law) and the
+    // per-shard memory growth the fixed-count fixture implies (at
+    // production shard size is bounded by the writer, not the corpus)
+    "pipeline_warc_ingest",
+    // unigram Viterbi — same replica fixture behavior as wordpiece
+    // (the ~k suffixes strip to the base word): the vocabulary-sized
+    // DP frame stays 1× while counts grow ×factor, pricing the
+    // distinct-word claim for the DP path too
+    "text_unigram_lm",
+    // Bloom decontamination — corpus and eval shingles both grow
+    // ×factor while the filter SIZE stays fixed (BloomItems/BloomBits
+    // are knobs): past the sizing point fpp degrades and the verify
+    // join absorbs more false positives — the probe watches exactly
+    // that overflow shape (correctness never moves; volume does)
+    "pipeline_contamination_bloom",
+    // WebDataset tar shards — same fixed-shard-count fixture caveat as
+    // the WARC lane; prices the tar walk + contiguous-sample
+    // reassembly (expected scan-bound linear, no entropy coding here)
+    "pipeline_webdataset")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one

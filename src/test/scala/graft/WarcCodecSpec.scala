@@ -147,6 +147,73 @@ class WarcCodecSpec extends AnyFunSuite with SparkTestBase {
     assert(WarcCodec.parseWarc(req).isLeft, "non-response type")
   }
 
+  // ------------------------------------------------------------- robots
+
+  test("parseRobots: group structure, decoy isolation, comments, delay") {
+    val (rules, delay) = Pipeline9.parseRobots(Pipeline9.robotsTxtOf(3))
+    // only the * group's rules survive — the bad-bot Disallow: / must
+    // NOT appear (applying it would block every page on the host)
+    assert(rules === Seq(
+      Pipeline9.RobotsRule(allow = false, "/doc/3"),
+      Pipeline9.RobotsRule(allow = true, "/doc/33"),
+      Pipeline9.RobotsRule(allow = false, "/admin")))
+    assert(delay === 4L) // 3 % 5 + 1
+    // absent file (the h % 7 == 6 class): no rules, no delay
+    assert(Pipeline9.robotsTxtOf(13) === "")
+    assert(Pipeline9.parseRobots("") === (Seq.empty, 0L))
+    // key case-insensitivity + empty Disallow dropped (allow-all) +
+    // a trailing group must not leak into *
+    val (r2, d2) = Pipeline9.parseRobots(
+      "USER-AGENT: *\nDISALLOW: /x\nDisallow:\nCRAWL-DELAY: 7\n\n" +
+        "User-agent: other\nDisallow: /y\n")
+    assert(r2 === Seq(Pipeline9.RobotsRule(allow = false, "/x")))
+    assert(d2 === 7L)
+    // a multi-agent group introduction (ua run) including * applies
+    val (r3, _) = Pipeline9.parseRobots(
+      "User-agent: a\nUser-agent: *\nDisallow: /z\n")
+    assert(r3 === Seq(Pipeline9.RobotsRule(allow = false, "/z")))
+  }
+
+  test("robotsDecision: longest match wins, allow wins ties, default allow") {
+    val rules = Seq(
+      Pipeline9.RobotsRule(allow = false, "/doc/1"),
+      Pipeline9.RobotsRule(allow = true, "/doc/11"),
+      Pipeline9.RobotsRule(allow = false, "/admin"))
+    assert(Pipeline9.robotsDecision("/doc/15", rules) === ((false, "/doc/1")))
+    assert(Pipeline9.robotsDecision("/doc/115", rules) === ((true, "/doc/11")))
+    assert(Pipeline9.robotsDecision("/doc/2", rules) === ((true, "")))
+    assert(Pipeline9.robotsDecision("/admin/x", rules) === ((false, "/admin")))
+    // equal length: least restrictive (allow) wins — RFC 9309
+    val tie = Seq(Pipeline9.RobotsRule(allow = false, "/p"),
+      Pipeline9.RobotsRule(allow = true, "/p"))
+    assert(Pipeline9.robotsDecision("/p/q", tie)._1 === true)
+  }
+
+  test("pipeline_robots_filter: driver-side recompute at sf0.001") {
+    import scala.jdk.CollectionConverters._
+    val got = Pipeline9.pipelineRobotsFilter(spark, sf0001)
+      .collectAsList().asScala.toVector
+    val ids = Tables.documents(spark, sf0001)
+      .select("doc_id").collectAsList().asScala.map(_.getLong(0)).toVector
+    assert(got.length === ids.length)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val h = (id % 30).toInt
+      val (rules, delay) = Pipeline9.parseRobots(Pipeline9.robotsTxtOf(h))
+      val (allowed, rule) = Pipeline9.robotsDecision(s"/doc/$id", rules)
+      assert(r.getAs[Boolean]("allowed") === allowed, s"verdict of $id")
+      assert(r.getAs[String]("matched_rule") === rule, s"rule of $id")
+      assert(r.getAs[Long]("crawl_delay") === delay, s"delay of $id")
+    }
+    // the fixture genuinely splits: blocked, allowed-by-default, and
+    // allowed-by-longer-Allow-rule classes all present
+    assert(got.exists(!_.getAs[Boolean]("allowed")), "no blocked pages")
+    assert(got.exists(r => r.getAs[Boolean]("allowed") &&
+      r.getAs[String]("matched_rule").nonEmpty), "no allow-rule winners")
+    assert(got.exists(r => r.getAs[Boolean]("allowed") &&
+      r.getAs[String]("matched_rule").isEmpty), "no default-allowed pages")
+  }
+
   // ----------------------------------------------------- registered lane
 
   test("pipeline_warc_ingest: driver-side recompute at sf0.001") {
