@@ -500,8 +500,82 @@ object Pipeline9 {
       |  cast(2 AS BIGINT) AS n_entries
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- ZIP random access
+
+  /** ZIP shards for the sampled-decode lane. */
+  val ZipShards = 20
+
+  /** Sampled random-access decode over ZIP shards — the archive
+    * family's RANDOM-ACCESS member: the central directory is read
+    * first (metadata for ALL entries), then only every 2nd entry is
+    * seeked to and decoded; unsampled entries' bytes are never
+    * touched (spec-pinned by corrupting an unsampled payload and
+    * decoding anyway — the sequential containers, tar and .warc.gz,
+    * cannot pass that test by construction). The 100 TB posture for
+    * sampled corpus inspection: cost scales with the SAMPLE, not the
+    * archive.
+    *
+    * Content is earned: decoded bytes are CRC-verified and the output
+    * pins first/last byte codes of the DECODED text beside its length,
+    * all replayable from the documents table.
+    */
+  def pipelineZipSampled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(pmod(col("doc_id"), lit(ZipShards.toLong)).as("shard_id"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("_1"),
+        col("text").as("_2")))).as("recs"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (sid, recs) =>
+        (sid, graft.functions.ZipCodec.zipWrap(
+          recs.map { case (id, t) =>
+            f"doc$id%08d.txt" -> t.getBytes(UTF_8)
+          }))
+      }
+      .mapPartitions(_.flatMap { case (sid, payload) =>
+        graft.functions.ZipCodec.centralDirectory(payload) match {
+          case Left(_) => Iterator.empty // corrupt directory: whole shard
+          case Right(cd) =>
+            val n = cd.length.toLong
+            cd.iterator.zipWithIndex
+              .filter { case (_, i) => i % 2 == 0 } // the sample
+              .flatMap { case (e, _) =>
+                graft.functions.ZipCodec.readEntry(payload, e)
+                  .toOption.flatMap { data =>
+                    e.name.stripPrefix("doc").stripSuffix(".txt")
+                      .toLongOption.map { id =>
+                        (sid, id, n, data.length.toLong,
+                          (data(0) & 0xff).toLong,
+                          (data(data.length - 1) & 0xff).toLong)
+                      }
+                  }
+              }
+        }
+      })
+      .toDF("shard_id", "doc_id", "n_entries", "txt_len", "first_code",
+        "last_code")
+      .orderBy(col("doc_id"))
+  }
+
+  private val ZipOracle: String =
+    s"""WITH s AS (
+      |  SELECT doc_id, text,
+      |    doc_id % $ZipShards AS shard_id,
+      |    row_number() OVER (PARTITION BY doc_id % $ZipShards
+      |      ORDER BY doc_id) - 1 AS rk,
+      |    count(*) OVER (PARTITION BY doc_id % $ZipShards) AS n_entries
+      |  FROM documents)
+      |SELECT cast(shard_id AS BIGINT) AS shard_id, doc_id,
+      |  cast(n_entries AS BIGINT) AS n_entries,
+      |  cast(length(text) AS BIGINT) AS txt_len,
+      |  cast(ascii(substring(text, 1, 1)) AS BIGINT) AS first_code,
+      |  cast(ascii(substring(text, length(text), 1)) AS BIGINT)
+      |    AS last_code
+      |FROM s WHERE rk % 2 = 0 ORDER BY doc_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_warc_ingest", pipelineWarcIngest _, warcOracle(true)),
     QueryDef("pipeline_robots_filter", pipelineRobotsFilter _, RobotsOracle),
-    QueryDef("pipeline_webdataset", pipelineWebdataset _, WdsOracle))
+    QueryDef("pipeline_webdataset", pipelineWebdataset _, WdsOracle),
+    QueryDef("pipeline_zip_sampled", pipelineZipSampled _, ZipOracle))
 }

@@ -397,6 +397,12 @@ object PlanAudit {
       "pipeline_contamination_bloom" -> Seq(
         ("broadcast-verify-no-smj",
           m => m("bhj") >= 1 && m("smj") == 0)),
+      // ZIP sampled decode (r12): same one-shuffle narrow shape; the
+      // random-access sampling lives inside the decode stage
+      "pipeline_zip_sampled" -> Seq(
+        ("one-shard-shuffle-narrow-decode",
+          m => m("scans") == 1 && m("hx") == 1 && m("smj") == 0 &&
+            m("bhj") == 0)),
       // WebDataset ingestion (r12): same posture as the WARC lane —
       // one scan, the fixture's shard-grouping shuffle, narrow
       // sequential decode, no joins

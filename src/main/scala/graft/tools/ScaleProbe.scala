@@ -152,7 +152,12 @@ object ScaleProbe {
     // WebDataset tar shards — same fixed-shard-count fixture caveat as
     // the WARC lane; prices the tar walk + contiguous-sample
     // reassembly (expected scan-bound linear, no entropy coding here)
-    "pipeline_webdataset")
+    "pipeline_webdataset",
+    // ZIP sampled decode — the random-access claim priced: the
+    // directory walk is per-entry cheap and unsampled payloads are
+    // never read, so growth should track the SAMPLE (half the
+    // entries), not the archive bytes
+    "pipeline_zip_sampled")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one

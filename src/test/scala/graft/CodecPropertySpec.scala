@@ -107,6 +107,71 @@ object CodecPropertySpec extends Properties("codecs") {
       }
     }
 
+  private val archiveEntries: Gen[List[(Int, Long)]] =
+    Gen.listOfN(5, Gen.zip(Gen.choose(0, 4000), Gen.choose(0L, Long.MaxValue / 2)))
+      .flatMap(l => Gen.choose(1, 5).map(n => l.take(n)))
+
+  private def entryBytes(n: Int, seed: Long): Array[Byte] =
+    Array.tabulate(n)(i =>
+      (if ((i / 29) % 2 == 0) (i % 17) else ((i * 31 + seed) % 256)).toByte)
+
+  property("multi-member gzip round-trips arbitrary member sets") =
+    forAll(archiveEntries) { specs =>
+      val recs = specs.map { case (n, seed) => entryBytes(n, seed) }
+      val gz = graft.functions.WarcCodec.gzipWrap(recs)
+      graft.functions.WarcCodec.gzipMembers(gz) match {
+        case Right(ms) => ms.length == recs.length &&
+          ms.zip(recs).forall { case (a, b) => a.sameElements(b) }
+        case Left(_) => false
+      }
+    }
+
+  property("tar round-trips arbitrary entry sets across padding edges") =
+    forAll(archiveEntries) { specs =>
+      val entries = specs.zipWithIndex.map { case ((n, seed), i) =>
+        s"e$i-$n.bin" -> entryBytes(n, seed)
+      }
+      val tar = graft.functions.TarCodec.tarWrap(entries)
+      graft.functions.TarCodec.tarEntries(tar) match {
+        case Right(got) => got.length == entries.length &&
+          got.zip(entries).forall { case (g, (nm, d)) =>
+            g.name == nm && g.data.sameElements(d)
+          }
+        case Left(_) => false
+      }
+    }
+
+  property("zip central directory + random access round-trip; JDK agrees") =
+    forAll(archiveEntries) { specs =>
+      val entries = specs.zipWithIndex.map { case ((n, seed), i) =>
+        s"e$i.bin" -> entryBytes(n, seed)
+      }
+      val zip = graft.functions.ZipCodec.zipWrap(entries)
+      val ours = graft.functions.ZipCodec.centralDirectory(zip) match {
+        case Right(cd) => cd.length == entries.length &&
+          // read in REVERSE order — random access must not care
+          cd.reverse.zip(entries.reverse).forall { case (e, (nm, d)) =>
+            e.name == nm &&
+              graft.functions.ZipCodec.readEntry(zip, e)
+                .exists(_.sameElements(d))
+          }
+        case Left(_) => false
+      }
+      val in = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(zip))
+      val jdk = entries.forall { case (nm, d) =>
+        val ze = in.getNextEntry
+        ze != null && ze.getName == nm && {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](512)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray.sameElements(d)
+        }
+      }
+      ours && jdk
+    }
+
   property("TIFF header round-trips under both byte orders and arbitrary geometry") =
     forAll(Gen.choose(1, 70000), Gen.choose(1, 70000), Gen.choose(1, 16),
       Gen.oneOf(true, false), Gen.choose(0, 64)) { (w, h, bits, le, payloadLen) =>
