@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, Analytics8, Dedup, Dedup2, Embeddings, Layout, Multimodal, Multimodal2, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Pipeline7, Pipeline8, Pipeline9, Quality, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, RowPattern, Similarity, Sketches, Sketches2, Sketches3, TextAnalysis, TextAnalysis2, TextAnalysis3, TextAnalysis4, TextAnalysis5, TextAnalysis6, WordCount}
+import graft.operators.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, Analytics8, Dedup, Dedup2, Embeddings, Layout, Multimodal, Multimodal2, Pipeline, Pipeline2, Pipeline3, Pipeline4, Pipeline5, Pipeline6, Pipeline7, Pipeline8, Pipeline9, Pipeline10, Quality, Relational, Relational2, Relational3, Relational4, Relational5, Relational6, RowPattern, Similarity, Sketches, Sketches2, Sketches3, TextAnalysis, TextAnalysis2, TextAnalysis3, TextAnalysis4, TextAnalysis5, TextAnalysis6, WordCount}
 import graft.sources.SyntheticEvents
 import graft.streaming.StreamingQueries
 
@@ -82,7 +82,7 @@ object SparkEntry {
       Analytics7.registry ++ Analytics8.registry ++ Pipeline7.registry ++
       Dedup2.registry ++ TextAnalysis4.registry ++ TextAnalysis5.registry ++
       Multimodal2.registry ++ Pipeline8.registry ++ TextAnalysis6.registry ++
-      Pipeline9.registry
+      Pipeline9.registry ++ Pipeline10.registry
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -397,6 +397,12 @@ object PlanAudit {
       "pipeline_contamination_bloom" -> Seq(
         ("broadcast-verify-no-smj",
           m => m("bhj") >= 1 && m("smj") == 0)),
+      // snapshot diff (r12): the ONE lane where a sort-merge join is
+      // the honest plan and asserted PRESENT — both sides corpus-sized
+      // on the primary key, broadcast impossible by definition
+      "pipeline_snapshot_diff" -> Seq(
+        ("smj-is-the-honest-diff-plan",
+          m => m("smj") >= 1 && m("bhj") == 0)),
       // ZIP sampled decode (r12): same one-shuffle narrow shape; the
       // random-access sampling lives inside the decode stage
       "pipeline_zip_sampled" -> Seq(
