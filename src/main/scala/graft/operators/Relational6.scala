@@ -231,11 +231,60 @@ object Relational6 {
       |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
       |FROM lineitem""".stripMargin
 
+  /** Spark 4 string COLLATIONS: grouping, equality, and prefix tests
+    * under `UTF8_LCASE` — the engine's collation machinery does the
+    * case folding, not an explicit lower() (if Spark grouped the
+    * collated column case-sensitively, every group would split 4 ways
+    * and the counts could not match the oracle). The fixture derives a
+    * mixed-case name per document (4 case variants × 7 suffixes = 28
+    * true groups); output keys are normalized with lower() ONLY for
+    * deterministic display — the grouping itself runs on the collated
+    * column. The oracle replays the semantics with lower(), which is
+    * exactly what UTF8_LCASE means for ASCII.
+    */
+  def collation(spark: SparkSession, dir: String): DataFrame = {
+    val forms = array(lit("Alpha"), lit("ALPHA"), lit("alpha"), lit("aLpHa"))
+    val name = concat(
+      element_at(forms, (col("doc_id") % 4 + 1).cast("int")),
+      lit("-"), (col("doc_id") % 7).cast("string"))
+    val k = collate(name, "UTF8_LCASE")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), name.as("raw"), k.as("k"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("raw")).as("n_case_variants"),
+        sum(when(col("k") === lit("ALPHA-3"), 1L).otherwise(0L))
+          .as("n_eq_probe"),
+        sum(when(startswith(col("k"), lit("ALPH")), 1L).otherwise(0L))
+          .as("n_prefix_probe"))
+      .select(lower(col("k")).as("key_norm"), col("n_rows"),
+        col("n_case_variants"), col("n_eq_probe"), col("n_prefix_probe"))
+      .orderBy(col("key_norm"))
+  }
+
+  private val CollationOracle: String =
+    """WITH named AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4 WHEN 0 THEN 'Alpha' WHEN 1 THEN 'ALPHA'
+      |      WHEN 2 THEN 'alpha' ELSE 'aLpHa' END)
+      |      || '-' || cast(doc_id % 7 AS VARCHAR) AS raw
+      |  FROM documents)
+      |SELECT lower(raw) AS key_norm,
+      |  cast(count(*) AS BIGINT) AS n_rows,
+      |  cast(count(DISTINCT raw) AS BIGINT) AS n_case_variants,
+      |  cast(sum(CASE WHEN lower(raw) = 'alpha-3' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_eq_probe,
+      |  cast(sum(CASE WHEN starts_with(lower(raw), 'alph') THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_prefix_probe
+      |FROM named GROUP BY lower(raw) ORDER BY key_norm""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
     QueryDef("q89_sql_udf", sqlUdf _, SqlUdfOracle),
     QueryDef("q91_sql_table_udf", sqlTableUdf _, SqlTableUdfOracle),
     QueryDef("q92_sql_scripting", sqlScripting _, SqlScriptingOracle),
     QueryDef("q93_interval_overlap", intervalOverlap _, IntervalOverlapOracle),
-    QueryDef("q94_observe", observeMetrics _, ObserveOracle)
+    QueryDef("q94_observe", observeMetrics _, ObserveOracle),
+    QueryDef("q124_collation", collation _, CollationOracle)
   )
 }

@@ -157,7 +157,11 @@ object ScaleProbe {
     // directory walk is per-entry cheap and unsampled payloads are
     // never read, so growth should track the SAMPLE (half the
     // entries), not the archive bytes
-    "pipeline_zip_sampled")
+    "pipeline_zip_sampled",
+    // snapshot diff — the suite's one asserted sort-merge join: both
+    // sides grow ×factor, so the probe prices the sorted-merge law
+    // (expected ~linear in rows; the output stays churn-proportional)
+    "pipeline_snapshot_diff")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one

@@ -189,6 +189,25 @@ class Pipeline5Spec extends AnyFunSuite with SparkTestBase {
     assert(m(0).getString(2) === want.getString(2))
   }
 
+  test("q124_collation: UTF8_LCASE grouping merges case variants") {
+    val rows = Relational6.collation(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    // 4 case forms fold into each of the 7 suffix groups — if Spark
+    // grouped case-sensitively there would be up to 28 rows
+    assert(rows.length === 7)
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    // each group genuinely received MULTIPLE case variants (the
+    // collation did the merging, not a degenerate fixture)
+    assert(rows.forall(_.getLong(2) > 1), "no case variants merged")
+    // the collated equality/prefix probes matched case-insensitively:
+    // 'ALPHA-3' catches every variant of suffix 3; 'ALPH' catches all
+    rows.foreach { r =>
+      val isSuffix3 = r.getString(0) == "alpha-3"
+      assert(r.getLong(3) === (if (isSuffix3) r.getLong(1) else 0L))
+      assert(r.getLong(4) === r.getLong(1))
+    }
+  }
+
   test("sql scripting: WHILE-loop fold equals the per-linenumber batch recompute") {
     val row = Relational6.sqlScripting(spark, sf0001).collect()
     assert(row.length === 1)
