@@ -79,6 +79,48 @@ object MediaHeaders {
   private def isSofMarker(m: Int): Boolean =
     m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
 
+  /** EXIF probe: the JPEG marker walk composed with the TIFF
+    * container — APP1 carries `Exif` + two NUL bytes followed by a
+    * complete TIFF stream whose byte order is SELF-DECLARED and
+    * independent of JPEG's big-endian segment framing (the one place
+    * two endianness regimes nest in the same file). Returns the TIFF
+    * slice plus the SOF geometry; malformed streams (no APP1, wrong
+    * Exif tag, walk failures) quarantine as Left.
+    */
+  def exifProbe(b: Array[Byte])
+      : Either[String, (Array[Byte], Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return Left("not a JPEG stream")
+    var off = 2
+    var exif: Array[Byte] = null
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff)
+        return Left(s"JPEG marker sync lost at offset $off")
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd9) return Left("JPEG reached EOI before any scan")
+      val len = beShort(b, off + 2)
+      if (len < 2 || off + 2 + len > b.length)
+        return Left(s"JPEG segment $marker overruns payload")
+      if (marker == 0xe1 && exif == null) {
+        if (len < 8) return Left("APP1 shorter than its Exif header")
+        val tag = new String(b, off + 4, 4, "US-ASCII")
+        if (tag != "Exif" || b(off + 8) != 0 || b(off + 9) != 0)
+          return Left(s"APP1 is not an Exif segment ('$tag')")
+        exif = java.util.Arrays.copyOfRange(b, off + 10, off + 2 + len)
+      } else if (isSofMarker(marker)) {
+        if (len < 8) return Left("JPEG SOF shorter than its geometry")
+        val height = beShort(b, off + 5)
+        val width = beShort(b, off + 7)
+        if (exif == null) return Left("no Exif APP1 before the frame")
+        return Right((exif, width, height))
+      } else if (marker == 0xda) {
+        return Left("JPEG SOS before any usable SOF")
+      }
+      off += 2 + len
+    }
+    Left("JPEG ended before SOF")
+  }
+
   /** JPEG/JFIF: unlike every other format in this family the geometry
     * sits at NO fixed offset — segments (APP0, COM, DQT, …) carry
     * big-endian self-declared lengths and the Start-Of-Frame marker

@@ -131,7 +131,8 @@ object TarCodec {
       while (nEnd < p + 100 && b(nEnd) != 0) nEnd += 1
       val name = new String(b, p, nEnd - p, US_ASCII)
       val dataStart = p + Block
-      if (dataStart + size > b.length) return Left("entry overruns archive")
+      if (dataStart.toLong + size > b.length) // Long: hostile size fields
+        return Left("entry overruns archive")
       if (b(p + 156) == '0') // regular files only; others skipped
         acc += TarEntry(name,
           java.util.Arrays.copyOfRange(b, dataStart, dataStart + size))

@@ -174,7 +174,10 @@ object WarcCodec {
       val l = lines(i)
       val c = l.indexOf(':')
       if (c <= 0) return Left(s"malformed header line: $l")
-      m += (l.substring(0, c).trim.toLowerCase -> l.substring(c + 1).trim)
+      // Locale.ROOT: header names must fold the same on every JVM
+      // locale (Turkish dotless-i would break "WARC-Record-ID")
+      m += (l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) ->
+        l.substring(c + 1).trim)
       i += 1
     }
     Right(m)

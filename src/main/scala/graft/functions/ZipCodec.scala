@@ -26,6 +26,12 @@ object ZipCodec {
   final case class ZipDirEntry(name: String, method: Int, crc: Int,
       csize: Int, usize: Int, offset: Int)
 
+  /** Per-entry inflated size cap (hostile-stream guard — the
+    * WarcCodec.MaxMember discipline: a directory declaring a 2 GB
+    * usize must quarantine, not allocate).
+    */
+  val MaxEntry: Int = 1 << 26
+
   private val LocalSig = 0x04034b50
   private val CentralSig = 0x02014b50
   private val EocdSig = 0x06054b50
@@ -102,6 +108,8 @@ object ZipCodec {
     if (e < 0) return Left("no EOCD signature")
     val n = le16(b, e + 10)
     val cdOff = le32(b, e + 16)
+    if (cdOff < 0 || cdOff > e) // hostile EOCD: offset must land in-stream
+      return Left("central-directory offset out of bounds")
     val acc = Vector.newBuilder[ZipDirEntry]
     var p = cdOff
     var i = 0
@@ -151,7 +159,10 @@ object ZipCodec {
     if (name != e.name)
       return Left(s"local/central name mismatch: '$name' vs '${e.name}'")
     val dataStart = p + 30 + nameLen + extraLen
-    if (dataStart + e.csize > b.length) return Left("entry data truncated")
+    if (dataStart.toLong + e.csize > b.length) // Long: hostile csize
+      return Left("entry data truncated")
+    if (e.usize > MaxEntry)
+      return Left("entry usize exceeds the decode cap")
     val raw = e.method match {
       case 0 =>
         if (e.csize != e.usize) return Left("stored entry size mismatch")

@@ -321,7 +321,95 @@ object Multimodal2 {
       |  cast(4 AS BIGINT) AS n_entries
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- EXIF
+
+  /** Splice a real Exif APP1 segment (TIFF stream behind `Exif` + two NUL bytes)
+    * into a JFIF stream right after its APP0 — the layout cameras
+    * write. The TIFF's byte order flips by doc parity while JPEG's
+    * segment framing stays big-endian: the fixture nests two
+    * endianness regimes in one file.
+    */
+  private[graft] def exifContainer(docId: Long,
+      bytes: Array[Byte]): Array[Byte] = {
+    val n = bytes.length
+    val jpeg = graft.functions.MediaHeaders.jpegWrap(bytes,
+      20 + n % 800, 20 + (n * 3) % 600, n % 23)
+    val tiff = graft.functions.TiffHeader.tiffWrap(
+      docId % 2 == 0,
+      32 + (docId % 100).toInt, 24 + (docId % 50).toInt,
+      8 + (docId % 2).toInt * 8, Array.emptyByteArray)
+    val seg = new Array[Byte](4 + 6 + tiff.length)
+    seg(0) = 0xff.toByte
+    seg(1) = 0xe1.toByte
+    val len = 2 + 6 + tiff.length
+    seg(2) = (len >>> 8).toByte
+    seg(3) = len.toByte
+    System.arraycopy("Exif".getBytes("US-ASCII"), 0, seg, 4, 4)
+    // seg(8) = seg(9) = 0 already
+    System.arraycopy(tiff, 0, seg, 10, tiff.length)
+    val spliceAt = 20 // SOI (2) + APP0 (18)
+    val out = new Array[Byte](jpeg.length + seg.length)
+    System.arraycopy(jpeg, 0, out, 0, spliceAt)
+    System.arraycopy(seg, 0, out, spliceAt, seg.length)
+    System.arraycopy(jpeg, spliceAt, out, spliceAt + seg.length,
+      jpeg.length - spliceAt)
+    out
+  }
+
+  private val exifContainerUdf = udf { (id: Long, bytes: Array[Byte]) =>
+    exifContainer(id, bytes)
+  }
+
+  /** EXIF metadata extraction — the two-container composition: the
+    * JPEG marker walk finds the Exif APP1 (whose offset varies per row
+    * with the COM length, so fixed-offset reads cannot fake it), and
+    * the embedded TIFF is parsed in whichever byte order IT declares —
+    * independent of JPEG's big-endian framing, flipped by doc parity
+    * so a parser inheriting the outer endianness fails half the
+    * corpus. Same narrow decode shape as the rest of the family.
+    */
+  def mmExifMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        exifContainerUdf(col("doc_id"), col("text").cast("binary"))
+          .as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          graft.functions.MediaHeaders.exifProbe(payload) match {
+            case Right((tiff, w, h)) =>
+              graft.functions.TiffHeader.tiffInfo(tiff) match {
+                case Right(t) =>
+                  (id, w.toLong, h.toLong, t.byteOrder,
+                    t.width.toLong, t.height.toLong, t.bits.toLong)
+                case Left(_) => (id, 0L, 0L, "unsupported", 0L, 0L, 0L)
+              }
+            case Left(_) => (id, 0L, 0L, "unsupported", 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("doc_id", "jpeg_w", "jpeg_h", "exif_order", "exif_w",
+        "exif_h", "exif_bits")
+      .orderBy(col("doc_id"))
+  }
+
+  private val ExifOracle: String =
+    """SELECT doc_id,
+      |  cast(20 + octet_length(encode(text)) % 800 AS BIGINT) AS jpeg_w,
+      |  cast(20 + (octet_length(encode(text)) * 3) % 600 AS BIGINT)
+      |    AS jpeg_h,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS exif_order,
+      |  cast(32 + doc_id % 100 AS BIGINT) AS exif_w,
+      |  cast(24 + doc_id % 50 AS BIGINT) AS exif_h,
+      |  cast(8 + (doc_id % 2) * 8 AS BIGINT) AS exif_bits
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val registry: Seq[QueryDef] = Seq(
+    // EXIF: the oracle replays both containers' synthesis formulas;
+    // Spark earns the values only by the marker walk + the
+    // independently-endian TIFF parse
+    QueryDef("mm_exif_meta", mmExifMeta _, ExifOracle),
     // CONTENT replay for the VIDEO tier: the oracle regenerates the
     // sampled frames' coefficients (the jpeg formula + a frame term)
     // and replays the shared fixed-point IDCT; container fields

@@ -160,9 +160,14 @@ object Pipeline2 {
   def pipelineContaminationBloom(spark: SparkSession,
       dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val evalShingles = docs.filter(col("doc_id") % 50 === 0)
-      .select(explode(Dedup.shinglesPublic(col("text"))).as("sh"))
-      .distinct()
+    // cached (IterCache byte budget): the SAME frame feeds the
+    // driver-side Bloom build AND the broadcast verify side — without
+    // the cache the scan+explode+distinct would run twice
+    val evalShingles = IterCache.getOrBuild(s"bloom-eval-sh:$dir") {
+      docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(Dedup.shinglesPublic(col("text"))).as("sh"))
+        .distinct()
+    }
     // bounded driver state: the filter bytes themselves (BloomBits/8)
     val bloom = evalShingles
       .agg(call_function("graft_bloom_agg", xxhash64(col("sh")),

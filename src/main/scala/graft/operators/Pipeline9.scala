@@ -267,7 +267,9 @@ object Pipeline9 {
       } else {
         val c = line.indexOf(':')
         if (c > 0) {
-          val key = line.substring(0, c).trim.toLowerCase
+          // Locale.ROOT — the WarcCodec.parseHeaders discipline
+          val key = line.substring(0, c).trim
+            .toLowerCase(java.util.Locale.ROOT)
           val v = line.substring(c + 1).trim
           key match {
             case "user-agent" =>

@@ -429,6 +429,12 @@ object PlanAudit {
         ("one-shard-shuffle-narrow-decode",
           m => m("scans") == 1 && m("hx") == 1 && m("smj") == 0 &&
             m("bhj") == 0)),
+      // EXIF (r12): two-container composition keeps the family's
+      // narrow shape — marker walk + independently-endian TIFF parse
+      "mm_exif_meta" -> Seq(
+        ("narrow-decode-no-shuffle",
+          m => m("scans") == 1 && m("hx") == 0 && m("smj") == 0 &&
+            m("bhj") == 0)),
       // TIFF header walk (r12): the self-declared-byte-order container
       // keeps the family's narrow shape
       "mm_decode_tiff" -> Seq(

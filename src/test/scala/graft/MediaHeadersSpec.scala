@@ -262,6 +262,37 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.wavSamples(null).isLeft)
   }
 
+  test("exifProbe: two nested endianness regimes, offsets vary per row") {
+    import graft.operators.Multimodal2
+    // both parities: the embedded TIFF flips byte order while the JPEG
+    // framing stays big-endian
+    Seq(0L, 1L).foreach { id =>
+      val payload = Multimodal2.exifContainer(id,
+        s"sample text $id for exif".getBytes("UTF-8"))
+      val n = s"sample text $id for exif".getBytes("UTF-8").length
+      val (tiff, w, h) = MediaHeaders.exifProbe(payload)
+        .fold(e => fail(s"parity $id: $e"), identity)
+      assert(w === 20 + n % 800 && h === 20 + (n * 3) % 600)
+      val t = graft.functions.TiffHeader.tiffInfo(tiff)
+        .fold(e => fail(s"tiff $id: $e"), identity)
+      assert(t.byteOrder === (if (id % 2 == 0) "II" else "MM"))
+      assert(t.width === 32 + id % 100 && t.height === 24 + id % 50)
+      assert(t.bits === 8 + (id % 2) * 8)
+    }
+    // quarantine classes: no APP1 at all; APP1 that is not Exif
+    val plain = MediaHeaders.jpegWrap("x".getBytes, 10, 10, 3)
+    assert(MediaHeaders.exifProbe(plain).isLeft, "no APP1")
+    val bad = Multimodal2.exifContainer(2L, "y".getBytes)
+    bad(24) = 'X' // inside the 'Exif' tag of the spliced APP1
+    assert(MediaHeaders.exifProbe(bad).isLeft, "wrong APP1 tag")
+    // corrupting the TIFF order mark quarantines at the inner layer
+    val badTiff = Multimodal2.exifContainer(2L, "y".getBytes)
+    badTiff(30) = 'Q' // first byte of the embedded TIFF ('II'/'MM')
+    val inner = MediaHeaders.exifProbe(badTiff)
+    assert(inner.isRight && graft.functions.TiffHeader
+      .tiffInfo(inner.toOption.get._1).isLeft, "inner quarantine")
+  }
+
   test("poison payloads are data, not exceptions") {
     assert(MediaHeaders.probe(null).isInstanceOf[Unsupported])
     assert(MediaHeaders.probe(Array[Byte](1, 2, 3)).isInstanceOf[Unsupported])

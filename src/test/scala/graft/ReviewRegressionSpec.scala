@@ -32,7 +32,8 @@ class ReviewRegressionSpec extends AnyFunSuite with SparkTestBase {
     val listed = graft.functions.VectorExpressions.sqlFunctions.map(_._1).toSet
     assert(listed === Set("cosine_similarity", "simhash64",
       "minhash_signature", "word_shingles3", "int8_quant_stats",
-      "word_ngrams", "interleave_bits16", "jaro_winkler", "ahash64"))
+      "word_ngrams", "interleave_bits16", "jaro_winkler", "ahash64",
+      "graft_bloom_agg", "graft_bloom_might_contain"))
     // register() path
     graft.functions.VectorExpressions.register(spark)
     listed.foreach { name =>
