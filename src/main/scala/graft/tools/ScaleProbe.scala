@@ -161,7 +161,11 @@ object ScaleProbe {
     // snapshot diff — the suite's one asserted sort-merge join: both
     // sides grow ×factor, so the probe prices the sorted-merge law
     // (expected ~linear in rows; the output stays churn-proportional)
-    "pipeline_snapshot_diff")
+    "pipeline_snapshot_diff",
+    // robots politeness — the page corpus grows ×factor while the
+    // host universe (and so the parsed-rule broadcast) stays FIXED:
+    // the probe prices the pure map-side decision path
+    "pipeline_robots_filter")
 
   /** The queries the skew sweep times — those whose worst case is a
     * single hot near-dup cluster (one giant LSH bucket / one
