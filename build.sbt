@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 262-query suite in ONE JVM compiles far more generated code than
+  // the JIT's default 240 MB code cache holds (each streaming micro-
+  // batch even regenerates its stages — the watermark literal is baked
+  // into the source). Once the cache fills, UseCodeCacheFlushing evicts
+  // hot methods and the suite degrades into recompile storms — warm
+  // passes slower than cold, the r12 fingerprint (bench rc=124, test
+  // wall 2×). Same sizing advice as any long-lived production Spark
+  // driver running a wide query mix.
+  "-XX:ReservedCodeCacheSize=512m",
 )

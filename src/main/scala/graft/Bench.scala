@@ -141,7 +141,7 @@ object Bench {
     */
   private[graft] final case class JvmCosts(
       gcMs: Long, jitMs: Long, codegenCompiles: Long, classesLoaded: Long,
-      heapUsedMb: Long)
+      heapUsedMb: Long, codeCacheMb: Long)
 
   private[graft] def jvmCosts(): JvmCosts = {
     import java.lang.management.ManagementFactory
@@ -155,18 +155,35 @@ object Bench {
       .METRIC_COMPILATION_TIME.getCount
     val cl = ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
     val heap = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
-    JvmCosts(gc, jit, cg, cl, heap)
+    // JIT code cache occupancy ("CodeHeap 'non-profiled/profiled
+    // nmethods'" + legacy unsegmented "CodeCache" pools): when this
+    // approaches ReservedCodeCacheSize the JVM starts FLUSHING compiled
+    // methods and the suite degrades into recompile storms — the r12
+    // fingerprint (warm passes slower than cold, streaming hit hardest).
+    val cc = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("CodeCache"))
+      .map(_.getUsage.getUsed).sum >> 20
+    JvmCosts(gc, jit, cg, cl, heap, cc)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 1 warm pass since round 13: at 262 lanes the median-of-3
+    // methodology (right at 110 lanes) no longer fits the driver's
+    // bench timeout — r12's driver run was killed at rc=124 with no
+    // number produced, strictly worse than a noisier number. Single-
+    // sample noise is handled downstream instead: the baseline merge is
+    // per-query minima (a noisy-high sample can never loosen the gate)
+    // and the top regression flags are auto-adjudicated with isolated
+    // extra passes at the end of the run (below). Pricing runs that
+    // want the old median set SPARK_GRAFT_WARM_PASSES=3 explicitly.
     val warmPasses = sys.env.get("SPARK_GRAFT_WARM_PASSES")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption.orElse {
         System.err.println(
-          s"[bench] ignoring unparseable SPARK_GRAFT_WARM_PASSES='$s', using 3")
+          s"[bench] ignoring unparseable SPARK_GRAFT_WARM_PASSES='$s', using 1")
         None
-      }).map(math.max(1, _)).getOrElse(3)
+      }).map(math.max(1, _)).getOrElse(1)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // optional comma-separated subset (prefix match with a trailing '*'),
     // e.g. SPARK_GRAFT_ONLY='stream_*' to time the streaming family in
@@ -212,11 +229,35 @@ object Bench {
     val diagOn = sys.env.get("SPARK_GRAFT_BENCH_DIAG").exists(_.nonEmpty)
     val diag = scala.collection.mutable.ListBuffer.empty[String]
 
+    // TIME BUDGET (r13): r12's driver bench was killed at its timeout
+    // with NO number produced — strictly worse than a partial number.
+    // The guard stops a pass when the elapsed wall crosses the pass's
+    // share of the budget (cold 45%, warm 90%: the warm lane is the
+    // graded one, so it gets the protected tail) and lists the skipped
+    // lanes explicitly — a skipped lane keeps its baseline prior and is
+    // excluded from totals, and "budget_exceeded":true marks the totals
+    // as partial so a cross-round comparison can't misread them as a
+    // fast round. Sized so budget + sbt/session overhead stays inside
+    // the driver's observed completions (r9 ran 1184 s total, rc=0).
+    val budgetS = sys.env.get("SPARK_GRAFT_TIME_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      .filter(_ > 0).getOrElse(1020.0)
+    val tStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
+    val skippedCold = scala.collection.mutable.ListBuffer.empty[String]
+    val skippedWarm = scala.collection.mutable.ListBuffer.empty[String]
+
     // one pass = per-query seconds for SUCCESSFUL queries only; failures
     // go to `errors` (tagged with the pass) and contribute no timing
     def pass(tag: String,
-        errors: scala.collection.mutable.ListBuffer[String])
+        errors: scala.collection.mutable.ListBuffer[String],
+        deadlineS: Double = Double.MaxValue,
+        skipped: scala.collection.mutable.ListBuffer[String] = null)
         : Map[String, Double] = benchQueries.flatMap { case (name, fn) =>
+      if (elapsedS > deadlineS) {
+        if (skipped != null && !skipped.contains(name)) skipped += name
+        None
+      } else {
       val before = if (diagOn) Some(jvmCosts()) else None
       val t0 = System.nanoTime()
       try {
@@ -228,7 +269,7 @@ object Bench {
             s""""gc_ms":${a.gcMs - b.gcMs},"jit_ms":${a.jitMs - b.jitMs},""" +
             s""""codegen":${a.codegenCompiles - b.codegenCompiles},""" +
             s""""classes":${a.classesLoaded - b.classesLoaded},""" +
-            s""""heap_mb_after":${a.heapUsedMb}}"""
+            s""""heap_mb_after":${a.heapUsedMb},"codecache_mb_after":${a.codeCacheMb}}"""
         }
         Some(name -> sec)
       } catch { case e: Throwable =>
@@ -236,15 +277,17 @@ object Bench {
         System.err.println(s"[bench:$tag] $name failed: ${e.getMessage}")
         None
       }
+      }
     }
 
     val errCold = scala.collection.mutable.ListBuffer.empty[String]
     val errWarm = scala.collection.mutable.ListBuffer.empty[String]
     // lane 1: first run after session warmup (comparable to round 1)
-    val results = pass("cold", errCold)
+    val results = pass("cold", errCold, 0.45 * budgetS, skippedCold)
     // warm lane: median over warmPasses full passes — steady state with
     // single-sample noise (GC pauses, machine load spikes) removed
-    val warmSamples = (1 to warmPasses).map(i => pass(s"warm$i", errWarm))
+    val warmSamples = (1 to warmPasses).map(i =>
+      pass(s"warm$i", errWarm, 0.90 * budgetS, skippedWarm))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       val n = s.length
@@ -306,11 +349,42 @@ object Bench {
         prevWarm.get(name).filter(p => p > 0.05 && v / p > 1.5)
           .map(p => (name, p, v, v / p))
       }.sortBy(-_._4)
+    // AUTO-ADJUDICATION (r13): the top non-failed flags get 3 extra
+    // ISOLATED passes right here, while the JVM is at its warmest —
+    // r12 lost adjudication time to two pure contention ghosts
+    // (q112_k_anonymity flagged 18.2×, measured 1.55× in isolation;
+    // q97_rolling_median 4.3× → 1.04×) because a one-sample flag on a
+    // loaded moment is indistinguishable from a plan regression without
+    // a re-run. The drill is bounded: 3 lanes × 3 passes, skipping
+    // lanes whose prior already exceeds 10 s (re-running a heavy lane
+    // could cost more than the adjudication is worth). `iso_ratio` ≈ 1
+    // in the emitted JSON = ghost; `iso_ratio` ≈ `ratio` = real.
+    val adjud: Map[String, Double] = (
+      if (elapsedS > 0.90 * budgetS) Nil else regressions
+        .filter(r => !r._4.isInfinity && r._2 <= 10.0).take(3))
+      .flatMap { case (name, p, _, _) =>
+        val samples = (1 to 3).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { force(benchQueries(name)(spark, sfDir))
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
+        }
+        if (samples.isEmpty) None else {
+          val m = median(samples)
+          System.err.println(
+            f"[bench:adjudicate] $name prev=${p}%.2fs iso-median=${m}%.2fs " +
+              f"(${m / p}%.2fx isolated)")
+          Some(name -> m)
+        }
+      }.toMap
     def regEntry(n: String, p: Double, v: Double, r: Double): String =
       if (r.isInfinity)
         s"""{"q":"$n","prev":${r3(p)},"now":null,"ratio":-1,"failed":true}"""
-      else
-        s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)},"failed":false}"""
+      else {
+        val iso = adjud.get(n).map(m =>
+          s""","iso_now":${r3(m)},"iso_ratio":${r3(m / p)}""").getOrElse("")
+        s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)},"failed":false$iso}"""
+      }
     val regJson = regressions.map((regEntry _).tupled).mkString("[", ",", "]")
     if (regressions.nonEmpty) regressions.foreach { case (n, p, v, r) =>
       if (r.isInfinity)
@@ -323,11 +397,27 @@ object Bench {
         .mkString("{", ",", "}")
     def fmtE(e: Seq[String]) = e.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = (errCold ++ errWarm).distinct.toSeq
+    val skipped = (skippedCold ++ skippedWarm).distinct.toSeq.sorted
+    val budgetExceeded = skipped.nonEmpty
+    if (budgetExceeded) System.err.println(
+      f"[bench:budget] exceeded ${budgetS}%.0f s budget — skipped " +
+        s"${skippedCold.size} cold / ${skippedWarm.size} warm lanes " +
+        "(totals are PARTIAL; skipped lanes keep their baseline priors)")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
+    // per-tier sub-budget: the stateful-streaming lanes pay seconds of
+    // fixed micro-batch cost per pass (state-store commits + per-batch
+    // codegen/JIT that no cache can absorb — the watermark literal
+    // changes every batch, so generated source never repeats), so this
+    // tier dominates timeout risk; surfacing its share at close makes
+    // the next r12-style budget overrun visible BEFORE a driver kill
+    val streamCold = results.collect {
+      case (n, v) if n.startsWith("stream_") => v }.sum
+    val streamWarm = warm.collect {
+      case (n, v) if n.startsWith("stream_") => v }.sum
     // full detail (every query, both lanes) — file only
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, results.keys)},"total_warm":$totalWarm,"queries_warm":${fmt(warm, warm.keys)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, results.keys)},"total_warm":$totalWarm,"queries_warm":${fmt(warm, warm.keys)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"budget_s":${r3(budgetS)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"skipped":${fmtE(skipped)},"regressions":$regJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -367,8 +457,13 @@ object Bench {
     val regJsonCompact = regressions.take(10).map((regEntry _).tupled)
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"regressions":$regJsonCompact,"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"regressions":$regJsonCompact,"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
     println(json)
     spark.stop()
+    // re-printed AFTER spark.stop(): the driver keeps only the TAIL of
+    // the sbt log, and session shutdown emits enough WARN lines to push
+    // a pre-stop println out of that window — BENCH_r11 returned rc=0
+    // yet "parsed": null for exactly this reason. Last line wins.
+    println(json)
   }
 }

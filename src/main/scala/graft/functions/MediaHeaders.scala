@@ -102,11 +102,13 @@ object MediaHeaders {
       if (len < 2 || off + 2 + len > b.length)
         return Left(s"JPEG segment $marker overruns payload")
       if (marker == 0xe1 && exif == null) {
-        if (len < 8) return Left("APP1 shorter than its Exif header")
-        val tag = new String(b, off + 4, 4, "US-ASCII")
-        if (tag != "Exif" || b(off + 8) != 0 || b(off + 9) != 0)
-          return Left(s"APP1 is not an Exif segment ('$tag')")
-        exif = java.util.Arrays.copyOfRange(b, off + 10, off + 2 + len)
+        // APP1 is a shared container: real camera JPEGs commonly carry
+        // an XMP (or other) APP1 before or instead of Exif, so a
+        // non-Exif APP1 is SKIPPED and the marker walk continues — only
+        // "no Exif anywhere before SOF" quarantines (below)
+        val tag = if (len >= 8) new String(b, off + 4, 4, "US-ASCII") else ""
+        if (tag == "Exif" && b(off + 8) == 0 && b(off + 9) == 0)
+          exif = java.util.Arrays.copyOfRange(b, off + 10, off + 2 + len)
       } else if (isSofMarker(marker)) {
         if (len < 8) return Left("JPEG SOF shorter than its geometry")
         val height = beShort(b, off + 5)

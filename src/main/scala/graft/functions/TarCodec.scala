@@ -133,7 +133,11 @@ object TarCodec {
       val dataStart = p + Block
       if (dataStart.toLong + size > b.length) // Long: hostile size fields
         return Left("entry overruns archive")
-      if (b(p + 156) == '0') // regular files only; others skipped
+      // regular files only; others skipped. POSIX ustar: typeflag NUL
+      // is the pre-ustar spelling of "regular file" and external
+      // writers still emit it ([[tarWrap]] always writes '0', so only
+      // foreign archives exercise the second arm)
+      if (b(p + 156) == '0' || b(p + 156) == 0)
         acc += TarEntry(name,
           java.util.Arrays.copyOfRange(b, dataStart, dataStart + size))
       p = dataStart + size + (Block - size % Block) % Block

@@ -93,6 +93,7 @@ object WarcCodec {
     var p = 0
     val acc = Vector.newBuilder[Array[Byte]]
     while (p < b.length) {
+      val memberStart = p
       if (p + 10 > b.length) return Left("gzip header truncated")
       if ((b(p) & 0xff) != 0x1f || (b(p + 1) & 0xff) != 0x8b)
         return Left("bad gzip magic")
@@ -117,8 +118,18 @@ object WarcCodec {
         p = z + 1
       }
       if ((flg & FHCRC) != 0) {
+        if (p + 2 > b.length) return Left("FHCRC truncated")
+        // RFC 1952 §2.3.1: the field is the low 16 bits of the CRC-32
+        // over all header bytes so far (member start up to, excluding,
+        // the field itself) — verified, not skipped, so a corrupted
+        // optional header can't ride in on a payload that still
+        // inflates (payload integrity stays covered by CRC-32/ISIZE)
+        val hcrc = new CRC32()
+        hcrc.update(b, memberStart, p - memberStart)
+        val stored = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+        if ((hcrc.getValue & 0xffffL) != stored)
+          return Left("gzip FHCRC header CRC mismatch")
         p += 2
-        if (p > b.length) return Left("FHCRC truncated")
       }
       PngCodec.inflateEx(b, p, b.length, -1, maxOut) match {
         case Left(e) => return Left(s"member deflate: $e")

@@ -168,16 +168,24 @@ object Pipeline2 {
         .select(explode(Dedup.shinglesPublic(col("text"))).as("sh"))
         .distinct()
     }
-    // bounded driver state: the filter bytes themselves (BloomBits/8)
-    val bloom = evalShingles
+    // bounded driver state: the filter bytes themselves (BloomBits/8).
+    // NOTE this is an EAGER Spark job at DataFrame-construction time —
+    // bench timings for this lane include the build, as a production
+    // decontamination pass would. An EMPTY eval set aggregates to a
+    // null filter (no rows reached the aggregate); the prefilter is
+    // then skipped rather than passed as a NullType literal that fails
+    // graft_bloom_might_contain's analysis — the exact verify join
+    // against the empty eval side yields the same (empty) answer.
+    val bloom = Option(evalShingles
       .agg(call_function("graft_bloom_agg", xxhash64(col("sh")),
         lit(BloomItems), lit(BloomBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
-    docs.filter(col("doc_id") % 50 =!= 0)
+      .head().getAs[Array[Byte]]("bf"))
+    val corpusShingles = docs.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"),
         explode(Dedup.shinglesPublic(col("text"))).as("sh"))
-      .filter(call_function("graft_bloom_might_contain", lit(bloom),
-        xxhash64(col("sh"))))
+    bloom.fold(corpusShingles)(bf =>
+        corpusShingles.filter(call_function("graft_bloom_might_contain",
+          lit(bf), xxhash64(col("sh")))))
       .join(broadcast(evalShingles), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sh")).as("n_shared"))

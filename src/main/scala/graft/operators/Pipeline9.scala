@@ -543,7 +543,11 @@ object Pipeline9 {
               .filter { case (_, i) => i % 2 == 0 } // the sample
               .flatMap { case (e, _) =>
                 graft.functions.ZipCodec.readEntry(payload, e)
-                  .toOption.flatMap { data =>
+                  // a zero-length member has no first/last byte to
+                  // report — skipped, not crashed (it still counts in
+                  // n_entries; the oracle filters length(text) > 0 to
+                  // mirror the skip)
+                  .toOption.filter(_.nonEmpty).flatMap { data =>
                     e.name.stripPrefix("doc").stripSuffix(".txt")
                       .toLongOption.map { id =>
                         (sid, id, n, data.length.toLong,
@@ -573,7 +577,7 @@ object Pipeline9 {
       |  cast(ascii(substring(text, 1, 1)) AS BIGINT) AS first_code,
       |  cast(ascii(substring(text, length(text), 1)) AS BIGINT)
       |    AS last_code
-      |FROM s WHERE rk % 2 = 0 ORDER BY doc_id""".stripMargin
+      |FROM s WHERE rk % 2 = 0 AND length(text) > 0 ORDER BY doc_id""".stripMargin
 
   val registry: Seq[QueryDef] = Seq(
     QueryDef("pipeline_warc_ingest", pipelineWarcIngest _, warcOracle(true)),

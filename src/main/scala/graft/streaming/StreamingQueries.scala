@@ -57,6 +57,14 @@ object StreamingQueries {
   @volatile private[graft] var captureProgress: Boolean = false
   @volatile private[graft] var lastRunProgress: Seq[BatchProgress] = Nil
 
+  /** Full-fidelity twin of [[captureProgress]] for the StreamDiag
+    * attribution tool: keeps each micro-batch's raw progress JSON
+    * (`durationMs` breakdown + state-operator commit times), which the
+    * compact [[BatchProgress]] rows deliberately drop.
+    */
+  @volatile private[graft] var captureProgressJson: Boolean = false
+  @volatile private[graft] var lastRunProgressJson: Seq[String] = Nil
+
   /** Create a temp checkpoint dir that is recursively deleted at JVM
     * exit. The statestore-introspection queries must OUTLIVE their
     * streaming run (the returned DataFrame reads the checkpoint
@@ -221,6 +229,9 @@ object StreamingQueries {
           q.explain()
         } catch { case _: Throwable => () }
         lastMicroBatchPlan = bos.toString("UTF-8")
+      }
+      if (captureProgressJson) {
+        lastRunProgressJson = q.recentProgress.toSeq.map(_.json)
       }
       if (captureProgress) {
         lastRunProgress = q.recentProgress.toSeq.map { p =>

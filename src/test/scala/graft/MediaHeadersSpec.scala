@@ -279,12 +279,31 @@ class MediaHeadersSpec extends AnyFunSuite {
       assert(t.width === 32 + id % 100 && t.height === 24 + id % 50)
       assert(t.bits === 8 + (id % 2) * 8)
     }
-    // quarantine classes: no APP1 at all; APP1 that is not Exif
+    // quarantine classes: no APP1 at all; only a non-Exif APP1
     val plain = MediaHeaders.jpegWrap("x".getBytes, 10, 10, 3)
     assert(MediaHeaders.exifProbe(plain).isLeft, "no APP1")
     val bad = Multimodal2.exifContainer(2L, "y".getBytes)
     bad(24) = 'X' // inside the 'Exif' tag of the spliced APP1
-    assert(MediaHeaders.exifProbe(bad).isLeft, "wrong APP1 tag")
+    assert(MediaHeaders.exifProbe(bad).isLeft, "wrong-tag APP1 skipped, no Exif left")
+    // a NON-Exif APP1 (XMP, as real camera JPEGs carry) BEFORE the Exif
+    // one is skipped and the walk continues to the real segment
+    val withExif = Multimodal2.exifContainer(3L, "z".getBytes)
+    val xmpBody = "http://ns.adobe.com/xap/1.0/ <x/>".getBytes("US-ASCII")
+    val xmp = new Array[Byte](4 + xmpBody.length)
+    xmp(0) = 0xff.toByte; xmp(1) = 0xe1.toByte
+    val xl = 2 + xmpBody.length
+    xmp(2) = (xl >>> 8).toByte; xmp(3) = xl.toByte
+    System.arraycopy(xmpBody, 0, xmp, 4, xmpBody.length)
+    val spliceAt = 20 // SOI (2) + APP0 (18), before the Exif APP1
+    val both = new Array[Byte](withExif.length + xmp.length)
+    System.arraycopy(withExif, 0, both, 0, spliceAt)
+    System.arraycopy(xmp, 0, both, spliceAt, xmp.length)
+    System.arraycopy(withExif, spliceAt, both, spliceAt + xmp.length,
+      withExif.length - spliceAt)
+    val viaXmp = MediaHeaders.exifProbe(both)
+      .fold(e => fail(s"XMP-then-Exif should parse: $e"), identity)
+    assert(graft.functions.TiffHeader.tiffInfo(viaXmp._1).isRight,
+      "Exif TIFF after a skipped XMP APP1")
     // corrupting the TIFF order mark quarantines at the inner layer
     val badTiff = Multimodal2.exifContainer(2L, "y".getBytes)
     badTiff(30) = 'Q' // first byte of the embedded TIFF ('II'/'MM')

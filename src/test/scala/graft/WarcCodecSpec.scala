@@ -53,7 +53,7 @@ class WarcCodecSpec extends AnyFunSuite with SparkTestBase {
     * FCOMMENT + FHCRC fields set — the header shapes real crawlers
     * emit that the plain fixture never exercises.
     */
-  test("member walk skips FEXTRA/FNAME/FCOMMENT/FHCRC header fields") {
+  test("member walk handles FEXTRA/FNAME/FCOMMENT/FHCRC header fields") {
     val data = bytes(300, i => (i * 11) % 256)
     val d = new java.util.zip.Deflater(6, true)
     d.setInput(data); d.finish()
@@ -61,23 +61,35 @@ class WarcCodecSpec extends AnyFunSuite with SparkTestBase {
     val tmp = new Array[Byte](1024)
     while (!d.finished()) defl.write(tmp, 0, d.deflate(tmp))
     d.end()
-    val out = new ByteArrayOutputStream()
-    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, (2 | 4 | 8 | 16).toByte,
+    // header assembled separately: RFC 1952 FHCRC is CRC-32-low-16 over
+    // every header byte before the field, which the walk now VERIFIES
+    val hdr = new ByteArrayOutputStream()
+    hdr.write(Array[Byte](0x1f, 0x8b.toByte, 8, (2 | 4 | 8 | 16).toByte,
       0, 0, 0, 0, 0, 0xff.toByte), 0, 10)
-    out.write(Array[Byte](3, 0, 1, 2, 3), 0, 5)       // FEXTRA: XLEN=3
-    out.write("name.warc".getBytes(US_ASCII)); out.write(0) // FNAME
-    out.write("comment".getBytes(US_ASCII)); out.write(0)   // FCOMMENT
-    out.write(Array[Byte](0x55, 0x66), 0, 2)          // FHCRC (skipped)
-    out.write(defl.toByteArray)
-    val crc = new java.util.zip.CRC32(); crc.update(data)
-    val v = crc.getValue.toInt
-    out.write(Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte,
-      (v >>> 24).toByte), 0, 4)
-    out.write(Array[Byte]((data.length & 0xff).toByte,
-      (data.length >>> 8).toByte, 0, 0), 0, 4)
-    val got = WarcCodec.gzipMembers(out.toByteArray)
+    hdr.write(Array[Byte](3, 0, 1, 2, 3), 0, 5)       // FEXTRA: XLEN=3
+    hdr.write("name.warc".getBytes(US_ASCII)); hdr.write(0) // FNAME
+    hdr.write("comment".getBytes(US_ASCII)); hdr.write(0)   // FCOMMENT
+    val hcrc = new java.util.zip.CRC32(); hcrc.update(hdr.toByteArray)
+    val h16 = (hcrc.getValue & 0xffff).toInt
+    def assemble(fhcrcLo: Int, fhcrcHi: Int): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(hdr.toByteArray)
+      out.write(Array[Byte](fhcrcLo.toByte, fhcrcHi.toByte), 0, 2) // FHCRC
+      out.write(defl.toByteArray)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      val v = crc.getValue.toInt
+      out.write(Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte,
+        (v >>> 24).toByte), 0, 4)
+      out.write(Array[Byte]((data.length & 0xff).toByte,
+        (data.length >>> 8).toByte, 0, 0), 0, 4)
+      out.toByteArray
+    }
+    val got = WarcCodec.gzipMembers(assemble(h16 & 0xff, h16 >>> 8))
       .fold(e => fail(s"flagged-header member failed: $e"), identity)
     assert(got.length === 1 && got(0).toSeq === data.toSeq)
+    // corrupted optional header with an intact payload must quarantine
+    assert(WarcCodec.gzipMembers(assemble(h16 ^ 0x1, h16 >>> 8)).isLeft,
+      "FHCRC mismatch must quarantine even though the payload inflates")
   }
 
   test("corruption quarantines: CRC, ISIZE, trailer, magic, flags") {

@@ -91,6 +91,20 @@ class ZipCodecSpec extends AnyFunSuite with SparkTestBase {
     assert(ZipCodec.centralDirectory(cut).isLeft)
   }
 
+  test("zero-length member round-trips Right(empty); the lane skips it") {
+    // the codec reports the empty member faithfully; pipelineZipSampled
+    // then SKIPS it (no first/last byte to report) instead of indexing
+    // data(0) — its oracle mirrors with length(text) > 0
+    val zip = ZipCodec.zipWrap(Seq("empty.txt" -> Array.emptyByteArray,
+      "full.txt" -> "abc".getBytes("US-ASCII")))
+    val cd = ZipCodec.centralDirectory(zip)
+      .fold(e => fail(s"directory: $e"), identity)
+    assert(cd.map(_.name) === Vector("empty.txt", "full.txt"))
+    val empty = ZipCodec.readEntry(zip, cd(0))
+      .fold(e => fail(s"empty member: $e"), identity)
+    assert(empty.isEmpty)
+  }
+
   test("pipeline_zip_sampled: driver-side recompute at sf0.001") {
     import scala.jdk.CollectionConverters._
     val got = Pipeline9.pipelineZipSampled(spark, sf0001)
