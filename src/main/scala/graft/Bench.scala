@@ -166,6 +166,20 @@ object Bench {
     JvmCosts(gc, jit, cg, cl, heap, cc)
   }
 
+  /** Cumulative (user, idle, steal) jiffies from /proc/stat — Linux
+    * only, None elsewhere. Sampled at bench start and end: STEAL is the
+    * one host-contention signal the in-JVM calibration probe cannot
+    * see (calib runs single-threaded at a quiet instant; steal bursts
+    * land mid-pass and inflate individual lanes 10-100× — the r13
+    * "contention ghost" mechanism, finally measurable in the artifact).
+    */
+  private[graft] def cpuJiffies(): Option[(Long, Long, Long)] =
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      Some((l(1).toLong, l(4).toLong, l(8).toLong))
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -244,6 +258,7 @@ object Bench {
       .filter(_ > 0).getOrElse(1020.0)
     val tStart = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
+    val jiffies0 = cpuJiffies()
     val skippedCold = scala.collection.mutable.ListBuffer.empty[String]
     val skippedWarm = scala.collection.mutable.ListBuffer.empty[String]
 
@@ -302,6 +317,11 @@ object Bench {
       }.toMap
 
     val calibMs = calibrate()
+    // whole-run host-contention summary: steal share of non-idle time
+    val stealPct: Double = (for {
+      (u0, i0, s0) <- jiffies0; (u1, i1, s1) <- cpuJiffies()
+      busy = (u1 - u0) + (s1 - s0) if busy > 0
+    } yield 100.0 * (s1 - s0) / busy).getOrElse(-1.0)
 
     if (diagOn) try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_diag.json"),
@@ -417,7 +437,7 @@ object Bench {
       case (n, v) if n.startsWith("stream_") => v }.sum
     // full detail (every query, both lanes) — file only
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, results.keys)},"total_warm":$totalWarm,"queries_warm":${fmt(warm, warm.keys)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"budget_s":${r3(budgetS)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"skipped":${fmtE(skipped)},"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results, results.keys)},"total_warm":$totalWarm,"queries_warm":${fmt(warm, warm.keys)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"budget_s":${r3(budgetS)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"skipped":${fmtE(skipped)},"regressions":$regJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -434,9 +454,22 @@ object Bench {
     // (round 7's driver run was ~1.26x inflated across all lanes and a
     // last-run-wins merge rewrote 195 of 199 entries upward).
     if (!subsetRun) try {
-      val merged = mergeBaseline(prevWarm, warm, benchQueries.contains,
-        SparkEntry.onlyFilter(Some(
-          sys.env.getOrElse("SPARK_GRAFT_BASELINE_ACCEPT", ""))))
+      val acceptFn = SparkEntry.onlyFilter(Some(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE_ACCEPT", "")))
+      // an ACCEPTED lane re-prices to the min across ALL of this run's
+      // samples (cold + every warm pass), not the warm median alone: a
+      // host-side VM pause inflates ONE sample by 10-100×, and two
+      // consecutive r13 accept attempts shipped 27 s / 53 s "baselines"
+      // for lanes that measure 2-10 s because the pause landed on the
+      // only warm pass. The min across ≥2 samples survives any single
+      // pause; only a lane stalled in EVERY pass can still re-price
+      // high, and that is indistinguishable from a real cost.
+      val acceptWarm = warm.map { case (k, v) =>
+        k -> (if (!acceptFn(k)) v else
+          (results.get(k).toSeq ++ warmSamples.flatMap(_.get(k)) :+ v).min)
+      }
+      val merged = mergeBaseline(prevWarm, acceptWarm, benchQueries.contains,
+        acceptFn)
       val bj = baselineJson(sfDir, merged)
       java.nio.file.Files.write(java.nio.file.Paths.get(baselinePath),
         (bj + "\n").getBytes("UTF-8"))
@@ -457,7 +490,7 @@ object Bench {
     val regJsonCompact = regressions.take(10).map((regEntry _).tupled)
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"regressions":$regJsonCompact,"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(results, headline)},"total_warm":${r3(totalWarm)},"queries_warm":${fmt(warm, headline)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"regressions":$regJsonCompact,"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
     println(json)
     spark.stop()
     // re-printed AFTER spark.stop(): the driver keeps only the TAIL of

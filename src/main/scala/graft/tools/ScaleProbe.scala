@@ -344,7 +344,13 @@ object ScaleProbe {
       // hotter keys.
       buildScaled(spark, baseDir, outDir, factor)
       val streamQs = Seq("stream_row_pattern", "stream_tws",
-        "stream_outer_join")
+        "stream_outer_join",
+        // the statestore-read-back shape (r12 verdict stretch): its
+        // scale posture is the watermark-withheld TAIL (state rows =
+        // open windows, not corpus size) plus the batch read of the
+        // final checkpoint — the one streaming shape whose decade rows
+        // previously came only from ad-hoc probe runs
+        "stream_state_inspect")
       streamQs.foreach { q =>
         val b = time(q, baseDir)
         val s = time(q, outDir)

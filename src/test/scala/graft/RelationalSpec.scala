@@ -18,13 +18,31 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("every registered query executes and is non-degenerate at sf0.001") {
-    SparkEntry.registry.foreach { q =>
+    def check(q: QueryDef): Unit = {
       val df = q.fn(spark, sf0001)
       val n = df.count()
       assert(n >= 0, s"${q.name} failed")
       assert(df.columns.nonEmpty, s"${q.name} has no columns")
       withClue(s"${q.name}: ") { assert(df.columns.distinct.length === df.columns.length) }
     }
+    // batch lanes run CONCURRENTLY on the shared session (a SparkSession
+    // schedules concurrent jobs safely; the only session-conf writes on
+    // these paths are idempotent same-value sets) — this test is a mini
+    // verify over all 262 lanes and was the suite's single biggest wall
+    // chunk when sequential. Streaming lanes stay SEQUENTIAL: they pin
+    // memory-sink queryNames and toggle shuffle.partitions around their
+    // runs, both process-global.
+    val (streamQs, batchQs) = SparkEntry.registry.partition(
+      _.name.startsWith("stream_"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futures = batchQs.map(q =>
+        scala.concurrent.Future(check(q))(ec))
+      import scala.concurrent.duration._
+      futures.foreach(f => scala.concurrent.Await.result(f, 20.minutes))
+    } finally pool.shutdown()
+    streamQs.foreach(check)
   }
 
   test("q6 top-k per group: rn within group is 1..3 and prices non-increasing") {

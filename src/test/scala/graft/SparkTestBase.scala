@@ -13,6 +13,11 @@ trait SparkTestBase { self: AnyFunSuite =>
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      // local[4] measured BETTER than local[8] for suite wall: doubling
+      // executor threads tripled kernel time (sys 4m → 17m on the full
+      // suite — tiny-task scheduling churn), swamping any parallelism
+      // gain. The registry smoke instead overlaps jobs via futures on
+      // this 4-thread session (RelationalSpec 6m26s → 4m33s).
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
