@@ -67,14 +67,18 @@ object Relational6 {
     * as a CTE joined on the bucket bounds.
     */
   def sqlTableUdf(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    // unique per-lane view name: lanes run concurrently on the shared
+    // test session, and two lanes racing createOrReplaceTempView on one
+    // name is only safe while the definitions happen to be identical —
+    // TempViewNamesSpec enforces one registration site per name
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_tvf_v")
     spark.sql(
       """CREATE OR REPLACE TEMPORARY FUNCTION order_bucket_stats(
         |  lo DOUBLE, hi DOUBLE)
         |RETURNS TABLE(o_orderpriority STRING, n BIGINT, total DOUBLE)
         |RETURN SELECT o_orderpriority, count(*) AS n,
         |  cast(sum(cast(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-        |FROM orders_v
+        |FROM orders_tvf_v
         |WHERE o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY o_orderpriority
         |""".stripMargin)

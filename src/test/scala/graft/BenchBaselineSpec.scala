@@ -114,6 +114,46 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.parseBaseline(full, sf) === Map("a" -> 1.1, "b" -> 2.5))
   }
 
+  test("warm order is ascending-prior with unknown lanes first") {
+    // r14 harness invariant: if the budget stops the warm pass, the
+    // stranded lanes must be the heaviest (stable priors), and a
+    // brand-new lane (no prior to fall back on) must always price —
+    // unknown prior sorts as 0, ties break by name for determinism
+    val priors = Map("heavy" -> 6.5, "mid" -> 1.2, "cheap" -> 0.1)
+    val order = Bench.warmOrder(
+      Seq("mid", "heavy", "new_b", "cheap", "new_a"), priors)
+    assert(order === Seq("new_a", "new_b", "cheap", "mid", "heavy"))
+  }
+
+  test("every headline lane is a registered query") {
+    // the cold pass and the compact stdout map are built from this
+    // list — a renamed/deleted lane would silently shrink both
+    val missing = Bench.headline.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"headline lanes not in registry: $missing")
+  }
+
+  test("stealShare computes steal over busy = dTotal - dIdle") {
+    // cumulative (total, idle, steal): busy delta = (200-100)-(60-20)
+    // = 60 jiffies, steal delta = 9 -> 15% — the ADVICE-r13 fix (the
+    // old user+steal denominator overstated steal on kernel-heavy load)
+    val b = Some((100L, 20L, 1L)); val a = Some((200L, 60L, 10L))
+    assert(Bench.stealShare(b, a) === 15.0)
+    // zero busy time or a missing sample refuses with -1, not a NaN
+    assert(Bench.stealShare(b, b) === -1.0)
+    assert(Bench.stealShare(None, a) === -1.0)
+    assert(Bench.stealShare(b, None) === -1.0)
+  }
+
+  test("cpuJiffies reads /proc/stat with total >= idle + steal") {
+    // Linux-only sanity: the triple is (total, idle, steal) and total
+    // sums every column, so it must dominate the parts; None is the
+    // documented non-Linux result (not exercised here)
+    Bench.cpuJiffies().foreach { case (total, idle, steal) =>
+      assert(total >= idle + steal)
+      assert(idle >= 0 && steal >= 0)
+    }
+  }
+
   test("QueryDef rejects a null oracle (registry-before-oracle-val init bug)") {
     val e = intercept[IllegalArgumentException](
       QueryDef("some_query", (_, _) => null, null: String))
