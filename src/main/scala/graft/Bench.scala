@@ -551,9 +551,13 @@ object Bench {
       case (n, v) if n.startsWith("stream_") => v }.sum
     val streamWarm = warm.collect {
       case (n, v) if n.startsWith("stream_") => v }.sum
-    // full detail (every query, both lanes) — file only
+    // full detail (every query, both lanes) — file only. The warm map
+    // appears under BOTH "queries" (the driver contract's key) and
+    // "queries_warm" (the key parseBaseline's readWarm(outPath)
+    // fallback and subset-run tooling grep for — dropping it would make
+    // the fallback path refuse loudly on a fresh checkout).
     val fullJson =
-      s"""{"metric":"total_warm","value":${r3(totalWarm)},"unit":"sec","queries":${fmt(warm, warm.keys.toSeq.sorted)},"total_warm":${r3(totalWarm)},"cold_scope":"headline","cold_total":${r3(total)},"cold_skipped_high_steal":$coldSkippedHighSteal,"queries_cold":${fmt(results, results.keys.toSeq.sorted)},"n_warm_priced":${warm.size},"baseline_sum_priced":${r3(baselineSumPriced)},"warm_vs_baseline":${r3(warmVsBaseline)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"warmup_steal_pct":${r3(warmupStealPct)},"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"budget_s":${r3(budgetS)},"adjud_reserve_s":${r3(adjudReserveS)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"skipped":${fmtE(skipped)},"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_warm","value":${r3(totalWarm)},"unit":"sec","queries":${fmt(warm, warm.keys.toSeq.sorted)},"queries_warm":${fmt(warm, warm.keys.toSeq.sorted)},"total_warm":${r3(totalWarm)},"cold_scope":"headline","cold_total":${r3(total)},"cold_skipped_high_steal":$coldSkippedHighSteal,"queries_cold":${fmt(results, results.keys.toSeq.sorted)},"n_warm_priced":${warm.size},"baseline_sum_priced":${r3(baselineSumPriced)},"warm_vs_baseline":${r3(warmVsBaseline)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"warmup_steal_pct":${r3(warmupStealPct)},"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_warm":${fmtE(errWarm.distinct.toSeq)},"budget_s":${r3(budgetS)},"adjud_reserve_s":${r3(adjudReserveS)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"skipped":${fmtE(skipped)},"regressions":$regJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
