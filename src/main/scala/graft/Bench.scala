@@ -84,6 +84,19 @@ object Bench {
       names: Seq[String], priors: Map[String, Double]): Seq[String] =
     names.sortBy(n => (priors.getOrElse(n, 0.0), n))
 
+  /** Sum of the baseline priors for the lanes that actually priced this
+    * run — the denominator of the artifact's self-grading
+    * warm_vs_baseline ratio. Forces a Seq first: `keys` often arrives
+    * as a Map's key SET, and flatMap on a Set returns a Set, so two
+    * lanes sharing the same 3-decimal prior (common at 0.2-0.3 s) would
+    * COLLAPSE before the sum — the first sf0.1 run under-reported the
+    * denominator 201.3 → 188.3 exactly this way, overstating the ratio
+    * 3.05 → 3.26. BenchBaselineSpec pins the duplicate-value case.
+    */
+  private[graft] def pricedPriorSum(
+      keys: Iterable[String], priors: Map[String, Double]): Double =
+    keys.toSeq.flatMap(priors.get).sum
+
   /** Steal share of BUSY time between two cumulative /proc/stat
     * samples, where busy = Δtotal − Δidle (all non-idle fields: user,
     * nice, system, iowait, irq, softirq, steal, guest). The previous
@@ -539,7 +552,7 @@ object Bench {
     // the self-grading pair: sum of the priced lanes' PRIORS next to the
     // sum of their measured warm medians — the gate's ratio computes
     // from the artifact alone, partial run or not
-    val baselineSumPriced = warm.keys.flatMap(prevWarm.get).sum
+    val baselineSumPriced = pricedPriorSum(warm.keys, prevWarm)
     val warmVsBaseline =
       if (baselineSumPriced > 0) totalWarm / baselineSumPriced else -1.0
     // per-tier sub-budget: the stateful-streaming lanes pay seconds of

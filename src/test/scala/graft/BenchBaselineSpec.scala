@@ -144,6 +144,18 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.stealShare(b, None) === -1.0)
   }
 
+  test("pricedPriorSum counts lanes with identical prior values") {
+    // warm.keys is a SET; a naive keys.flatMap(priors.get).sum builds a
+    // Set[Double] and collapses equal priors before summing — the first
+    // sf0.1 run under-reported 201.3 -> 188.3 (ratio overstated 3.05 ->
+    // 3.26) because many lanes share 3-decimal priors like 0.300
+    val priors = Map("a" -> 0.3, "b" -> 0.3, "c" -> 1.0)
+    assert(Bench.pricedPriorSum(Map("a" -> 9.9, "b" -> 9.9, "c" -> 9.9).keys,
+      priors) === 1.6)
+    // unpriced lanes (no prior) contribute nothing, not an error
+    assert(Bench.pricedPriorSum(Seq("a", "unknown"), priors) === 0.3)
+  }
+
   test("cpuJiffies reads /proc/stat with total >= idle + steal") {
     // Linux-only sanity: the triple is (total, idle, steal) and total
     // sums every column, so it must dominate the parts; None is the
