@@ -144,6 +144,24 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.stealShare(b, None) === -1.0)
   }
 
+  test("retry candidates are the >1.5x-flagged lanes, ascending prior") {
+    // single-warm-pass runs re-sample provisionally flagged lanes and
+    // price min-of-2: selection must match the regression gate's flag
+    // rule (prior > 0.05 s, ratio > 1.5) and order ascending by prior
+    // so cheap lanes de-ghost first if the budget cuts the retry short
+    val priors = Map(
+      "ghost_cheap" -> 0.2, "ghost_heavy" -> 4.0, "clean" -> 1.0,
+      "noise_floor" -> 0.04)
+    val warm = Map(
+      "ghost_cheap" -> 2.0,  // 10x: flagged
+      "ghost_heavy" -> 7.0,  // 1.75x: flagged
+      "clean" -> 1.2,        // 1.2x: not flagged
+      "noise_floor" -> 1.0,  // prior under 50ms: never flagged
+      "new_lane" -> 9.9)     // no prior: nothing to compare
+    assert(Bench.retryCandidates(warm, priors)
+      === Seq("ghost_cheap", "ghost_heavy"))
+  }
+
   test("pricedPriorSum counts lanes with identical prior values") {
     // warm.keys is a SET; a naive keys.flatMap(priors.get).sum builds a
     // Set[Double] and collapses equal priors before summing — the first
