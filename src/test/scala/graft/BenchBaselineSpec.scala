@@ -174,6 +174,25 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.pricedPriorSum(Seq("a", "unknown"), priors) === 0.3)
   }
 
+  test("jiffiesOf excludes guest columns from the busy total") {
+    // proc(5): guest/guest_nice (columns 9-10) are ALREADY included in
+    // user/nice — summing them double-counts guest time and understates
+    // the steal share, which could slip a >30%-steal epoch under the
+    // warmup cold-skip threshold. Synthetic line with nonzero guest:
+    //            user nice sys idle iowait irq softirq steal guest gn
+    val line = "cpu  100  10   30  500  5      1   2       40    77   7"
+    val (total, idle, steal) = Bench.jiffiesOf(line)
+    assert(total === 688L) // first 8 columns only — not 772
+    assert(idle === 500L && steal === 40L)
+  }
+
+  test("flagged predicate: >1.5x over a >50ms prior, shared by gate and retry") {
+    assert(Bench.flagged(1.0, 1.6))
+    assert(!Bench.flagged(1.0, 1.4))
+    assert(!Bench.flagged(0.04, 10.0)) // sub-50ms prior never flags
+    assert(!Bench.flagged(0.05, 10.0)) // boundary: prior must EXCEED 50ms
+  }
+
   test("cpuJiffies reads /proc/stat with total >= idle + steal") {
     // Linux-only sanity: the triple is (total, idle, steal) and total
     // sums every column, so it must dominate the parts; None is the

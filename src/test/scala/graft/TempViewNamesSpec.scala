@@ -18,10 +18,14 @@ class TempViewNamesSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala")
     val re = """createOrReplaceTempView\("([^"]+)"\)""".r
-    val sites: Seq[(String, String)] = java.nio.file.Files.walk(root)
-      .iterator().asScala
-      .filter(_.toString.endsWith(".scala")).toSeq
-      .flatMap { p =>
+    // Files.walk holds open directory handles until closed (javadoc
+    // requires try-with-resources) — Using closes it even on assertion
+    // throw, instead of leaking handles in the long-lived sbt test JVM
+    val sites: Seq[(String, String)] =
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
+        stream.iterator().asScala
+          .filter(_.toString.endsWith(".scala")).toSeq
+      }.flatMap { p =>
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         re.findAllMatchIn(txt).map(m => m.group(1) -> p.toString).toSeq
       }
