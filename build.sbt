@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's compact JSON line must reach the driver at COLUMN 0: with
+// the default output strategy the forked JVM's stdout funnels through
+// sbt's logger and every line arrives as "[info] {...}" — BENCH_r13/r14
+// both returned parsed:null with the line visibly present in the
+// captured tail. StdoutOutput makes the forked process inherit raw
+// stdout, so the JSON line starts the line unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -29,9 +29,24 @@ import org.apache.spark.sql.SparkSession
   *     skipped 206 of 262 lanes prefix-ordered — unrepresentative);
   *     the warm lane is the MEDIAN of SPARK_GRAFT_WARM_PASSES (default
   *     1; see below) passes; on single-pass runs, lanes provisionally
-  *     flagged >1.5× their prior get ONE retry inside the leftover
-  *     pass budget and price at the MIN of the two samples — a host
-  *     pause can inflate one sample 10-100×, never two;
+  *     flagged >1.5× their prior get ONE retry and price at the MIN of
+  *     the two samples — a host pause can inflate one sample 10-100×,
+  *     never two. The retry pass runs inside its OWN pre-carved
+  *     reserve (r15): r14 funded it from leftover warm budget, which
+  *     is empty exactly when pauses are worst — the driver's
+  *     73.8%-steal epoch got n_retried=0 and graded 12.7× while the
+  *     identical engine measured 1.70× whenever retry fired;
+  *   - every warm/retry lane runs under a WATCHDOG (r15) that cancels
+  *     its Spark job group at min(30 s, max(5 s, 50×prior)): one host
+  *     pause stranding one lane must not eat the budget 50 other lanes
+  *     needed (r14: sim_ann_ivf burned 83.9 s, 8% of the whole budget,
+  *     on a 0.505 s prior). A capped lane contributes no timing and is
+  *     handed to the retry pass; capped in BOTH passes → it keeps its
+  *     baseline prior and is listed under "capped_unresolved" with a
+  *     regression entry (capped:true) — never silently dropped.
+  *     Streaming lanes run their jobs on stream-execution threads the
+  *     job group does not reach, so for them the watchdog is a no-op
+  *     by design (their samples are kept even if the timer fired);
   *   - a failed query contributes NO timing anywhere (an early throw
   *     would masquerade as a fast run and deflate the totals); it is
   *     listed in the errors arrays and counted in n_failed, and totals
@@ -116,6 +131,60 @@ object Bench {
         if priors.get(n).exists(flagged(_, v)) => n }.toSeq,
       priors)
 
+  /** Per-lane watchdog cap in seconds: a lane's warm sample may run at
+    * most 50× its prior, clamped to [5 s, 30 s]; a lane with no usable
+    * prior gets the 30 s ceiling. Rationale (r15): in the r14 driver
+    * run one host pause let sim_ann_ivf (0.505 s prior) burn 83.9 s —
+    * 8% of the entire budget — while 59 lanes went unpriced. 50× is far
+    * above any honest regression worth measuring to completion (the
+    * gate flags at 1.5×), and the 5 s floor keeps scheduling noise on
+    * sub-100 ms lanes from tripping the cancel. BenchBaselineSpec pins
+    * the clamps.
+    */
+  private[graft] def laneCapS(prior: Option[Double]): Double =
+    prior.filter(_ > 0)
+      .map(p => math.min(30.0, math.max(5.0, 50.0 * p))).getOrElse(30.0)
+
+  /** Run `body` (Spark jobs submitted from THIS thread) under a
+    * watchdog that cancels its job group at `capS` seconds. Returns
+    * (Left(threw) | Right(elapsed seconds), watchdog-fired) — a
+    * Left with fired=true means the cap, not the query, killed the
+    * lane. interruptOnCancel kills the running task threads, not just
+    * the queued stages, and the cancel is the AndFutureJobs variant:
+    * plain cancelJobGroup hits only ACTIVE jobs, so a timer landing
+    * during planning/codegen or between a lane's jobs was a silent
+    * no-op and the lane ran to its natural end anyway (caught by
+    * BenchWatchdogSpec: the fresh-session first query plans for ~2 s,
+    * the 2 s cap fired into the gap, the 30 s job ran to completion).
+    * The group id is unique per invocation, so banning its future jobs
+    * can never leak into another lane. Jobs submitted from OTHER
+    * threads (streaming micro-batch executors) are outside the
+    * thread-local job group, so for those the cancel is a structural
+    * no-op and a completed sample comes back Right regardless of
+    * `fired` — the caller never discards a successful result.
+    * BenchWatchdogSpec pins the cancel, fast-body and own-error paths.
+    */
+  private[graft] def underWatchdog(
+      sc: org.apache.spark.SparkContext,
+      exec: java.util.concurrent.ScheduledExecutorService,
+      name: String, capS: Double)(body: => Unit)
+      : (Either[Throwable, Double], Boolean) = {
+    val group = s"bench-$name-${System.nanoTime()}"
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    sc.setJobGroup(group, s"bench $name", interruptOnCancel = true)
+    val timer = exec.schedule(new Runnable {
+      def run(): Unit = {
+        fired.set(true)
+        sc.cancelJobGroupAndFutureJobs(group, s"bench watchdog cap ${capS}s")
+      }
+    }, (capS * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val t0 = System.nanoTime()
+    val res = try { body; Right((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable => Left(e) }
+      finally { timer.cancel(false); sc.clearJobGroup() }
+    (res, fired.get)
+  }
+
   /** Sum of the baseline priors for the lanes that actually priced this
     * run — the denominator of the artifact's self-grading
     * warm_vs_baseline ratio. Forces a Seq first: `keys` often arrives
@@ -130,12 +199,14 @@ object Bench {
     keys.toSeq.flatMap(priors.get).sum
 
   /** Steal share of BUSY time between two cumulative /proc/stat
-    * samples, where busy = Δtotal − Δidle (all non-idle fields: user,
-    * nice, system, iowait, irq, softirq, steal, guest). The previous
+    * samples, where busy = Δtotal − Δ(idle+iowait) (the genuinely-busy
+    * fields: user, nice, system, irq, softirq, steal). The original
     * user+steal-only denominator systematically overstated steal on
     * this workload (kernel time dominates: sys ≈ 4 m vs 17 m user in
-    * the repo's own notes) — ADVICE r13. Returns -1 when busy time is
-    * zero or samples are missing.
+    * the repo's own notes) — ADVICE r13; iowait joined the idle side in
+    * r15 (ADVICE r14: it is wait time, and counting it busy understated
+    * steal on I/O-heavy stretches). Returns -1 when busy time is zero
+    * or samples are missing.
     */
   private[graft] def stealShare(
       before: Option[(Long, Long, Long)],
@@ -273,12 +344,10 @@ object Bench {
     JvmCosts(gc, jit, cg, cl, heap, cc)
   }
 
-  /** Cumulative (total, idle, steal) jiffies from the aggregate cpu
-    * line of /proc/stat — Linux only, None elsewhere. `total` sums
-    * every column so [[stealShare]] can compute busy = Δtotal − Δidle
-    * (user+nice+system+iowait+irq+softirq+steal+guest — ADVICE r13:
-    * the old user+steal denominator overstated steal on this
-    * kernel-heavy workload). Sampled around the whole run AND around
+  /** Cumulative (total, idleLike, steal) jiffies from the aggregate cpu
+    * line of /proc/stat — Linux only, None elsewhere (see [[jiffiesOf]]
+    * for the column accounting: busy = Δtotal − Δ(idle+iowait), guest
+    * columns excluded). Sampled around the whole run AND around
     * each timed lane: STEAL is the one host-contention signal the
     * in-JVM calibration probe cannot see (calib runs single-threaded
     * at a quiet instant; steal bursts land mid-pass and inflate
@@ -292,18 +361,22 @@ object Bench {
         .find(_.startsWith("cpu ")).get))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Parse an aggregate "cpu ..." line into (total, idle, steal).
+  /** Parse an aggregate "cpu ..." line into (total, idleLike, steal).
     * `total` sums ONLY the first 8 columns (user nice system idle
     * iowait irq softirq steal): proc(5) documents guest/guest_nice
     * (columns 9-10) as ALREADY INCLUDED in user/nice, so summing them
     * would double-count guest time, understate the steal share, and
     * could slip a >30%-steal epoch under the warmup cold-skip
-    * threshold on a host that itself runs VMs. BenchBaselineSpec pins
-    * the guest-exclusion with a synthetic line.
+    * threshold on a host that itself runs VMs. `idleLike` is
+    * idle + iowait (ADVICE r14): iowait is time the CPU sat waiting on
+    * I/O, not work — counting it busy diluted the steal denominator on
+    * I/O-heavy stretches, the same error direction the guest fix
+    * addressed. BenchBaselineSpec pins both exclusions with a
+    * synthetic line.
     */
   private[graft] def jiffiesOf(cpuLine: String): (Long, Long, Long) = {
     val cols = cpuLine.trim.split("\\s+").drop(1).map(_.toLong)
-    (cols.take(8).sum, cols(3), cols(7))
+    (cols.take(8).sum, cols(3) + cols(4), cols(7))
   }
 
   def main(args: Array[String]): Unit = {
@@ -367,7 +440,18 @@ object Bench {
       .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
       .filter(_ > 0).getOrElse(1020.0)
     val adjudReserveS = math.min(60.0, 0.10 * budgetS)
-    val passBudgetS = budgetS - adjudReserveS
+    // RETRY RESERVE (r15, the round's headline fix): the min-of-2 retry
+    // pass gets its own pre-carved slice, exactly like the adjudication
+    // reserve — r14 funded it from LEFTOVER warm budget, which is empty
+    // precisely on the high-steal epochs whose pause ghosts the retry
+    // exists to kill (driver r14: deadline hit at 969 s, n_retried=0,
+    // graded 12.7×; the same engine measured 1.70× whenever retry
+    // fired). The warm deadline shrinks by the reserve; the retry pass
+    // runs until budget − adjudReserve even when warm exhausted its
+    // own deadline.
+    val retryReserveS = math.min(120.0, 0.15 * budgetS)
+    val passBudgetS = budgetS - adjudReserveS - retryReserveS
+    val retryDeadlineS = budgetS - adjudReserveS
     val tStart = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - tStart) / 1e9
     val jiffies0 = cpuJiffies()
@@ -430,12 +514,33 @@ object Bench {
     // for ("a 315× flag on a 74%-steal run should self-describe")
     val laneSteal = scala.collection.mutable.Map.empty[String, Double]
 
+    // WATCHDOG (r15): a single daemon timer that cancels a lane's Spark
+    // job group at its laneCapS deadline — one host pause stranding one
+    // lane must not eat the budget 50 other lanes needed (r14 driver
+    // run: sim_ann_ivf spent 83.9 s on a 0.505 s prior). interruptOn-
+    // Cancel kills the task threads, not just the scheduler entries.
+    // Streaming lanes run their jobs on stream-execution threads the
+    // thread-local job group never reaches — for them the cancel is a
+    // structural no-op and any completed sample is kept (`fired` alone
+    // never discards a result; only a cancel-induced THROW does).
+    val watchdogExec = java.util.concurrent.Executors
+      .newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "bench-watchdog"); t.setDaemon(true); t
+      })
+    def watched(name: String, capS: Double)(body: => Unit)
+        : (Either[Throwable, Double], Boolean) =
+      underWatchdog(spark.sparkContext, watchdogExec, name, capS)(body)
+
     // one pass = per-query seconds for SUCCESSFUL queries only; failures
-    // go to `errors` (tagged with the pass) and contribute no timing
+    // go to `errors` (tagged with the pass) and contribute no timing.
+    // With `capped` non-null the pass runs under the per-lane watchdog:
+    // a cancel-induced failure goes to `capped` (a budget decision, not
+    // a query error) and the lane prices later or keeps its prior.
     def pass(tag: String, names: Seq[String],
         errors: scala.collection.mutable.ListBuffer[String],
         deadlineS: Double = Double.MaxValue,
-        skipped: scala.collection.mutable.ListBuffer[String] = null)
+        skipped: scala.collection.mutable.ListBuffer[String] = null,
+        capped: scala.collection.mutable.ListBuffer[String] = null)
         : Map[String, Double] = names.flatMap { name =>
       val fn = benchQueries(name)
       if (elapsedS > deadlineS) {
@@ -444,26 +549,33 @@ object Bench {
       } else {
       val before = if (diagOn) Some(jvmCosts()) else None
       val j0 = cpuJiffies()
-      val t0 = System.nanoTime()
-      try {
-        force(fn(spark, sfDir))
-        val sec = (System.nanoTime() - t0) / 1e9
-        val st = stealShare(j0, cpuJiffies())
-        if (st >= 0) laneSteal(name) = math.max(laneSteal.getOrElse(name, 0.0), st)
-        before.foreach { b =>
-          val a = jvmCosts()
-          diag += s"""{"q":"$name","lane":"$tag","sec":${r3(sec)},""" +
-            s""""gc_ms":${a.gcMs - b.gcMs},"jit_ms":${a.jitMs - b.jitMs},""" +
-            s""""codegen":${a.codegenCompiles - b.codegenCompiles},""" +
-            s""""classes":${a.classesLoaded - b.classesLoaded},""" +
-            s""""steal_pct":${r3(st)},""" +
-            s""""heap_mb_after":${a.heapUsedMb},"codecache_mb_after":${a.codeCacheMb}}"""
-        }
-        Some(name -> sec)
-      } catch { case e: Throwable =>
-        errors += name
-        System.err.println(s"[bench:$tag] $name failed: ${e.getMessage}")
-        None
+      val capS =
+        if (capped != null) laneCapS(prevWarm.get(name)) else Double.MaxValue / 2e3
+      val (res, fired) = watched(name, capS)(force(fn(spark, sfDir)))
+      val st = stealShare(j0, cpuJiffies())
+      if (st >= 0) laneSteal(name) = math.max(laneSteal.getOrElse(name, 0.0), st)
+      res match {
+        case Right(sec) =>
+          before.foreach { b =>
+            val a = jvmCosts()
+            diag += s"""{"q":"$name","lane":"$tag","sec":${r3(sec)},""" +
+              s""""gc_ms":${a.gcMs - b.gcMs},"jit_ms":${a.jitMs - b.jitMs},""" +
+              s""""codegen":${a.codegenCompiles - b.codegenCompiles},""" +
+              s""""classes":${a.classesLoaded - b.classesLoaded},""" +
+              s""""steal_pct":${r3(st)},""" +
+              s""""heap_mb_after":${a.heapUsedMb},"codecache_mb_after":${a.codeCacheMb}}"""
+          }
+          Some(name -> sec)
+        case Left(e) if fired && capped != null =>
+          capped += name
+          System.err.println(
+            f"[bench:$tag] $name watchdog-capped at ${capS}%.1f s " +
+              f"(prior ${prevWarm.getOrElse(name, 0.0)}%.3f s) — no sample taken")
+          None
+        case Left(e) =>
+          errors += name
+          System.err.println(s"[bench:$tag] $name failed: ${e.getMessage}")
+          None
       }
       }
     }.toMap
@@ -483,8 +595,9 @@ object Bench {
     // warmPasses passes — steady state with single-sample noise
     // (GC pauses, machine load spikes) removed when passes >= 3
     val warmNames = warmOrder(benchQueries.keys.toSeq, prevWarm)
+    val cappedWarm = scala.collection.mutable.ListBuffer.empty[String]
     val warmSamples = (1 to warmPasses).map(i =>
-      pass(s"warm$i", warmNames, errWarm, passBudgetS, skippedWarm))
+      pass(s"warm$i", warmNames, errWarm, passBudgetS, skippedWarm, cappedWarm))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       val n = s.length
@@ -497,25 +610,42 @@ object Bench {
         val samples = warmSamples.flatMap(_.get(name))
         if (samples.length == warmPasses) Some(name -> median(samples)) else None
       }.toMap
-    // RETRY PASS (r14, single-warm-pass runs only): provisionally
-    // flagged lanes get ONE re-run in the leftover pass budget, and the
-    // warm value becomes the MIN of the two samples — a single host
-    // pause can no longer write a 10-100× ghost into the totals (see
-    // retryCandidates). Multi-pass runs already median away single
-    // pauses, so the retry would only bias them low.
+    // RETRY PASS (r14, single-warm-pass runs only; r15: funded from its
+    // own pre-carved reserve and fed the watchdog-capped lanes too):
+    // provisionally flagged lanes get ONE re-run and the warm value
+    // becomes the MIN of the two samples — a single host pause can no
+    // longer write a 10-100× ghost into the totals (see
+    // retryCandidates); a lane CAPPED in the warm pass has no first
+    // sample, so its retry sample alone prices it. The deadline is
+    // retryDeadlineS (= budget − adjudReserve), NOT the warm deadline:
+    // r14 shared the warm deadline and the retry silently no-opped on
+    // exactly the exhausted-budget epochs that needed it most.
+    // Multi-pass runs already median away single pauses, so the
+    // flag-retry would only bias them low — but capped lanes still get
+    // their re-run (they have no priced median to bias).
     val errRetry = scala.collection.mutable.ListBuffer.empty[String]
-    val retried: Map[String, Double] =
-      if (warmPasses > 1) Map.empty
-      else {
-        val cands = retryCandidates(warmFirst, prevWarm)
-        if (cands.nonEmpty) System.err.println(
-          s"[bench:retry] ${cands.size} provisionally flagged lanes get a " +
-            "second warm sample (min-of-2) inside the remaining pass budget")
-        pass("retry", cands, errRetry, passBudgetS)
-      }
+    val cappedRetry = scala.collection.mutable.ListBuffer.empty[String]
+    val retried: Map[String, Double] = {
+      val flaggedCands =
+        if (warmPasses > 1) Seq.empty else retryCandidates(warmFirst, prevWarm)
+      val cands = warmOrder(
+        (flaggedCands ++ cappedWarm.distinct.filterNot(warmFirst.contains))
+          .distinct, prevWarm)
+      if (cands.nonEmpty) System.err.println(
+        s"[bench:retry] ${cands.size} lanes re-sample inside the retry " +
+          f"reserve (${retryReserveS}%.0f s carved out up front): " +
+          s"${flaggedCands.size} provisionally flagged (min-of-2) + " +
+          s"${cands.size - flaggedCands.size} watchdog-capped")
+      pass("retry", cands, errRetry, retryDeadlineS, capped = cappedRetry)
+    }
     val warm: Map[String, Double] = warmFirst.map { case (n, v) =>
       n -> math.min(v, retried.getOrElse(n, v))
-    }
+    } ++ (retried -- warmFirst.keySet) // capped-in-warm lanes price at their retry sample
+    // capped in the warm pass and STILL unpriced after the retry pass
+    // (capped again, errored, or deadline-skipped): keeps its baseline
+    // prior, excluded from totals, listed + flagged (capped:true) below
+    val cappedUnresolved: Seq[String] =
+      cappedWarm.distinct.filterNot(warm.contains).toSeq.sorted
 
     val calibMs = calibrate()
     // whole-run host-contention summary: steal share of busy time
@@ -552,35 +682,40 @@ object Bench {
         prevWarm.get(name).filter(flagged(_, v))
           .map(p => (name, p, v, v / p))
       }.sortBy(-_._4)
-    // AUTO-ADJUDICATION (r13, hardened r14): the top non-failed flags
-    // get up to 3 extra ISOLATED passes right here, while the JVM is at
-    // its warmest — a one-sample flag on a loaded moment is
-    // indistinguishable from a plan regression without a re-run
-    // (r12: q112_k_anonymity flagged 18.2×, measured 1.55× isolated).
-    // The drill runs INSIDE its own reserve (it no longer vanishes on a
-    // budget-exhausted run — r13 shipped 54 ghost flags un-adjudicated
-    // for exactly that reason) and is bounded three ways: lanes whose
-    // prior exceeds 10 s are skipped, lanes whose MEASURED time this
-    // run exceeds 30 s are skipped (ADVICE r13: a genuine 50 s
-    // regression on a 10 s prior would otherwise cost ~450 s of
-    // re-runs), and the hard budget is re-checked before EVERY isolated
-    // pass — a slow lane can overrun once, not thrice.
+    // AUTO-ADJUDICATION (r13, hardened r14, re-aimed r15): the top
+    // non-failed flags BY RATIO get up to 3 extra ISOLATED passes right
+    // here, while the JVM is at its warmest — a one-sample flag on a
+    // loaded moment is indistinguishable from a plan regression without
+    // a re-run (r12: q112_k_anonymity flagged 18.2×, measured 1.55×
+    // isolated). The drill runs INSIDE its own reserve (it no longer
+    // vanishes on a budget-exhausted run — r13 shipped 54 ghost flags
+    // un-adjudicated for exactly that reason). Cost is bounded by
+    // CANCELLING each isolated pass at 30 s via the watchdog, NOT by
+    // excluding expensive candidates (r14 capped candidate selection at
+    // now≤30 s, so the scariest flags — 166× sim_ann_ivf — shipped
+    // un-drilled while mid-tier flags got the reserve); the hard budget
+    // is still re-checked before EVERY isolated pass. Each drill is
+    // bracketed with /proc/stat samples and emits iso_steal_pct next to
+    // iso_ratio (ADVICE r14: a steal burst during the drill can make a
+    // ghost read as confirmed with no contention evidence).
+    val adjudSteal = scala.collection.mutable.Map.empty[String, Double]
     val adjud: Map[String, Double] = regressions
-      .filter(r => !r._4.isInfinity && r._2 <= 10.0 && r._3 <= 30.0).take(3)
+      .filter(r => !r._4.isInfinity).take(3)
       .flatMap { case (name, p, _, _) =>
+        val j0 = cpuJiffies()
         val samples = (1 to 3).flatMap { _ =>
-          if (elapsedS > budgetS) None else {
-            val t0 = System.nanoTime()
-            try { force(benchQueries(name)(spark, sfDir))
-              Some((System.nanoTime() - t0) / 1e9)
-            } catch { case _: Throwable => None }
-          }
+          if (elapsedS > budgetS) None else
+            watched(s"adjud-$name", 30.0)(
+              force(benchQueries(name)(spark, sfDir)))._1.toOption
         }
+        val st = stealShare(j0, cpuJiffies())
+        if (st >= 0) adjudSteal(name) = st
         if (samples.isEmpty) None else {
           val m = median(samples)
           System.err.println(
             f"[bench:adjudicate] $name prev=${p}%.2fs iso-median=${m}%.2fs " +
-              f"(${m / p}%.2fx isolated, ${samples.size} passes)")
+              f"(${m / p}%.2fx isolated, ${samples.size} passes, " +
+              f"iso steal ${st}%.1f%%)")
           Some(name -> m)
         }
       }.toMap
@@ -590,20 +725,46 @@ object Bench {
       else {
         val iso = adjud.get(n).map(m =>
           s""","iso_now":${r3(m)},"iso_ratio":${r3(m / p)}""").getOrElse("")
+        val isoSt = adjudSteal.get(n).map(s =>
+          s""","iso_steal_pct":${r3(s)}""").getOrElse("")
         val ls = laneSteal.get(n).map(s =>
           s""","lane_steal_pct":${r3(s)}""").getOrElse("")
-        s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)},"failed":false$iso$ls}"""
+        s"""{"q":"$n","prev":${r3(p)},"now":${r3(v)},"ratio":${r3(r)},"failed":false$iso$isoSt$ls}"""
       }
-    val regJson = regressions.map((regEntry _).tupled).mkString("[", ",", "]")
+    // a lane capped in BOTH passes never priced: if it has a prior it
+    // ran ≥50× over it twice — either sustained contention or a real
+    // regression, and either way the artifact must carry a flag entry
+    // (capped:true, the numeric ratio sentinel -1; distinct from
+    // failed:true, which means the query THREW)
+    val cappedEntries = cappedUnresolved.flatMap(n => prevWarm.get(n).map { p =>
+      val ls = laneSteal.get(n).map(s =>
+        s""","lane_steal_pct":${r3(s)}""").getOrElse("")
+      s"""{"q":"$n","prev":${r3(p)},"now":null,"ratio":-1,"failed":false,"capped":true$ls}"""
+    })
+    val regJson = (regressions.map((regEntry _).tupled) ++ cappedEntries)
+      .mkString("[", ",", "]")
+    // stderr flag lines: a contended run prints hundreds of ghost flags
+    // that bury the signal a human needs — suppress lines whose lane
+    // measured >40% steal (self-describing contention; the full entry
+    // still goes to bench_out.json) and print one summary count instead
+    var suppressed = 0
     if (regressions.nonEmpty) regressions.foreach { case (n, p, v, r) =>
       if (r.isInfinity)
         System.err.println(f"[bench:regression] $n warm ${p}%.2fs -> FAILED")
+      else if (laneSteal.get(n).exists(_ > 40.0)) suppressed += 1
       else {
         val st = laneSteal.get(n).map(s => f" (lane steal ${s}%.1f%%)").getOrElse("")
         System.err.println(
           f"[bench:regression] $n warm ${p}%.2fs -> ${v}%.2fs (${r}%.2fx)$st")
       }
     }
+    if (suppressed > 0) System.err.println(
+      s"[bench:regression] $suppressed more flags with lane steal > 40% " +
+        "suppressed from stderr (contention, not code — full entries in " +
+        "the regressions array of bench_out.json)")
+    cappedUnresolved.foreach(n => System.err.println(
+      s"[bench:capped] $n hit the watchdog cap in BOTH passes — unpriced, " +
+        "keeps its baseline prior (see capped_unresolved)"))
     def fmt(m: Map[String, Double], keys: Iterable[String]) =
       keys.flatMap(k => m.get(k).map(v => "\"" + k + "\":" + r3(v)))
         .mkString("{", ",", "}")
@@ -650,9 +811,23 @@ object Bench {
     // "queries_warm" (the key parseBaseline's readWarm(outPath)
     // fallback and subset-run tooling grep for — dropping it would make
     // the fallback path refuse loudly on a fresh checkout).
+    // both retry samples, auditable (ADVICE r14: min-of-2 pricing lets a
+    // genuine borderline regression escape whenever variance drops one
+    // sample under 1.5× — recording first+retry makes a persistent
+    // near-threshold lane visible across rounds; "first":null = the lane
+    // was watchdog-capped in the warm pass and has only its retry sample)
+    val retriesJson = retried.toSeq.sortBy(_._1).map { case (n, r) =>
+      val first = warmFirst.get(n).map(r3).getOrElse("null")
+      s""""$n":{"first":$first,"retry":${r3(r)}}"""
+    }.mkString("{", ",", "}")
     val warmJson = fmt(warm, warm.keys.toSeq.sorted)
+    // bench_schema marks the r14 key migration ("queries" = warm medians,
+    // cold moved to "queries_cold") plus the r15 additions — external
+    // tooling reading pre-r14 keys should check it instead of silently
+    // getting the wrong lane; "errors_warm" stays as an alias of
+    // "errors" for old consumers (ADVICE r14)
     val fullJson =
-      s"""{"metric":"total_warm","value":${r3(totalWarm)},"unit":"sec","queries":$warmJson,"queries_warm":$warmJson,"total_warm":${r3(totalWarm)},"cold_scope":"headline","cold_total":${r3(total)},"cold_skipped_high_steal":$coldSkippedHighSteal,"queries_cold":${fmt(results, results.keys.toSeq.sorted)},"n_warm_priced":${warm.size},"baseline_sum_priced":${r3(baselineSumPriced)},"warm_sum_priced":${r3(warmSumPriced)},"warm_vs_baseline":${r3(warmVsBaseline)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"n_retried":${retried.size},"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"warmup_steal_pct":${r3(warmupStealPct)},"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_retry":${fmtE(errRetry.distinct.toSeq)},"budget_s":${r3(budgetS)},"adjud_reserve_s":${r3(adjudReserveS)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"skipped":${fmtE(skipped)},"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_warm","value":${r3(totalWarm)},"unit":"sec","bench_schema":2,"queries":$warmJson,"queries_warm":$warmJson,"total_warm":${r3(totalWarm)},"cold_scope":"headline","cold_total":${r3(total)},"cold_skipped_high_steal":$coldSkippedHighSteal,"queries_cold":${fmt(results, results.keys.toSeq.sorted)},"n_warm_priced":${warm.size},"baseline_sum_priced":${r3(baselineSumPriced)},"warm_sum_priced":${r3(warmSumPriced)},"warm_vs_baseline":${r3(warmVsBaseline)},"tier_stream_cold":${r3(streamCold)},"tier_stream_warm":${r3(streamWarm)},"warm_passes":$warmPasses,"n_retried":${retried.size},"retries":$retriesJson,"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"warmup_steal_pct":${r3(warmupStealPct)},"n_queries":${benchQueries.size},"n_failed":${failed.length},"errors":${fmtE(failed)},"errors_warm":${fmtE(failed)},"errors_cold":${fmtE(errCold.distinct.toSeq)},"errors_retry":${fmtE(errRetry.distinct.toSeq)},"budget_s":${r3(budgetS)},"adjud_reserve_s":${r3(adjudReserveS)},"retry_reserve_s":${r3(retryReserveS)},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"skipped":${fmtE(skipped)},"n_capped":${cappedWarm.distinct.size},"capped":${fmtE(cappedWarm.distinct.toSeq.sorted)},"capped_unresolved":${fmtE(cappedUnresolved)},"regressions":$regJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullJson + "\n").getBytes("UTF-8"))
@@ -701,7 +876,7 @@ object Bench {
     // still parsed:null; a small line is the cheapest remaining lever
     // against whatever the driver's tail/parse window is.
     val json =
-      s"""{"metric":"total_warm","value":${r3(totalWarm)},"unit":"sec","queries":${fmt(warm, headline.take(6))},"total_warm":${r3(totalWarm)},"cold_total":${r3(total)},"n_queries":${benchQueries.size},"n_warm_priced":${warm.size},"baseline_sum_priced":${r3(baselineSumPriced)},"warm_vs_baseline":${r3(warmVsBaseline)},"warm_passes":$warmPasses,"n_retried":${retried.size},"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"n_failed":${failed.length},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total_warm","value":${r3(totalWarm)},"unit":"sec","queries":${fmt(warm, headline.take(6))},"total_warm":${r3(totalWarm)},"cold_total":${r3(total)},"n_queries":${benchQueries.size},"n_warm_priced":${warm.size},"baseline_sum_priced":${r3(baselineSumPriced)},"warm_vs_baseline":${r3(warmVsBaseline)},"warm_passes":$warmPasses,"n_retried":${retried.size},"n_capped":${cappedWarm.distinct.size},"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"n_failed":${failed.length},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
     println(json)
     spark.stop()
     // re-printed AFTER spark.stop(): the driver keeps only the TAIL of

@@ -174,16 +174,34 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(Bench.pricedPriorSum(Seq("a", "unknown"), priors) === 0.3)
   }
 
-  test("jiffiesOf excludes guest columns from the busy total") {
+  test("jiffiesOf excludes guest columns and counts iowait as idle-like") {
     // proc(5): guest/guest_nice (columns 9-10) are ALREADY included in
     // user/nice — summing them double-counts guest time and understates
     // the steal share, which could slip a >30%-steal epoch under the
-    // warmup cold-skip threshold. Synthetic line with nonzero guest:
+    // warmup cold-skip threshold. iowait (column 5) is WAIT time, not
+    // work (ADVICE r14): counting it busy diluted the steal denominator
+    // on I/O-heavy stretches — it joins idle in the middle element so
+    // stealShare's busy = dTotal - dIdleLike excludes it. Synthetic
+    // line with nonzero guest AND iowait:
     //            user nice sys idle iowait irq softirq steal guest gn
     val line = "cpu  100  10   30  500  5      1   2       40    77   7"
-    val (total, idle, steal) = Bench.jiffiesOf(line)
-    assert(total === 688L) // first 8 columns only — not 772
-    assert(idle === 500L && steal === 40L)
+    val (total, idleLike, steal) = Bench.jiffiesOf(line)
+    assert(total === 688L)    // first 8 columns only — not 772
+    assert(idleLike === 505L) // idle + iowait — not 500
+    assert(steal === 40L)
+  }
+
+  test("laneCapS: 50x prior clamped to [5s, 30s]; no prior -> 30s ceiling") {
+    // r15 watchdog: one host pause stranding one lane must not eat the
+    // budget 50 other lanes needed (r14: 83.9s burned on a 0.505s
+    // prior). 50x is far above any honest regression worth measuring to
+    // completion; the 5s floor keeps sub-100ms scheduling noise from
+    // tripping the cancel; unknown/zero prior gets the ceiling.
+    assert(Bench.laneCapS(Some(0.2)) === 10.0)  // 50x in band
+    assert(Bench.laneCapS(Some(0.05)) === 5.0)  // floor
+    assert(Bench.laneCapS(Some(5.0)) === 30.0)  // ceiling
+    assert(Bench.laneCapS(None) === 30.0)       // no prior
+    assert(Bench.laneCapS(Some(0.0)) === 30.0)  // zero prior = unusable
   }
 
   test("flagged predicate: >1.5x over a >50ms prior, shared by gate and retry") {

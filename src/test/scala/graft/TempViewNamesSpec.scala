@@ -14,24 +14,57 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TempViewNamesSpec extends AnyFunSuite {
 
-  test("each temp-view name has exactly one registration site in src/main") {
-    import scala.jdk.CollectionConverters._
+  import scala.jdk.CollectionConverters._
+
+  private def srcFiles: Seq[(java.nio.file.Path, String)] = {
     val root = java.nio.file.Paths.get("src/main/scala")
-    val re = """createOrReplaceTempView\("([^"]+)"\)""".r
     // Files.walk holds open directory handles until closed (javadoc
     // requires try-with-resources) — Using closes it even on assertion
     // throw, instead of leaking handles in the long-lived sbt test JVM
-    val sites: Seq[(String, String)] =
-      scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
-        stream.iterator().asScala
-          .filter(_.toString.endsWith(".scala")).toSeq
-      }.flatMap { p =>
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        re.findAllMatchIn(txt).map(m => m.group(1) -> p.toString).toSeq
-      }
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
+      stream.iterator().asScala
+        .filter(_.toString.endsWith(".scala")).toSeq
+    }.map(p => p -> new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+  }
+
+  private def assertOneSite(sites: Seq[(String, String)], kind: String): Unit = {
     val dups = sites.groupBy(_._1).filter(_._2.size > 1)
     assert(dups.isEmpty,
-      s"temp-view names registered from multiple sites (concurrent-lane " +
+      s"$kind registered from multiple sites (concurrent-lane " +
         s"race risk): ${dups.map { case (n, s) => s"$n -> ${s.map(_._2)}" }}")
+  }
+
+  test("each temp-view name has exactly one registration site in src/main") {
+    val re = """createOrReplaceTempView\("([^"]+)"\)""".r
+    assertOneSite(srcFiles.flatMap { case (p, txt) =>
+      re.findAllMatchIn(txt).map(m => m.group(1) -> p.toString).toSeq
+    }, "temp-view names")
+  }
+
+  test("each TEMPORARY FUNCTION name has exactly one registration site") {
+    // ADVICE r14: CREATE OR REPLACE TEMPORARY FUNCTION registrations
+    // are session-global with the identical concurrent-lane race shape
+    // as temp views — two lanes re-registering the same function name
+    // is safe only while both bodies happen to be identical
+    val re =
+      """CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+FUNCTION\s+(\w+)""".r
+    assertOneSite(srcFiles.flatMap { case (p, txt) =>
+      re.findAllMatchIn(txt).map(m => m.group(1) -> p.toString).toSeq
+    }, "TEMPORARY FUNCTION names")
+  }
+
+  test("no non-literal createOrReplaceTempView call site exists") {
+    // a dynamically-built view name escapes the one-site scan above —
+    // every call must pass a string literal so the invariant stays
+    // statically checkable
+    val anyCall = """createOrReplaceTempView\(""".r
+    val literalCall = """createOrReplaceTempView\("[^"]+"\)""".r
+    srcFiles.foreach { case (p, txt) =>
+      val total = anyCall.findAllMatchIn(txt).size
+      val literal = literalCall.findAllMatchIn(txt).size
+      assert(total === literal,
+        s"$p has ${total - literal} createOrReplaceTempView call(s) with a " +
+          "non-literal view name — unscannable by the one-site invariant")
+    }
   }
 }
