@@ -44,9 +44,13 @@ import org.apache.spark.sql.SparkSession
   *     handed to the retry pass; capped in BOTH passes → it keeps its
   *     baseline prior and is listed under "capped_unresolved" with a
   *     regression entry (capped:true) — never silently dropped.
-  *     Streaming lanes run their jobs on stream-execution threads the
-  *     job group does not reach, so for them the watchdog is a no-op
-  *     by design (their samples are kept even if the timer fired);
+  *     Streaming lanes run their micro-batch jobs on stream-execution
+  *     threads the thread-local job group does not reach, so the
+  *     cancel cannot shorten the stream itself — but the AndFutureJobs
+  *     ban DOES kill the lane's subsequent driver-side batch jobs, so
+  *     a stranded streaming lane still classifies as capped (after
+  *     paying its natural stream cost) and re-prices in the retry
+  *     pass rather than writing the stranded sample into the totals;
   *   - a failed query contributes NO timing anywhere (an early throw
   *     would masquerade as a fast run and deflate the totals); it is
   *     listed in the errors arrays and counted in n_failed, and totals
@@ -132,18 +136,39 @@ object Bench {
       priors)
 
   /** Per-lane watchdog cap in seconds: a lane's warm sample may run at
-    * most 50× its prior, clamped to [5 s, 30 s]; a lane with no usable
-    * prior gets the 30 s ceiling. Rationale (r15): in the r14 driver
-    * run one host pause let sim_ann_ivf (0.505 s prior) burn 83.9 s —
-    * 8% of the entire budget — while 59 lanes went unpriced. 50× is far
-    * above any honest regression worth measuring to completion (the
-    * gate flags at 1.5×), and the 5 s floor keeps scheduling noise on
-    * sub-100 ms lanes from tripping the cancel. BenchBaselineSpec pins
-    * the clamps.
+    * most 50× its prior, clamped to [5 s, 30 s]. Rationale (r15): in
+    * the r14 driver run one host pause let sim_ann_ivf (0.505 s prior)
+    * burn 83.9 s — 8% of the entire budget — while 59 lanes went
+    * unpriced. 50× is far above any honest regression worth measuring
+    * to completion (the gate flags at 1.5×), and the 5 s floor keeps
+    * scheduling noise on sub-100 ms lanes from tripping the cancel. A
+    * lane with NO usable prior gets a generous 120 s: without a prior
+    * there is no evidence that any particular runtime is anomalous,
+    * and a 30 s ceiling would permanently blind the harness to a
+    * legitimately-slow NEW lane (capped in warm, capped in retry,
+    * never priced, never gains a prior — review r15). 120 s is 15×
+    * the heaviest current prior, pause-lottery territory only.
+    * BenchBaselineSpec pins the clamps.
     */
   private[graft] def laneCapS(prior: Option[Double]): Double =
     prior.filter(_ > 0)
-      .map(p => math.min(30.0, math.max(5.0, 50.0 * p))).getOrElse(30.0)
+      .map(p => math.min(30.0, math.max(5.0, 50.0 * p))).getOrElse(120.0)
+
+  /** True when `e`'s chain reads as a Spark job-cancellation — the
+    * watchdog's cancel reason or Spark's own "cancelled" wording.
+    * The capped/failed classification must NOT trust the timer flag
+    * alone: a lane can blow its cap AND then die of a genuine error
+    * (review r15 — with `fired` as the only test, a real failure in a
+    * slow lane was silently booked as a budget decision and vanished
+    * from errors/n_failed).
+    */
+  private[graft] def isCancellation(e: Throwable): Boolean = {
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    msgs.contains("bench watchdog cap") ||
+      msgs.toLowerCase.contains("cancelled") ||
+      msgs.toLowerCase.contains("canceled")
+  }
 
   /** Run `body` (Spark jobs submitted from THIS thread) under a
     * watchdog that cancels its job group at `capS` seconds. Returns
@@ -159,10 +184,16 @@ object Bench {
     * The group id is unique per invocation, so banning its future jobs
     * can never leak into another lane. Jobs submitted from OTHER
     * threads (streaming micro-batch executors) are outside the
-    * thread-local job group, so for those the cancel is a structural
-    * no-op and a completed sample comes back Right regardless of
-    * `fired` — the caller never discards a successful result.
-    * BenchWatchdogSpec pins the cancel, fast-body and own-error paths.
+    * thread-local job group, so the cancel cannot shorten a running
+    * stream — the lane pays its natural stream cost, and then the ban
+    * kills its next DRIVER-side batch job, so a stranded streaming
+    * lane comes back Left(cancel) after the fact and re-prices in the
+    * retry pass (the budget saving applies to batch lanes; for
+    * streaming lanes the watchdog only keeps the stranded sample out
+    * of the totals). A body that finishes with no further jobs after
+    * the timer still returns Right — `fired` alone never discards a
+    * completed sample. BenchWatchdogSpec pins the cancel, fast-body
+    * and own-error paths.
     */
   private[graft] def underWatchdog(
       sc: org.apache.spark.SparkContext,
@@ -448,8 +479,13 @@ object Bench {
     // graded 12.7×; the same engine measured 1.70× whenever retry
     // fired). The warm deadline shrinks by the reserve; the retry pass
     // runs until budget − adjudReserve even when warm exhausted its
-    // own deadline.
-    val retryReserveS = math.min(120.0, 0.15 * budgetS)
+    // own deadline. Multi-pass runs disable the flag-retry (medians
+    // already absorb single pauses), so their reserve shrinks to a
+    // watchdog-capped-lanes-only slice instead of idling 120 s of warm
+    // pricing time.
+    val retryReserveS =
+      if (warmPasses > 1) math.min(30.0, 0.05 * budgetS)
+      else math.min(120.0, 0.15 * budgetS)
     val passBudgetS = budgetS - adjudReserveS - retryReserveS
     val retryDeadlineS = budgetS - adjudReserveS
     val tStart = System.nanoTime()
@@ -566,13 +602,17 @@ object Bench {
               s""""heap_mb_after":${a.heapUsedMb},"codecache_mb_after":${a.codeCacheMb}}"""
           }
           Some(name -> sec)
-        case Left(e) if fired && capped != null =>
+        case Left(e) if fired && capped != null && isCancellation(e) =>
           capped += name
           System.err.println(
             f"[bench:$tag] $name watchdog-capped at ${capS}%.1f s " +
               f"(prior ${prevWarm.getOrElse(name, 0.0)}%.3f s) — no sample taken")
           None
         case Left(e) =>
+          // a genuine query error — even when the timer had also fired
+          // (a slow lane can blow its cap AND then die of a real
+          // failure; the error must reach errors/n_failed, not be
+          // silently booked as a budget decision)
           errors += name
           System.err.println(s"[bench:$tag] $name failed: ${e.getMessage}")
           None
@@ -703,15 +743,30 @@ object Bench {
       .filter(r => !r._4.isInfinity).take(3)
       .flatMap { case (name, p, _, _) =>
         val j0 = cpuJiffies()
-        val samples = (1 to 3).flatMap { _ =>
-          if (elapsedS > budgetS) None else
-            watched(s"adjud-$name", 30.0)(
-              force(benchQueries(name)(spark, sfDir)))._1.toOption
+        // up to 3 isolated passes, stopping at the FIRST capped pass:
+        // a lane whose true isolated runtime exceeds the 30 s drill cap
+        // would be cancelled deterministically three times, burning the
+        // whole reserve for zero samples and starving the other top
+        // flags (review r15) — one cancel proves the next two
+        val samples = scala.collection.mutable.ListBuffer.empty[Double]
+        var drillCapped = false
+        var i = 0
+        while (i < 3 && !drillCapped && elapsedS <= budgetS) {
+          val (res, fired) = watched(s"adjud-$name", 30.0)(
+            force(benchQueries(name)(spark, sfDir)))
+          res match {
+            case Right(sec) => samples += sec
+            case Left(e) => if (fired && isCancellation(e)) drillCapped = true
+          }
+          i += 1
         }
         val st = stealShare(j0, cpuJiffies())
         if (st >= 0) adjudSteal(name) = st
+        if (drillCapped) System.err.println(
+          s"[bench:adjudicate] $name isolated pass hit the 30 s drill cap " +
+            s"after ${samples.size} sample(s) — drill stopped early")
         if (samples.isEmpty) None else {
-          val m = median(samples)
+          val m = median(samples.toSeq)
           System.err.println(
             f"[bench:adjudicate] $name prev=${p}%.2fs iso-median=${m}%.2fs " +
               f"(${m / p}%.2fx isolated, ${samples.size} passes, " +
@@ -733,14 +788,16 @@ object Bench {
       }
     // a lane capped in BOTH passes never priced: if it has a prior it
     // ran ≥50× over it twice — either sustained contention or a real
-    // regression, and either way the artifact must carry a flag entry
-    // (capped:true, the numeric ratio sentinel -1; distinct from
-    // failed:true, which means the query THREW)
-    val cappedEntries = cappedUnresolved.flatMap(n => prevWarm.get(n).map { p =>
+    // regression — and a NEW lane (no prior, "prev":null) overran the
+    // 120 s no-prior ceiling twice; either way the artifact must carry
+    // a flag entry (capped:true, the numeric ratio sentinel -1;
+    // distinct from failed:true, which means the query THREW)
+    val cappedEntries = cappedUnresolved.map { n =>
+      val prev = prevWarm.get(n).map(r3).getOrElse("null")
       val ls = laneSteal.get(n).map(s =>
         s""","lane_steal_pct":${r3(s)}""").getOrElse("")
-      s"""{"q":"$n","prev":${r3(p)},"now":null,"ratio":-1,"failed":false,"capped":true$ls}"""
-    })
+      s"""{"q":"$n","prev":$prev,"now":null,"ratio":-1,"failed":false,"capped":true$ls}"""
+    }
     val regJson = (regressions.map((regEntry _).tupled) ++ cappedEntries)
       .mkString("[", ",", "]")
     // stderr flag lines: a contended run prints hundreds of ghost flags
@@ -876,7 +933,7 @@ object Bench {
     // still parsed:null; a small line is the cheapest remaining lever
     // against whatever the driver's tail/parse window is.
     val json =
-      s"""{"metric":"total_warm","value":${r3(totalWarm)},"unit":"sec","queries":${fmt(warm, headline.take(6))},"total_warm":${r3(totalWarm)},"cold_total":${r3(total)},"n_queries":${benchQueries.size},"n_warm_priced":${warm.size},"baseline_sum_priced":${r3(baselineSumPriced)},"warm_vs_baseline":${r3(warmVsBaseline)},"warm_passes":$warmPasses,"n_retried":${retried.size},"n_capped":${cappedWarm.distinct.size},"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"n_failed":${failed.length},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"n_regressions":${regressions.length},"detail":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total_warm","value":${r3(totalWarm)},"unit":"sec","queries":${fmt(warm, headline.take(6))},"total_warm":${r3(totalWarm)},"cold_total":${r3(total)},"n_queries":${benchQueries.size},"n_warm_priced":${warm.size},"baseline_sum_priced":${r3(baselineSumPriced)},"warm_vs_baseline":${r3(warmVsBaseline)},"warm_passes":$warmPasses,"n_retried":${retried.size},"n_capped":${cappedWarm.distinct.size},"calib_ms":$calibMs,"steal_pct":${r3(stealPct)},"n_failed":${failed.length},"budget_exceeded":$budgetExceeded,"n_skipped":${skipped.length},"n_regressions":${regressions.length + cappedEntries.length},"detail":"$outPath","sf":"$sfDir"}"""
     println(json)
     spark.stop()
     // re-printed AFTER spark.stop(): the driver keeps only the TAIL of

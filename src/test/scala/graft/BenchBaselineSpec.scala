@@ -191,17 +191,33 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(steal === 40L)
   }
 
-  test("laneCapS: 50x prior clamped to [5s, 30s]; no prior -> 30s ceiling") {
+  test("laneCapS: 50x prior clamped to [5s, 30s]; no prior -> generous 120s") {
     // r15 watchdog: one host pause stranding one lane must not eat the
     // budget 50 other lanes needed (r14: 83.9s burned on a 0.505s
     // prior). 50x is far above any honest regression worth measuring to
     // completion; the 5s floor keeps sub-100ms scheduling noise from
-    // tripping the cancel; unknown/zero prior gets the ceiling.
-    assert(Bench.laneCapS(Some(0.2)) === 10.0)  // 50x in band
-    assert(Bench.laneCapS(Some(0.05)) === 5.0)  // floor
-    assert(Bench.laneCapS(Some(5.0)) === 30.0)  // ceiling
-    assert(Bench.laneCapS(None) === 30.0)       // no prior
-    assert(Bench.laneCapS(Some(0.0)) === 30.0)  // zero prior = unusable
+    // tripping the cancel. A lane with NO prior gets 120s, NOT the 30s
+    // ceiling: a legitimately-slow new lane under a 30s cap would be
+    // capped in warm AND retry forever — never priced, never gaining
+    // the prior that would size its cap honestly.
+    assert(Bench.laneCapS(Some(0.2)) === 10.0)   // 50x in band
+    assert(Bench.laneCapS(Some(0.05)) === 5.0)   // floor
+    assert(Bench.laneCapS(Some(5.0)) === 30.0)   // ceiling
+    assert(Bench.laneCapS(None) === 120.0)       // no prior
+    assert(Bench.laneCapS(Some(0.0)) === 120.0)  // zero prior = unusable
+  }
+
+  test("isCancellation: watchdog/Spark cancel wording anywhere in the chain") {
+    // the capped/failed classification must not trust the timer flag
+    // alone — a slow lane can blow its cap AND then die of a genuine
+    // error, which must reach errors/n_failed (review r15)
+    assert(Bench.isCancellation(
+      new RuntimeException("Job 7 cancelled: bench watchdog cap 30.0s")))
+    assert(Bench.isCancellation(new RuntimeException("outer",
+      new RuntimeException("Job 3 was cancelled"))))
+    assert(!Bench.isCancellation(
+      new RuntimeException("FileNotFoundException: shard-0007.parquet")))
+    assert(!Bench.isCancellation(new RuntimeException()))  // null message
   }
 
   test("flagged predicate: >1.5x over a >50ms prior, shared by gate and retry") {

@@ -45,12 +45,28 @@ class TempViewNamesSpec extends AnyFunSuite {
     // ADVICE r14: CREATE OR REPLACE TEMPORARY FUNCTION registrations
     // are session-global with the identical concurrent-lane race shape
     // as temp views — two lanes re-registering the same function name
-    // is safe only while both bodies happen to be identical
+    // is safe only while both bodies happen to be identical. SQL is
+    // case-insensitive, so the scan is too; names are folded to lower
+    // case so `Foo` and `foo` count as the same function.
     val re =
-      """CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+FUNCTION\s+(\w+)""".r
+      """(?i)CREATE\s+OR\s+REPLACE\s+TEMPORARY\s+FUNCTION\s+(\w+)""".r
     assertOneSite(srcFiles.flatMap { case (p, txt) =>
-      re.findAllMatchIn(txt).map(m => m.group(1) -> p.toString).toSeq
+      re.findAllMatchIn(txt)
+        .map(m => m.group(1).toLowerCase -> p.toString).toSeq
     }, "TEMPORARY FUNCTION names")
+  }
+
+  test("no TEMPORARY FUNCTION registration uses an interpolated name") {
+    // a dynamically-built function name ($name / ${...}) escapes the
+    // one-site scan above the same way a non-literal view name would —
+    // require the token after FUNCTION to be a plain identifier
+    val interp =
+      """(?i)TEMPORARY\s+FUNCTION\s+[$]""".r
+    srcFiles.foreach { case (p, txt) =>
+      assert(interp.findFirstIn(txt).isEmpty,
+        s"$p registers a TEMPORARY FUNCTION with an interpolated name — " +
+          "unscannable by the one-site invariant")
+    }
   }
 
   test("no non-literal createOrReplaceTempView call site exists") {
