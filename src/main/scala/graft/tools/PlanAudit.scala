@@ -85,9 +85,15 @@ object PlanAudit {
       // micro-batch plan (StateStoreSave), no join machinery
       "stream_append_windows" -> Seq(
         ("stateful-agg", m => m("stateOps") >= 1 && m("smj") == 0)),
-      // all profile aggregates fuse into ONE scan (multi-distinct
-      // Expand), not one pass per column
-      "q74_dq_profile" -> Seq(("single-scan", m => m("scans") == 1)),
+      // r15 restructure: count/min/max in one plain scan + the exact
+      // distincts in one Expand-free explode-distinct scan (never one
+      // pass per column), joined back by broadcast — the multi-distinct
+      // Expand×6 → Sort → SortAggregate shape this replaced was the
+      // suite's most expensive batch lane (7.6 s → 2.1 s at sf0.1)
+      "q74_dq_profile" -> Seq(
+        ("no-expand-two-scan-broadcast",
+          m => m("expand") == 0 && m("scans") == 2 &&
+            m("bhj") >= 1 && m("smj") == 0)),
       // the approx twin's PRODUCTION scan has NO Expand (HLL sketches,
       // not multi-distinct); the second scan is the exact-bracket
       // verification pass, joined back by broadcast — never SMJ
