@@ -100,33 +100,88 @@ object KllSketch {
   /** Weighted-rank quantile estimates: all retained items sorted by
     * value, cumulative weight walked to ⌈p·W⌉ for each p. One
     * driver-side sort of ≤ K·levels items — bounded state by
-    * construction.
+    * construction. r15: primitive dual-array sort instead of an
+    * ArrayBuffer of boxed tuples — the q97b window calls this once per
+    * output row, and 4.5M boxed (Long, Long) allocations per lane were
+    * measurable GC churn. Ties need no stable order: equal values give
+    * the same output wherever the cumulative walk crosses the target.
     */
   def quantiles(b: Buf, ps: Array[Double]): Array[Long] = {
-    val items = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var total0 = 0
     var i = 0
+    while (i < b.levels.length) { total0 += b.levels(i).n; i += 1 }
+    if (total0 == 0) return ps.map(_ => 0L)
+    val vals = new Array[Long](total0)
+    val wts = new Array[Long](total0)
+    var k0 = 0
+    i = 0
     while (i < b.levels.length) {
       val w = 1L << i
       val lv = b.levels(i)
       var j = 0
-      while (j < lv.n) { items += ((lv.a(j), w)); j += 1 }
+      while (j < lv.n) { vals(k0) = lv.a(j); wts(k0) = w; k0 += 1; j += 1 }
       i += 1
     }
-    val sorted = items.sortBy(_._1)
-    if (sorted.isEmpty) return ps.map(_ => 0L)
-    val total = sorted.iterator.map(_._2).sum
+    dualSort(vals, wts, 0, total0 - 1)
+    var total = 0L
+    i = 0
+    while (i < total0) { total += wts(i); i += 1 }
     ps.map { p =>
       val tgt = p * total
       var cum = 0L
       var k = 0
-      var out = sorted.last._1
+      var out = vals(total0 - 1)
       var found = false
-      while (k < sorted.length && !found) {
-        cum += sorted(k)._2
-        if (cum >= tgt) { out = sorted(k)._1; found = true }
+      while (k < total0 && !found) {
+        cum += wts(k)
+        if (cum >= tgt) { out = vals(k); found = true }
         k += 1
       }
       out
+    }
+  }
+
+  /** In-place quicksort of `vals(lo..hi)` with `wts` permuted alongside
+    * (median-of-three pivot, insertion sort under 16). Unstable, which
+    * [[quantiles]] tolerates by construction.
+    */
+  private def dualSort(vals: Array[Long], wts: Array[Long],
+      lo0: Int, hi0: Int): Unit = {
+    @inline def swap(i: Int, j: Int): Unit = {
+      val tv = vals(i); vals(i) = vals(j); vals(j) = tv
+      val tw = wts(i); wts(i) = wts(j); wts(j) = tw
+    }
+    var stack = List((lo0, hi0))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.head
+      stack = stack.tail
+      if (hi - lo < 16) {
+        var i = lo + 1
+        while (i <= hi) {
+          val v = vals(i); val w = wts(i)
+          var j = i - 1
+          while (j >= lo && vals(j) > v) {
+            vals(j + 1) = vals(j); wts(j + 1) = wts(j); j -= 1
+          }
+          vals(j + 1) = v; wts(j + 1) = w
+          i += 1
+        }
+      } else {
+        val mid = lo + (hi - lo) / 2
+        if (vals(mid) < vals(lo)) swap(mid, lo)
+        if (vals(hi) < vals(lo)) swap(hi, lo)
+        if (vals(hi) < vals(mid)) swap(hi, mid)
+        val pivot = vals(mid)
+        var i = lo
+        var j = hi
+        while (i <= j) {
+          while (vals(i) < pivot) i += 1
+          while (vals(j) > pivot) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (lo < j) stack = (lo, j) :: stack
+        if (i < hi) stack = (i, hi) :: stack
+      }
     }
   }
 
@@ -185,15 +240,45 @@ object KllSketch {
     val parity = a(0).toInt
     val nl = a(1).toInt
     var i = 2
+    // capacity = max(n, 8), not K: Level.add grows by doubling, so a
+    // small initial capacity only costs a copy if the level actually
+    // fills — while the old flat K=512 allocation per level per sketch
+    // made the q97b per-row 31-sketch merge allocate ~127 KB of zeroed
+    // longs per OUTPUT ROW (measured 2.3 s of the lane's 6.2 s)
     val levels = Array.fill(nl) {
       val n = a(i).toInt
       i += 1
-      val arr = new Array[Long](math.max(n, K))
+      val arr = new Array[Long](math.max(n, 8))
       System.arraycopy(a, i, arr, 0, n)
       i += n
       Level(arr, n)
     }
     Buf(levels, parity)
+  }
+
+  /** Merge a FLAT-encoded sketch (the [[toLongs]] layout) directly into
+    * `a` — byte-for-byte the same level-wise concatenation +
+    * single-compaction law as `merge(a, fromLongs(flat))`, with no
+    * intermediate Level allocations. The hot path of the q97b windowed
+    * merge (≤31 flat sketches per output row).
+    */
+  def mergeLongs(a: Buf, flat: Array[Long]): Buf = {
+    val nl = flat(1).toInt
+    var i = 0
+    var p = 2
+    while (i < nl) {
+      if (i == a.levels.length)
+        a.levels = a.levels :+ Level(new Array[Long](K), 0)
+      val n = flat(p).toInt
+      p += 1
+      val dst = a.levels(i)
+      var j = 0
+      while (j < n) { dst.add(flat(p + j)); j += 1 }
+      p += n
+      i += 1
+    }
+    compact(a)
+    a
   }
 
   /** Per-group partial sketch as `array<bigint>` (see [[toLongs]]) —
