@@ -45,9 +45,15 @@ object Analytics {
   private[operators] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val und = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    // r15 (guide §2.4, the q77 discipline): group-and-pair, not a
+    // self-join — one exchange of the two projected columns instead of
+    // two exchanges + two SMJ sorts of the fact table; identical
+    // ordered-pair set (orders are ≤7 items, so the per-group explode
+    // fan-out is bounded)
+    val und = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+      .select(explode(col("pks")).as("u"), col("pks"))
+      .select(col("u"), explode(col("pks")).as("v"))
+      .filter(col("u") < col("v"))
       .distinct()
     // Partition AND sort by the join key, then CACHE (not checkpoint):
     // an InMemoryTableScan reports the cached plan's outputPartitioning

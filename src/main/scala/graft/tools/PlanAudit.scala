@@ -125,13 +125,15 @@ object PlanAudit {
       // sides — the edge table is never reshuffled after its build, and
       // the ~100M-row wedge intermediate of the naive e1⋈e2⋈e3 form
       // never exists (that form measured 58 s at sf0.1; this one ~5 s).
-      // The edge build itself (the lineitem self-join) must be VISIBLE
-      // in the audited plan (≥3 joins total) and reused, not hidden
-      // behind a checkpoint where cart=0/bnlj=0 couldn't see it
+      // The edge build (r15: group-by-order + within-group pair
+      // explode, no self-join — guide §2.4) must stay IN the audited
+      // plan and be REUSED across its four consumers, not hidden behind
+      // a checkpoint where cart=0/bnlj=0 couldn't see it; the only
+      // joins left are the two adjacency broadcasts
       "q77_triangle_count" -> Seq(
         ("adjacency-broadcast", m => m("bhj") >= 2 && m("cart") == 0),
-        ("edge-build-audited-and-reused",
-          m => m("bhj") + m("smj") + m("shj") >= 3 && m("reused") >= 1)),
+        ("edge-build-grouped-and-reused",
+          m => m("smj") == 0 && m("reused") >= 1)),
       // z-order layout: the main scan plus the 2-column max-stats pass
       // (its one-row result scalar-attaches via broadcast); the Morton
       // projection stays inside whole-stage codegen — never a real join

@@ -32,6 +32,9 @@ object ScratchProbe {
       println(f"PROBE $tag%-28s median ${s(1)}%.3f s (min ${s(0)}%.3f max ${s(2)}%.3f)")
     }
 
+    val mode = sys.env.getOrElse("SCRATCH_MODE", "q97")
+    if (mode == "q77") { probeQ77(spark, dir, (t, f) => time(t)(f())); return }
+
     graft.Tables.orders(spark, dir).createOrReplaceTempView("v_orders_rm")
 
     time("q97_daily") { spark.sql(
@@ -154,5 +157,45 @@ object ScratchProbe {
     time("q97b_full") {
       graft.operators.Analytics3.registry
         .find(_.name == "q97b_rolling_median_kll").get.fn(spark, dir) }
+  }
+
+  private def probeQ77(spark: SparkSession, dir: String,
+      time0: (String, () => DataFrame) => Unit): Unit = {
+    def time(tag: String)(df: => DataFrame): Unit = time0(tag, () => df)
+    def li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    def edges = li.as("a").join(li.as("b"), col("a.ok") === col("b.ok")
+        && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+
+    time("q77_edges")(edges)
+
+    time("q77_edges_grouped") {
+      li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+        .select(explode(col("pks")).as("u"), col("pks"))
+        .select(col("u"), explode(col("pks")).as("v"))
+        .filter(col("u") < col("v"))
+        .distinct()
+    }
+
+    time("q77_adj") {
+      edges.groupBy(col("u").as("p"))
+        .agg(collect_list(col("v")).as("nbrs"))
+    }
+
+    time("q77_tri") {
+      val adj = edges.groupBy(col("u").as("p"))
+        .agg(collect_list(col("v")).as("nbrs"))
+      edges
+        .join(broadcast(adj.select(col("p").as("u"), col("nbrs").as("nu"))), Seq("u"))
+        .join(broadcast(adj.select(col("p").as("v"), col("nbrs").as("nv"))), Seq("v"))
+        .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+        .groupBy().agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
+    }
+
+    time("q77_full") {
+      graft.operators.Quality.registry
+        .find(_.name == "q77_triangle_count").get.fn(spark, dir) }
   }
 }
