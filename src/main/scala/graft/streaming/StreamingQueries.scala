@@ -213,7 +213,7 @@ object StreamingQueries {
     */
   private[graft] def runToMemory(spark: SparkSession, streamed: DataFrame,
       name: String, mode: String, checkpoint: Option[String] = None)
-      : DataFrame = {
+      : DataFrame = withStatePartitions(spark, StreamStatePartitions) {
     val w0 = streamed.writeStream
       .format("memory").queryName(name).outputMode(mode)
       .trigger(Trigger.AvailableNow())
@@ -810,17 +810,27 @@ object StreamingQueries {
     try f finally spark.conf.set(key, old)
   }
 
-  /** State partitions for the bench-scale stream-stream joins: ~50k
-    * watermark-bounded keys per side at sf0.1 — 8 partitions keeps
-    * every core busy at the data scale while quartering the per-trigger
-    * commit count vs the 32-way batch default.
+  /** State partitions for EVERY streaming lane (r15 — generalized from
+    * the r14 join-only knob): the per-trigger cost floor of a stateful
+    * query is state-store COMMITS × partitions, paid whether or not a
+    * partition saw data, so the partition count is a deployment knob
+    * sized to key cardinality and throughput — never inherited from the
+    * batch shuffle default. At the gate SFs every lane holds ≤~50k
+    * watermark-bounded keys; 8 partitions keeps all cores busy at that
+    * scale while quartering the per-trigger commit count vs the 32-way
+    * default (measured ~0.2–0.3 s/lane at sf0.1). At 100 TB with ~1e9
+    * keys this number goes UP (hundreds), which is why it is
+    * env-overridable: SPARK_GRAFT_STREAM_STATE_PARTITIONS. Applied
+    * centrally in [[runToMemory]] (state layout pins from this conf at
+    * query start), so every lane prices the same deliberate sizing.
     */
-  private val JoinStatePartitions = 8
+  private[graft] val StreamStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(8)
 
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark, JoinStatePartitions) {
-      streamStreamJoinInner(spark, dir)
-    }
+    streamStreamJoinInner(spark, dir)
 
   private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
     // ONE source stream split into both join sides by filtering — a
@@ -868,9 +878,7 @@ object StreamingQueries {
     * state never shrinks).
     */
   def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
-    withStatePartitions(spark, JoinStatePartitions) {
-      streamOuterJoinInner(spark, dir)
-    }
+    streamOuterJoinInner(spark, dir)
 
   private def streamOuterJoinInner(spark: SparkSession, dir: String): DataFrame = {
     val ev = MultiBatchFileSource(dir).stream(spark)
