@@ -67,11 +67,16 @@ object Quality {
     val stackExpr = s"stack(${ProfileCols.length}, " + ProfileCols.map {
       case (c, _) => s"'$c', nn_$c, mn_$c, mx_$c"
     }.mkString(", ") + ") AS (column_name, n_nonnull, min_value, max_value)"
+    // Left join: a column whose values are ALL null has no row in
+    // `exact` (the isNotNull filter drops everything) but must still
+    // report n_distinct = 0, matching the countDistinct form and the
+    // DuckDB oracle. An inner join would silently drop its profile row.
     row.select(col("n_rows"), expr(stackExpr))
-      .join(broadcast(exact), Seq("column_name"))
+      .join(broadcast(exact), Seq("column_name"), "left")
       .select(col("column_name"), col("n_rows"),
         (col("n_rows") - col("n_nonnull")).as("n_nulls"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
       .orderBy(col("column_name"))
   }
 

@@ -829,10 +829,7 @@ object StreamingQueries {
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ > 0).getOrElse(8)
 
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
-    streamStreamJoinInner(spark, dir)
-
-  private def streamStreamJoinInner(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     // ONE source stream split into both join sides by filtering — a
     // second eventsStream() call would register an independent file
     // source and scan the events files twice per micro-batch
@@ -877,10 +874,7 @@ object StreamingQueries {
     * left-outer stream join can never emit a null row at all (and its
     * state never shrinks).
     */
-  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame =
-    streamOuterJoinInner(spark, dir)
-
-  private def streamOuterJoinInner(spark: SparkSession, dir: String): DataFrame = {
+  def streamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = MultiBatchFileSource(dir).stream(spark)
     val signups = ev
       .filter(col("event_type") === "signup")
@@ -1254,23 +1248,6 @@ object StreamingQueries {
       |FROM est""".stripMargin
   }
 
-  /** State partitions for the windowed/dedup/TWS/CEP replay lanes:
-    * their key cardinality at bench scale is tiny (tens of windows x
-    * event types, thousands of users) while the cost driver is the
-    * per-TRIGGER commit of EVERY state partition — the round-8
-    * adjudication measured these lanes 2.1-2.5x inflated on a machine
-    * whose per-micro-batch fixed overhead doubled, while the already
-    * 8-partition join lanes stayed flat. 8 partitions quarters the
-    * commit count per trigger at zero parallelism cost at this data
-    * scale; at 1e9 keys the knob turns the other way (see
-    * [[withStatePartitions]]).
-    */
-  private val ReplayStatePartitions = 8
-
-  private def sized(fn: (SparkSession, String) => DataFrame)
-      : (SparkSession, String) => DataFrame =
-    (s, d) => withStatePartitions(s, ReplayStatePartitions)(fn(s, d))
-
   val registry: Seq[QueryDef] = Seq(
     // shares the batch twin's oracle verbatim: a stateless decode's
     // append output is batching-independent by construction
@@ -1287,9 +1264,9 @@ object StreamingQueries {
     // the post-drain decision sees the same whole-shard totals
     QueryDef("stream_forget", streamForget _,
       graft.operators.Pipeline8.ForgetOracle),
-    QueryDef("stream_kmv_distinct", sized(streamKmvDistinct _), StreamKmvOracle),
-    QueryDef("stream_kll_quantiles", sized(streamKllQuantiles _), StreamKllOracle),
-    QueryDef("stream_heavy_hitters", sized(streamHeavyHitters _),
+    QueryDef("stream_kmv_distinct", streamKmvDistinct _, StreamKmvOracle),
+    QueryDef("stream_kll_quantiles", streamKllQuantiles _, StreamKllOracle),
+    QueryDef("stream_heavy_hitters", streamHeavyHitters _,
       graft.operators.Sketches.HeavyHittersOracle),
     QueryDef("stream_stream_join", streamStreamJoin _,
       """SELECT s.event_id AS signup_id,
@@ -1323,33 +1300,33 @@ object StreamingQueries {
         |      AND p.p_ts > s.s_ts AND p.p_ts <= s.s_ts + INTERVAL 5 MINUTE)
         |  AND s.s_ts + INTERVAL 5 MINUTE < wm.w
         |ORDER BY signup_id, purchase_at""".stripMargin),
-    QueryDef("stream_stateful", sized(streamStateful _),
+    QueryDef("stream_stateful", streamStateful _,
       """SELECT user_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-    QueryDef("stream_row_pattern", sized(streamRowPattern _),
+    QueryDef("stream_row_pattern", streamRowPattern _,
       graft.operators.RowPattern.RowPatternOracle),
-    QueryDef("stream_reluctant_funnel", sized(streamReluctantFunnel _),
+    QueryDef("stream_reluctant_funnel", streamReluctantFunnel _,
       graft.operators.RowPattern.ReluctantFunnelOracle),
-    QueryDef("stream_tws", sized(streamTransformWithState _),
+    QueryDef("stream_tws", streamTransformWithState _,
       """SELECT user_id, count(*) AS n_events,
         |  cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-    QueryDef("stream_tws_state_inspect", sized(streamTwsStateInspect _),
+    QueryDef("stream_tws_state_inspect", streamTwsStateInspect _,
       // the un-evicting per-user ValueState read back from the RocksDB
       // checkpoint IS the complete aggregate — same oracle as stream_tws
       """SELECT user_id, count(*) AS n_events,
         |  cast(sum(cast(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
-    QueryDef("stream_tumbling", sized(streamTumbling _),
+    QueryDef("stream_tumbling", streamTumbling _,
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n,
         |  cast(sum(cast(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
-    QueryDef("stream_sliding", sized(streamSliding _),
+    QueryDef("stream_sliding", streamSliding _,
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts)
         |    - (k * INTERVAL '10 minutes'), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n
@@ -1360,7 +1337,7 @@ object StreamingQueries {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |ORDER BY event_id""".stripMargin),
-    QueryDef("stream_append_windows", sized(streamAppendWindows _),
+    QueryDef("stream_append_windows", streamAppendWindows _,
       // the append-mode emission rule in batch SQL: a window is emitted
       // iff the final watermark (max event time − 10 min) passed its end
       """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
@@ -1369,7 +1346,7 @@ object StreamingQueries {
         |FROM events, wm
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm.w
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
-    QueryDef("stream_state_inspect", sized(streamStateInspect _),
+    QueryDef("stream_state_inspect", streamStateInspect _,
       // the state after the final batch is the withheld tail: windows
       // the final watermark (max event time − 10 min) has NOT passed —
       // the exact complement of the append-mode emission rule above
@@ -1379,12 +1356,12 @@ object StreamingQueries {
         |FROM events, wm
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' > wm.w
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
-    QueryDef("stream_session", sized(streamSession _), SessionOracleSql),
-    QueryDef("stream_session_dynamic", sized(streamSessionDynamic _), SessionDynamicOracleSql),
-    QueryDef("stream_dedup", sized(streamDedup _),
+    QueryDef("stream_session", streamSession _, SessionOracleSql),
+    QueryDef("stream_session_dynamic", streamSessionDynamic _, SessionDynamicOracleSql),
+    QueryDef("stream_dedup", streamDedup _,
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin),
-    QueryDef("stream_late_data", sized(streamLateData _),
+    QueryDef("stream_late_data", streamLateData _,
       // the executable watermark spec (two-watermark model): slice-2
       // rows are kept iff their window was still open under the
       // late-filter watermark batch 2 runs with — the value ESTABLISHED
@@ -1405,7 +1382,7 @@ object StreamingQueries {
         |FROM kept, w2
         |WHERE wstart + INTERVAL '1 hour' <= w2.w
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
-    QueryDef("stream_foreach_batch", sized(streamForeachBatch _),
+    QueryDef("stream_foreach_batch", streamForeachBatch _,
       // merging the per-batch partials must reproduce the one-shot
       // batch aggregate — the mergeability contract of count/sum
       """SELECT event_type, cast(count(*) AS BIGINT) AS n,

@@ -14,6 +14,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: PlanDump <outDir> <suffix> <q1,q2,...> [sfDir]")
+      sys.exit(2)
+    }
     val Array(outDir, suffix, names) = args.take(3)
     val dir = args.lift(3).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
