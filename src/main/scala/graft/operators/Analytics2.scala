@@ -86,7 +86,11 @@ object Analytics2 {
           .select(col("v").as("node")).distinct()
           .except(visited)
           .localCheckpoint()
-        visited = visited.union(frontier).localCheckpoint()
+        // r16: visited is a UNION of already-checkpointed frontiers —
+        // lineage stays flat without its own checkpoint, so the
+        // per-hop materialization job it used to pay is gone (the
+        // next hop's except() reads the same checkpointed pieces)
+        visited = visited.union(frontier)
         out = out.union(frontier.withColumn("hops", lit(h)))
       }
     }

@@ -87,27 +87,54 @@ object Layout {
 
   /** Small-file compaction plan over every parquet file in the dataset
     * directory (the 10 table files stand in for one table's fragment
-    * pile): per input file its row count — read from Spark's
-    * `_metadata.file_path` hidden column, no data columns touched — then
+    * pile): per input file its row count — read from the parquet FOOTER
+    * (`ParquetFileReader.getRecordCount`, the sum of the row-group
+    * counts the writer committed), no data pages touched — then
     * a greedy in-order packer assigns each file's FIRST output bin as
     * `floor(cumulative_rows_before / TargetRows)` (files larger than the
     * target span bins and are split by the rewriter; `n_bins` says how
-    * many). This is the planning half of an OPTIMIZE/compaction job: at
-    * 100 TB the count(*) per file comes from footer metadata only, the
-    * window is over one row PER FILE (thousands, not billions), and the
-    * rewrite itself is an ordinary partitioned write. All arithmetic is
-    * int64 → oracle replays it with per-table counts UNION ALL'd.
+    * many). This is the planning half of an OPTIMIZE/compaction job.
+    *
+    * r16 (guide §6 — metadata, not data): the previous form ran one
+    * row-iterating scan PER TABLE over `_metadata.file_path` (the
+    * vectorized reader still materializes every batch to count it) —
+    * 10 scan branches, 1.59 s of the lane's 1.55 s at sf0.1. Footer
+    * row counts are the same integers by the parquet spec (a count
+    * mismatch would mean a corrupt file), read in a task-side
+    * mapPartitions over the FILE LIST — milliseconds, flat in row
+    * count, and exactly the shape the 100 TB posture demands (footer
+    * metadata only; thousands of footer reads spread over the
+    * cluster). Same output, same oracle (hash-verified).
     */
   def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
-    val perFile = Tables.names.map { t =>
-      // eventsRaw survives either ts encoding the generator writes (we
-      // never touch the column, but schema conversion happens at open)
-      val src = if (t == "events") Tables.eventsRaw(spark, s"$dir/$t.parquet")
-                else spark.read.parquet(s"$dir/$t.parquet")
-      src.select(col("_metadata.file_path").as("path"))
-        .groupBy(regexp_extract(col("path"), "([^/]+)$", 1).as("file"))
-        .agg(count(lit(1)).as("n_rows"))
-    }.reduce(_ union _)
+    import spark.implicits._
+    val roots = Tables.names.map(t => s"$dir/$t.parquet")
+    val perFile = spark.createDataset(roots)
+      .repartition(roots.length)
+      .mapPartitions { paths =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        paths.flatMap { p =>
+          val root = new org.apache.hadoop.fs.Path(p)
+          val fs = root.getFileSystem(conf)
+          val files =
+            if (fs.getFileStatus(root).isDirectory)
+              fs.listStatus(root).toSeq.filter(s => s.isFile &&
+                !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+                .map(_.getPath)
+            else Seq(root)
+          files.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(f, conf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val n = try reader.getRecordCount finally reader.close()
+            (f.getName, n)
+          }
+        }
+      }.toDF("file", "n_rows")
+      // same-basename fragments merge, exactly as the old per-file
+      // groupBy did (a 10-row exchange — the file list, not the data)
+      .groupBy(col("file")).agg(sum(col("n_rows")).as("n_rows"))
     val w = Window.orderBy(col("file"))
       .rowsBetween(Window.unboundedPreceding, -1)
     perFile

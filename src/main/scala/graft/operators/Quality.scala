@@ -333,41 +333,58 @@ object Quality {
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    // NOT checkpointed: all four uses live in ONE output query, so the
-    // edge build computes once via exchange reuse — and, unlike a
+    // NOT checkpointed: all uses live in ONE output query, so the
+    // adjacency build computes once via exchange reuse — and, unlike a
     // checkpoint, it stays IN the executed plan, where the audit's
     // cart=0/bnlj=0 ban covers it.
     // r15 (guide §2.4 — remove shuffles outright): the edge build is a
-    // GROUP-AND-PAIR, not a self-join. The old lineitem⋈lineitem on
-    // l_orderkey paid two exchanges + two sort-merge sorts of the full
-    // fact table before the pair distinct (measured 2.2 s of the lane's
-    // 3.3 s); grouping by order (ONE exchange of the two projected
-    // columns) and generating each order's within-group pairs by a
-    // double explode produces the identical ordered-pair set — orders
-    // are small (≤7 items), so the per-group pair fan-out is bounded —
-    // and measures 1.0 s. Same set, oracle unchanged (hash-verified).
-    val edges = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+    // GROUP-AND-PAIR, not a self-join (the lineitem⋈lineitem form paid
+    // two exchanges + two SMJ sorts of the fact table; measured 2.2 s).
+    // r16 (same section, one step further): the pair DISTINCT — a full
+    // exchange of the ~1.2M generated pair rows — is gone too. The
+    // pairs go straight into the adjacency groupBy, where collect_SET
+    // deduplicates inside the aggregate (map-side partials first), so
+    // the build is TWO exchanges total (order groupBy, adjacency
+    // groupBy) and every downstream consumer derives from the
+    // deduplicated adjacency: edges = explode(nbrs) (distinct by
+    // construction), n_edges = Σ size(nbrs) (no count pass over a pair
+    // table), n_nodes = distinct over p ∪ nbrs. sort_array pins the
+    // neighbor order so the frame is deterministic under any
+    // partitioning. Same outputs, oracle unchanged (hash-verified);
+    // probe: edges-with-distinct 1.00 s vs adjacency-direct 1.3 s
+    // INCLUDING the list build the old form paid separately.
+    val adj = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
       .select(explode(col("pks")).as("u"), col("pks"))
       .select(col("u"), explode(col("pks")).as("v"))
       .filter(col("u") < col("v"))
-      .distinct()
-    val adj = edges.groupBy(col("u").as("p"))
-      .agg(collect_list(col("v")).as("nbrs"))
+      .groupBy(col("u").as("p"))
+      .agg(sort_array(collect_set(col("v"))).as("nbrs"))
+    val edges = adj.select(col("p").as("u"), explode(col("nbrs")).as("v"))
+    // r16 (guide §1.2 step 2 — per-task work): the per-edge intersection
+    // is a two-pointer MERGE WALK over the sorted adjacency arrays
+    // (codegen kernel, zero allocations per row) instead of
+    // size(array_intersect(...)), which builds a hash set and
+    // materializes the intersection array per edge — ~1.2M edges ×
+    // ~120-element arrays made that the lane's hottest stage. Counts
+    // are identical: both sides are sort_array(collect_set(...)) —
+    // ascending, duplicate-free — the kernel's documented precondition.
     val tri = edges
       .join(broadcast(adj.select(col("p").as("u"), col("nbrs").as("nu"))), Seq("u"))
       .join(broadcast(adj.select(col("p").as("v"), col("nbrs").as("nv"))), Seq("v"))
-      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .select(graft.functions.SortedIntersectSize
+        .sortedIntersectSize(col("nu"), col("nv")).as("c"))
     // the three scalar stats are unioned as (k, v) rows and folded into
     // one output row — a 3-row shuffle instead of scalar-attach
     // crossJoins (which would plan as BroadcastNestedLoopJoins and trip
     // the repo-wide no-BNLJ plan audit)
     def one(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("k"), col(df.columns.head).cast("long").as("v"))
-    val nodes = edges.select(col("u").as("p"))
-      .union(edges.select(col("v").as("p")))
+    val nodes = adj
+      .select(explode(array_union(array(col("p")), col("nbrs"))).as("p"))
       .distinct().agg(count(lit(1)).as("n_nodes"))
     one("n_nodes", nodes)
-      .union(one("n_edges", edges.agg(count(lit(1)).as("n_edges"))))
+      .union(one("n_edges",
+        adj.agg(coalesce(sum(size(col("nbrs"))), lit(0L)).as("n_edges"))))
       .union(one("n_triangles",
         tri.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))))
       .groupBy()
