@@ -50,11 +50,18 @@ object Analytics {
     // two exchanges + two SMJ sorts of the fact table; identical
     // ordered-pair set (orders are ≤7 items, so the per-group explode
     // fan-out is bounded)
+    // r16 (guide §2.4 — share one exchange): pairs stay DUPLICATE-LADEN
+    // here; the dedup happens AFTER the both-direction explode, as a
+    // groupBy(u, v) that rides the repartition(u) exchange below —
+    // HashPartitioning(u) satisfies ClusteredDistribution(u, v) (equal
+    // (u, v) rows share u, hence a partition), so the old standalone
+    // `distinct()` exchange is gone: ONE exchange builds the substrate
+    // instead of two (plan-asserted in PLANS.md, hx 2 → 1 on this
+    // subtree).
     val und = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
       .select(explode(col("pks")).as("u"), col("pks"))
       .select(col("u"), explode(col("pks")).as("v"))
       .filter(col("u") < col("v"))
-      .distinct()
     // Partition AND sort by the join key, then CACHE (not checkpoint):
     // an InMemoryTableScan reports the cached plan's outputPartitioning
     // and outputOrdering, so every iteration's rank⋈edges join reuses
@@ -81,6 +88,7 @@ object Analytics {
           struct(col("v").as("u"), col("u").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .repartition(n, col("u"))
+        .dropDuplicates("u", "v")
         .sortWithinPartitions(col("u"))
         .persist()
     }
@@ -157,12 +165,20 @@ object Analytics {
       // the round aggregate as a null-padded SELF-MESSAGE per node
       // (contrib NULL so sum() ignores it — the rank sum sees the
       // identical message multiset as before; prev via max() over the
-      // one self row, no float addition), so the L1-delta probe reads
-      // a checkpointed 3-column frame instead of re-joining two rank
-      // frames — one narrow job per round instead of a join job
-      // (measured 0.2 s/round of the lane's 4.3 s). Node set unchanged:
+      // one self row, no float addition). Node set unchanged:
       // every rank node has out-edges (rank0 = deg keys; the graph is
       // materialized both directions), so each appears as a target too.
+      // The L1-delta itself rides on the checkpoint action as an
+      // observe() metric (CollectMetrics accumulator — localCheckpoint
+      // goes through withAction, so the listener fires; pinned by
+      // ObservationCheckpointSpec), collapsing each round to ONE job:
+      // the per-round delta job this replaces measured ~0.1 s × 7
+      // rounds of the lane's 4.6 s steady-state. The sum's partition
+      // accumulation order can differ from the old aggregate job's by
+      // ~1e-17 — nine orders under the smallest observed
+      // delta-to-boundary gap (the ConvergedEps non-exposure analysis
+      // below), and the drill's A/B reproduced identical rows and
+      // round count at sf0.1.
       val msgs = edges
         .join(rank.withColumnRenamed("node", "u"), Seq("u"))
         .join(deg, Seq("u"))
@@ -170,15 +186,30 @@ object Analytics {
           lit(null).cast("double").as("prev"))
       val self = rank.select(col("node").as("v"),
         lit(null).cast("double").as("contrib"), col("rank").as("prev"))
+      val obs = org.apache.spark.sql.Observation()
       val next = msgs.union(self)
         .groupBy(col("v"))
         .agg((lit(0.15 / n) + lit(Damping) * sum(col("contrib"))).as("rank"),
           max(col("prev")).as("prev"))
         .select(col("v").as("node"), col("rank"), col("prev"))
+        .observe(obs, sum(abs(col("rank") - col("prev"))).as("d"))
         .localCheckpoint()
-      delta = next
-        .agg(sum(abs(col("rank") - col("prev"))).as("d"))
-        .head.getDouble(0)
+      // The checkpoint action above is synchronous, so the metric is
+      // normally available immediately; the bounded wait + explicit
+      // fallback job guard against a listener that never fires (a hang
+      // here would strand the bench watchdog, which can only cancel
+      // JOBS — the r14 lesson). The fallback recomputes the identical
+      // sum from the checkpointed frame.
+      delta = try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future(obs.get("d").asInstanceOf[Double]), 120.seconds)
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          next.agg(sum(abs(col("rank") - col("prev"))).as("d"))
+            .head.getDouble(0)
+      }
       rank = next.select(col("node"), col("rank"))
       rounds += 1
     }

@@ -86,15 +86,39 @@ object Pipeline5 {
     (syms, merges.result())
   }
 
+  /** The trained state as SESSION-SCOPED substrates (r16, the
+    * dedup-family IterCache discipline): the merge table and the final
+    * merged dict are both output-sized deterministic artifacts of ONE
+    * training loop, and the two registered lanes each consumed one of
+    * them — before this cache each lane re-ran the full 6-round
+    * argmax loop the other had just run. Within one call `train` runs
+    * at most once even when both keys are cold; across lanes the
+    * second consumer rides the cache (evict-safe: either key rebuilds
+    * independently from the logical inputs). Nothing persists across
+    * JVMs.
+    */
+  private def bpeTrained(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    var built: Option[(DataFrame, Seq[(Int, String, Long)])] = None
+    def trained = {
+      if (built.isEmpty) built = Some(train(spark, dir))
+      built.get
+    }
+    val merges = IterCache.getOrBuild(s"bpe-merges:$dir") {
+      trained._2.toDF("it", "pair", "cnt").persist()
+    }
+    val syms = IterCache.getOrBuild(s"bpe-syms:$dir") { trained._1.persist() }
+    (syms, merges)
+  }
+
   /** Train [[BpeMerges]] BPE merges over the document corpus; result is
     * the ordered merge table (it, pair, cnt) — cnt the weighted count of
     * the chosen pair at the time it was merged. Ties break
     * lexicographically on the pair so the argmax is deterministic.
     */
-  def pipelineBpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    train(spark, dir)._2.toDF("it", "pair", "cnt").orderBy(col("it"))
-  }
+  def pipelineBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeTrained(spark, dir)._2.orderBy(col("it"))
 
   /** Vocabulary size emitted by [[pipelineBpeApply]]. */
   val BpeVocabTop = 32
@@ -108,7 +132,7 @@ object Pipeline5 {
     * merge whose side was itself a merge output).
     */
   def pipelineBpeApply(spark: SparkSession, dir: String): DataFrame = {
-    val (syms, _) = train(spark, dir)
+    val (syms, _) = bpeTrained(spark, dir)
     syms
       .select(explode(split(col("sym"), " ", -1)).as("token"), col("n"))
       .groupBy(col("token")).agg(sum(col("n")).as("cnt"))
