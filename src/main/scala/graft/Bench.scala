@@ -449,6 +449,10 @@ object Bench {
       // a wide query mix (static conf — must be set before the session
       // exists; metaspace cost is a few KB per cached class).
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // keep object aggregation hash-based at this suite's per-task
+      // group counts (see SparkEntry.ObjAggFallbackThreshold)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        SparkEntry.ObjAggFallbackThreshold)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

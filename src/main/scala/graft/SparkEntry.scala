@@ -95,6 +95,33 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
+  /** In-memory group cap for ObjectHashAggregate before it falls back
+    * to SORT-BASED aggregation
+    * (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`,
+    * engine default 128 — r16, guide §1.2 step 3). Every
+    * collect_set/collect_list/typed-UDAF lane here aggregates into far
+    * more than 128 per-task groups (q97b's per-(priority, day) sketch
+    * partials: ~375 groups/task at sf0.1; q81's per-order baskets:
+    * ~4,700/task), so at the default the object-agg abandoned hashing
+    * and paid a full sort + buffer serialization on EVERY such lane —
+    * measured 0.85 → 0.50 s on the q97b daily stage alone, with the
+    * same mode flip in q81/q77/q31. The cap bounds per-task memory at
+    * (groups × buffer object); 65536 modest for the list/sketch buffers
+    * here and scale-INDEPENDENT in nature (it is per task, not per
+    * dataset — a 100 TB deployment sizes it to executor memory ÷ buffer
+    * size, and past it the conservative sort fallback is exactly the
+    * right behavior). Env-overridable so probes can restore the engine
+    * default. Defined once so Bench, Verify, PlanAudit and the tests
+    * price the same execution mode. Output-hash neutral: the only
+    * order-sensitive consumers of these aggregates are sort_array /
+    * explode / count shaped (audited), and the KLL estimate's
+    * insertion-order dependence never reaches an oracle (NOTES #17).
+    */
+  val ObjAggFallbackThreshold: String =
+    sys.env.get("SPARK_GRAFT_OBJ_AGG_FALLBACK")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption.map(_.toString))
+      .getOrElse("65536")
+
   /** The SPARK_GRAFT_ONLY / --only subset spec — comma-separated names,
     * trailing '*' = prefix match — defined ONCE so the same spec can
     * never select different query sets in Verify, Bench, and PlanAudit

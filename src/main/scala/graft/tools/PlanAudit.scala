@@ -48,6 +48,8 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "true")
       // hold the full suite's generated classes (see graft.Bench)
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.SparkEntry.ObjAggFallbackThreshold)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

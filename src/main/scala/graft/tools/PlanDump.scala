@@ -27,6 +27,8 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.SparkEntry.ObjAggFallbackThreshold)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -27,6 +27,9 @@ object SparkTestBase {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // hold the full suite's generated classes (see graft.Bench)
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // same execution mode as Bench (SparkEntry.ObjAggFallbackThreshold)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        SparkEntry.ObjAggFallbackThreshold)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
