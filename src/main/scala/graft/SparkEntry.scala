@@ -119,7 +119,8 @@ object SparkEntry {
     */
   val ObjAggFallbackThreshold: String =
     sys.env.get("SPARK_GRAFT_OBJ_AGG_FALLBACK")
-      .flatMap(s => scala.util.Try(s.trim.toInt).toOption.map(_.toString))
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0).map(_.toString)
       .getOrElse("65536")
 
   /** The SPARK_GRAFT_ONLY / --only subset spec — comma-separated names,

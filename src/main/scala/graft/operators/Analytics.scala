@@ -42,14 +42,26 @@ object Analytics {
     * change (degree cap, checkpoint policy) cannot silently diverge
     * between them. The matching oracle text is [[CoPurchaseEdgesCte]].
     */
+  /** Duplicate-laden u<v co-purchase pair stream from the (ok, pk)
+    * fact slice — ONE groupBy(order) whose collect_set dedups
+    * (ok, pk) in-aggregate, then the in-basket pair explode: the
+    * exploded pairs ARE the `SELECT DISTINCT (ok, u, v)` set of the
+    * fact self-join form (orders are ≤7 items, bounding the fan-out),
+    * with no join and no standalone distinct exchange (r15 q77
+    * discipline). ONE definition shared by [[coPurchaseEdges]],
+    * [[Analytics5]]'s weighted edges and [[Quality]]'s triangle
+    * adjacency so a tuning change cannot silently diverge them from
+    * each other or from the oracles' self-join CTEs (review r16).
+    */
+  private[operators] def orderPairs(li: DataFrame): DataFrame =
+    li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+      .select(explode(col("pks")).as("u"), col("pks"))
+      .select(col("u"), explode(col("pks")).as("v"))
+      .filter(col("u") < col("v"))
+
   private[operators] def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    // r15 (guide §2.4, the q77 discipline): group-and-pair, not a
-    // self-join — one exchange of the two projected columns instead of
-    // two exchanges + two SMJ sorts of the fact table; identical
-    // ordered-pair set (orders are ≤7 items, so the per-group explode
-    // fan-out is bounded)
     // r16 (guide §2.4 — share one exchange): pairs stay DUPLICATE-LADEN
     // here; the dedup happens AFTER the both-direction explode, as a
     // groupBy(u, v) that rides the repartition(u) exchange below —
@@ -58,10 +70,7 @@ object Analytics {
     // `distinct()` exchange is gone: ONE exchange builds the substrate
     // instead of two (plan-asserted in PLANS.md, hx 2 → 1 on this
     // subtree).
-    val und = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
-      .select(explode(col("pks")).as("u"), col("pks"))
-      .select(col("u"), explode(col("pks")).as("v"))
-      .filter(col("u") < col("v"))
+    val und = orderPairs(li)
     // Partition AND sort by the join key, then CACHE (not checkpoint):
     // an InMemoryTableScan reports the cached plan's outputPartitioning
     // and outputOrdering, so every iteration's rank⋈edges join reuses
@@ -200,15 +209,23 @@ object Analytics {
       // here would strand the bench watchdog, which can only cancel
       // JOBS — the r14 lesson). The fallback recomputes the identical
       // sum from the checkpointed frame.
-      delta = try {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration._
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future(obs.get("d").asInstanceOf[Double]), 120.seconds)
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
+      // A dedicated DAEMON thread, not the global ExecutionContext
+      // (review r16): on timeout the abandoned obs.get blocks forever,
+      // and a parked global-pool thread per timed-out round would
+      // starve the shared pool — a parked daemon thread leaks nothing
+      // the JVM cares about and cannot delay exit.
+      delta = {
+        val got = new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
+        val t = new Thread(() =>
+          try got.set(Some(obs.get("d").asInstanceOf[Double]))
+          catch { case _: Throwable => () })
+        t.setDaemon(true)
+        t.start()
+        t.join(120000L)
+        got.get().getOrElse {
           next.agg(sum(abs(col("rank") - col("prev"))).as("d"))
             .head.getDouble(0)
+        }
       }
       rank = next.select(col("node"), col("rank"))
       rounds += 1

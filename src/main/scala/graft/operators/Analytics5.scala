@@ -34,18 +34,12 @@ object Analytics5 {
   private def weightedEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    // r16 (guide §2.4, the coPurchaseEdges/q81 group-and-pair
-    // discipline): ONE groupBy(order) whose collect_set dedups (ok, pk)
-    // in-aggregate, then in-basket pair explode — the exploded u<v
-    // pairs ARE the old self-join's `SELECT DISTINCT (ok, u, v)` set
-    // (orders are ≤7 items, so the fan-out is bounded), with no fact
+    // r16 (guide §2.4): the shared group-and-pair substrate
+    // ([[Analytics.orderPairs]]) replaces the fact self-join — no
     // self-join and no standalone distinct exchange: 4 exchange legs
     // (join×2, distinct, count) become 2 (basket agg, count).
-    val pairs = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
-      .select(explode(col("pks")).as("u"), col("pks"))
-      .select(col("u"), explode(col("pks")).as("v"))
-      .filter(col("u") < col("v"))
-    pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
+    Analytics.orderPairs(li)
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n"))
   }
 
   /** The SQL twin of [[weightedEdges]] (CTE `wed`), shared by both

@@ -109,21 +109,34 @@ object Layout {
   def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val roots = Tables.names.map(t => s"$dir/$t.parquet")
+    // the SESSION's Hadoop configuration rides to the tasks (review
+    // r16): a fresh Configuration() would ignore spark.hadoop.* conf,
+    // fs.defaultFS and filesystem credentials — fine on local disk,
+    // wrong on any configured store
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val perFile = spark.createDataset(roots)
       .repartition(roots.length)
       .mapPartitions { paths =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = hconf.value
+        // recursive walk (review r16): a table root that is a directory
+        // of partition subdirectories (date=.../part-*.parquet — the
+        // fragment pile this lane models) must contribute every leaf
+        // fragment, exactly as the replaced _metadata.file_path scan's
+        // recursive discovery did; hidden (_/.) entries skipped at
+        // every level, as the reader does
+        def walk(fs: org.apache.hadoop.fs.FileSystem,
+            st: org.apache.hadoop.fs.FileStatus)
+            : Seq[org.apache.hadoop.fs.Path] =
+          if (st.isFile) Seq(st.getPath)
+          else fs.listStatus(st.getPath).toSeq
+            .filter(s => !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            .flatMap(walk(fs, _))
         paths.flatMap { p =>
           val root = new org.apache.hadoop.fs.Path(p)
           val fs = root.getFileSystem(conf)
-          val files =
-            if (fs.getFileStatus(root).isDirectory)
-              fs.listStatus(root).toSeq.filter(s => s.isFile &&
-                !s.getPath.getName.startsWith("_") &&
-                !s.getPath.getName.startsWith("."))
-                .map(_.getPath)
-            else Seq(root)
-          files.map { f =>
+          walk(fs, fs.getFileStatus(root)).map { f =>
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(f, conf)
             val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)

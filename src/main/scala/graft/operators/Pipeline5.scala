@@ -69,9 +69,8 @@ object Pipeline5 {
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"), col("n"))
       .localCheckpoint(true)
 
-  private def train(spark: SparkSession, dir: String)
-      : (DataFrame, Seq[(Int, String, Long)]) = {
-    val dict = dictOf(spark, dir)
+  private def train(spark: SparkSession, dir: String,
+      dict: DataFrame): (DataFrame, Seq[(Int, String, Long)]) = {
     var syms = dict
     val merges = Seq.newBuilder[(Int, String, Long)]
     for (it <- 1 to BpeMerges) {
@@ -102,10 +101,11 @@ object Pipeline5 {
     * narrow pass — see its scaladoc). Evict-safe: rebuilds from the
     * logical inputs. Nothing persists across JVMs.
     */
-  private def bpeMergesCached(spark: SparkSession, dir: String): DataFrame = {
+  private def bpeMergesCached(spark: SparkSession, dir: String,
+      dict: () => DataFrame): DataFrame = {
     import spark.implicits._
     IterCache.getOrBuild(s"bpe-merges:$dir") {
-      train(spark, dir)._2.toDF("it", "pair", "cnt").persist()
+      train(spark, dir, dict())._2.toDF("it", "pair", "cnt").persist()
     }
   }
 
@@ -115,7 +115,7 @@ object Pipeline5 {
     * lexicographically on the pair so the argmax is deterministic.
     */
   def pipelineBpeMerges(spark: SparkSession, dir: String): DataFrame =
-    bpeMergesCached(spark, dir).orderBy(col("it"))
+    bpeMergesCached(spark, dir, () => dictOf(spark, dir)).orderBy(col("it"))
 
   /** Vocabulary size emitted by [[pipelineBpeApply]]. */
   val BpeVocabTop = 32
@@ -135,9 +135,13 @@ object Pipeline5 {
     // so applying the CACHED model needs no argmax jobs at all. The
     // collect is the broadcast-the-merge-table production shape:
     // BpeMerges rows of bounded driver state.
-    val pairs = bpeMergesCached(spark, dir).orderBy(col("it"))
+    // one dict build whether or not the model cache is warm (review
+    // r16): a cold-cache apply previously scanned + checkpointed the
+    // corpus dict twice — once inside train, once as the fold base
+    lazy val dict = dictOf(spark, dir)
+    val pairs = bpeMergesCached(spark, dir, () => dict).orderBy(col("it"))
       .select(col("pair")).collect().map(_.getString(0))
-    val syms = pairs.foldLeft(dictOf(spark, dir)) { (df, p) =>
+    val syms = pairs.foldLeft(dict) { (df, p) =>
       df.select(mergeStep(col("sym"), p).as("sym"), col("n"))
     }
     syms

@@ -353,10 +353,7 @@ object Quality {
     // partitioning. Same outputs, oracle unchanged (hash-verified);
     // probe: edges-with-distinct 1.00 s vs adjacency-direct 1.3 s
     // INCLUDING the list build the old form paid separately.
-    val adj = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
-      .select(explode(col("pks")).as("u"), col("pks"))
-      .select(col("u"), explode(col("pks")).as("v"))
-      .filter(col("u") < col("v"))
+    val adj = Analytics.orderPairs(li)
       .groupBy(col("u").as("p"))
       .agg(sort_array(collect_set(col("v"))).as("nbrs"))
     val edges = adj.select(col("p").as("u"), explode(col("nbrs")).as("v"))
